@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself before importing this module; nothing here
+(or in rkts_migration_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship KG pipeline (transcripts → triples) on the sf0.001-scale
+  deterministic fixture; returns the triple Dataset.
+- queries(): one callable per implemented pipeline (SURVEY.md §2 coverage);
+  each takes sf_dir and returns a Dataset / DataFrame / Table.
+- oracle_sql(): DuckDB twins of each query at sf=0.01, reading the same
+  deterministic fixture parquet (generated idempotently at import so the
+  oracle can run in any order relative to the Ray side).
 """
 
 from __future__ import annotations
@@ -18,27 +17,35 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rkts_migration_ray import fixtures, oracles
+from rkts_migration_ray.pipelines import kg
+from rkts_migration_ray.sources import readers
+from rkts_migration_ray.stages.validate import validate_transcripts
+
+# the driver compares at sf0.01; make sure the oracle's parquet exists even if
+# the SQL runs before any queries() callable (generation is cheap + cached)
+fixtures.ensure_fixture("sf0.01")
+fixtures.ensure_fixture("sf0.001")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scale fixture; driver checks rows>=0."""
+    return kg.kg_triples_ds("sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "kg_structural": lambda sf: kg.structural_ds(sf, include_quarantine=False),
+        "kg_conv_triples": kg.conv_triples_ds,
+        "kg_mentions": kg.mention_triples_ds,
+        "kg_entities": lambda sf: kg.entity_triples_ds(sf, include_quarantine=False),
+        "kg_quarantine": kg.quarantine_ds,
+        "kg_locations": kg.locations_ds,
+        "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
+        "kg_triples": kg.kg_triples_ds,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles.kg_oracle_sql("sf0.01")

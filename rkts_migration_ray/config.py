@@ -1,0 +1,85 @@
+"""Pipeline configuration: vocabulary, URI scheme, behavior flags.
+
+Mirrors the reference's config surface (rkts.yaml:1-37 behavior flags, URL
+templates rkts.yaml:2-30, namespace registration migrate.php:70-77) as a frozen
+dataclass shipped to workers inside stage constructors — no process globals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Predicate vocabulary (compact CURIE strings; analog of bdo:/bdr:/bda:
+# namespaces registered at migrate.php:70-77).
+# ---------------------------------------------------------------------------
+P_TYPE = "rdf:type"
+P_LABEL = "rdfs:label"
+P_PART_OF = "tr:partOf"              # ≈ bdo:partOf (editionxmltottl.php:171)
+P_ROOT = "tr:inRootInstance"         # ≈ bdo:inRootInstance
+P_ROLE = "tr:role"
+P_AT_TIME = "tr:atTimeUs"            # epoch-microsecond literal, xsd:long
+P_TEXT_DIGEST = "tr:textDigest"      # sha256(text)[:12] — content-bearing, compact
+P_TOOL = "tr:invokedTool"
+P_MENTIONS = "tr:mentions"
+P_IN_SECTION = "tr:inSection"
+P_PART_INDEX = "tr:partIndex"        # ≈ bdo:partIndex (editionxmltottl.php:192-195)
+P_TREE_INDEX = "tr:partTreeIndex"    # ≈ bdo:partTreeIndex ("02.0007")
+P_HAS_TITLE = "tr:hasTitle"
+P_SECTION_NAME = "tr:sectionName"
+P_BEGIN_LOC = "tr:sectionBeginLoc"   # ≈ section begin location (utils.php:447-466)
+P_END_LOC = "tr:sectionEndLoc"       # ≈ end patched from last item (utils.php:472-487)
+P_SECTION_VOLS = "tr:sectionVolumes" # ≈ volumeMap ordered-distinct (editionxmltottl.php:360-376)
+P_TURN_COUNT = "tr:turnCount"
+P_IS_ABOUT = "tr:workIsAbout"        # ≈ 'ab' rows of rkts-actors.csv (utils.php:852-870)
+P_GENRE = "tr:workGenre"             # ≈ 'ge' rows
+
+T_CONV = "tr:Conversation"
+T_TURN = "tr:Turn"
+T_SECTION = "tr:Section"
+T_ENTITY = "tr:Entity"
+
+DT_LONG = "xsd:long"
+DT_INT = "xsd:integer"
+
+# marker-key → BCP-47 tag; analog of $name_to_bcp (utils.php:758-775)
+NAME_TO_BCP: dict[str, str] = {
+    "tib": "bo-x-ewts",
+    "col": "bo-x-ewts",       # ≈ coltitle
+    "skt": "sa-x-iast",
+    "sktuni": "sa-Deva",
+    "mng": "cmg-x-poppe",
+    "mngs": "cmg-x-poppe-simpl",
+    "zh": "zh-Hant",
+    "en": "en",
+}
+
+# language tags dropped for the bdrc target (normalize_lit, utils.php:812-813)
+DROPPED_LANGS_BDRC = frozenset({"cmg-x-poppe-simpl", "sa-Deva"})
+
+# placeholder ids nulled out by the reference (editionxmltottl.php:33-34)
+PLACEHOLDER_IDS = frozenset({"-", "?", "new", "new?"})
+
+# quarantine rule names (error channel, report_error utils.php:558-560)
+RULE_INVALID_LOC = "invalid_loc"
+RULE_INVALID_VOLNAME = "invalid_volname"
+RULE_SELF_LOOP = "prop_self_loop"
+
+TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_lang", "obj_dt", "graph"]
+QUARANTINE_COLUMNS = ["subj", "rule", "detail"]
+
+GRAPH_ENTITIES = "G:entities"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Behavior flags ≈ rkts.yaml:1,31-37 (useAbstract, oneTitleInExpression…)."""
+
+    target: str = "bdrc"              # 'bdrc' applies lang policy + shad (utils.php:804-818)
+    one_title_per_lang: bool = False  # ≈ oneTitleInExpression (kernelxmltottl.php:205)
+    emit_text_digest: bool = True
+    n_subj_buckets: int = 64          # output partitions (≈ md5-prefix sharding migrate-bvm.py:412-418)
+    salt: int = 16                    # head-entity salting fanout for canonical merge
+
+
+DEFAULT_CONFIG = PipelineConfig()

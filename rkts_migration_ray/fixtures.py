@@ -1,0 +1,303 @@
+"""Deterministic synthetic input tables (FIXTURES.md).
+
+The driver's testdata has no transcripts table, so the engine synthesises its
+primary input — a Parquet table of exactly the `input_hint` shape
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us]) — plus the aux lookup tables mirroring the reference's CSVs:
+
+- gazetteer     ≈ abstract-rkts.csv (utils.php:872-897; '?'-rows dropped)
+- entity_props  ≈ rkts-actors.csv 'ab'/'ge' rows (utils.php:852-870)
+- alias_map     ≈ KTMapping/SameTextDifferentTranslation/<now> redirects
+                  (rkts.yaml:38-113, kernelxmltottl.php:255-270)
+
+Everything is a pure function of (seed=42, sf tag): no wall-clock, no
+randomness outside the seeded generator, byte-stable across processes — the
+DuckDB oracles read the same files. Rows are written in shuffled order: the
+engine must be permutation-invariant (the reference relies on document order,
+editionxmltottl.php:432-435; we must not).
+
+Text grammar (markers the extractor parses):
+    sec{<name>}           section rollover marker (first turn of each section)
+    ttl[<k>]{<title>}     title, k ∈ NAME_TO_BCP keys
+    loc{<loc string>}     full location dialect   (utils.php:565 grammar)
+    locs{<loc string>}    simple location dialect (utils.php:570 grammar)
+    @[<alias>]            entity mention (placeholders '-', '?', 'new' included)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+
+N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+SECTION_POOL = [
+    "'dul ba", "sher phyin", "dkon brtsegs", "phal chen", "mdo sde",
+    "rgyud", "gzungs 'dus", "dbu ma", "tshad ma", "sems tsam",
+]
+VALID_VOLS = ["ka", "kha", "ga", "nga", "ca", "cha", "ja", "nya", "ta", "tha"]
+INVALID_VOL = "qx"  # not in allowed_vol_letters → quarantine (utils.php:634-639)
+TOOLS = ["search", "browse", "python", "sql", "fetch"]
+HEADS = [f"head-{i:02d}" for i in range(5)]  # skewed head entities (≈ P7326)
+PLACEHOLDERS = ["-", "?", "new"]
+FILLER = (
+    "the of and to in that it was for on are as with his they at be this from "
+    "or had by word but what some we can out other were all there when up use "
+    "your how said an each she which do their time if will way about many then"
+).split()
+TITLE_WORDS = (
+    "mdo sde dkon mchog sprin gyi rgyud bka' 'gyur rin chen phung po las "
+    "byang chub sems dpa' rnam par snang mdzad kyi zhus lan nga bshad sgrub "
+    "thabs shes rab pha rol phyin pa sangs rgyas kyis gsungs tshul khrims"
+).split()
+
+
+def tag_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.01"
+
+
+def n_turns_of(tag: str) -> int:
+    if tag in N_TURNS_BY_TAG:
+        return N_TURNS_BY_TAG[tag]
+    try:
+        return max(1000, int(6_000_000 * float(tag[2:])))
+    except ValueError:
+        return 60_000
+
+
+def fixture_dir(sf_dir_or_tag: str) -> str:
+    return os.path.join(FIXTURE_ROOT, tag_of(sf_dir_or_tag))
+
+
+def transcripts_path(sf_dir_or_tag: str) -> str:
+    return os.path.join(fixture_dir(sf_dir_or_tag), "transcripts.parquet")
+
+
+def aux_path(sf_dir_or_tag: str, name: str) -> str:
+    return os.path.join(fixture_dir(sf_dir_or_tag), f"{name}.parquet")
+
+
+def ensure_fixture(sf_dir_or_tag: str) -> str:
+    """Idempotently generate the fixture set for a scale tier; returns its dir.
+
+    Atomic: writes into a tmp dir then renames, so concurrent processes (the
+    driver's oracle run vs the Ray run; bench at two CPU levels) are safe."""
+    final = fixture_dir(sf_dir_or_tag)
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    tag = tag_of(sf_dir_or_tag)
+    tmp = final + f".tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    meta = _generate(tag, tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_DONE")):  # lost the race: fine
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return final
+
+
+def _generate(tag: str, out_dir: str) -> dict:
+    n_target = n_turns_of(tag)
+    rng = np.random.default_rng(SEED)
+
+    # --- conversation lengths (skew: ~0.2% of convs are ~100x the median) ----
+    est_convs = max(8, n_target // 13)
+    lens = rng.integers(4, 24, size=est_convs)
+    long_mask = rng.random(est_convs) < 0.002
+    lens = np.where(long_mask, rng.integers(800, 1600, size=est_convs), lens)
+    cum = np.cumsum(lens)
+    n_conv = int(np.searchsorted(cum, n_target) + 1)
+    lens = lens[:n_conv]
+    n = int(lens.sum())
+
+    conv_ord = np.repeat(np.arange(n_conv), lens)
+    conv_id = np.array([f"conv-{i:06d}" for i in range(n_conv)], dtype=object)[conv_ord]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    turn_idx = (np.arange(n) - starts[conv_ord]).astype(np.int32)
+
+    roles = rng.choice(["user", "assistant", "tool", "system"], size=n,
+                       p=[0.42, 0.42, 0.10, 0.06])
+    tool_pick = rng.choice(TOOLS, size=n)
+    has_tool = (roles == "tool") | ((roles == "assistant") & (rng.random(n) < 0.25))
+    tools = np.where(has_tool, tool_pick, "")
+
+    base = 1_700_000_000_000_000
+    conv_jitter = rng.integers(0, 1_000_000, size=n_conv)
+    ts = (base + conv_ord.astype(np.int64) * 3_600_000_000
+          + turn_idx.astype(np.int64) * (30_000_000 + conv_jitter[conv_ord]))
+
+    # --- per-conv section plans (distinct names, ordered; ≈ ST8 rollover) ----
+    simple_dialect = rng.random(n_conv) < 0.10
+    sec_perms = [rng.permutation(len(SECTION_POOL)) for _ in range(n_conv)]
+    # section ordinal of each turn: change section every ~6 turns
+    sec_span = 6
+    sec_ord_in_conv = np.minimum(turn_idx // sec_span, len(SECTION_POOL) - 1)
+    is_sec_start = (turn_idx == 0) | (
+        (sec_ord_in_conv > 0) & (turn_idx % sec_span == 0)
+        & (sec_ord_in_conv != np.minimum((turn_idx - 1) // sec_span, len(SECTION_POOL) - 1))
+    )
+    sec_name = np.array(
+        [SECTION_POOL[sec_perms[c][s]] for c, s in zip(conv_ord, sec_ord_in_conv)],
+        dtype=object,
+    )
+
+    # --- marker draws ---------------------------------------------------------
+    has_loc = rng.random(n) < 0.30
+    loc_bad = rng.random(n) < 0.003          # unparsable → invalid_loc
+    loc_badvol = rng.random(n) < 0.005       # bad volume letter → invalid_volname
+    bvol_i = rng.integers(0, len(VALID_VOLS), size=n)
+    evol_i = rng.integers(0, len(VALID_VOLS), size=n)
+    bpage = rng.integers(1, 300, size=n)
+    plen = rng.integers(1, 80, size=n)
+    bline = rng.integers(1, 8, size=n)
+    eline = rng.integers(1, 8, size=n)
+    bside = rng.choice(["a", "b"], size=n)
+    eside = rng.choice(["a", "b"], size=n)
+    v1 = rng.integers(1, 100, size=n)
+    vspan = rng.integers(0, 4, size=n)
+    has_range = rng.random(n) < 0.6
+
+    has_title = rng.random(n) < 0.15
+    has_skt = has_title & (rng.random(n) < 0.30)
+    has_deva = has_title & (rng.random(n) < 0.05)
+    dup_title = has_title & (rng.random(n) < 0.25) & (turn_idx > 0)
+    title_idx = rng.integers(0, len(TITLE_WORDS) - 4, size=(n, 2))
+    title_len = rng.integers(2, 5, size=(n, 2))
+
+    n_ment = rng.choice([0, 1, 2, 3], size=n, p=[0.45, 0.30, 0.15, 0.10])
+    n_ent = max(200, n_target // 100)
+    ment_kind = rng.random((n, 3))
+    head_pick = rng.integers(0, len(HEADS), size=(n, 3))
+    tail_pick = rng.integers(0, n_ent, size=(n, 3))
+    ph_pick = rng.integers(0, len(PLACEHOLDERS), size=(n, 3))
+
+    fill_idx = rng.integers(0, len(FILLER), size=(n, 6))
+
+    # --- assemble text (one-time generation cost; cached as parquet) ---------
+    texts = np.empty(n, dtype=object)
+    first_title_of_conv: dict[int, str] = {}
+    for i in range(n):
+        parts = []
+        if is_sec_start[i]:
+            parts.append("sec{%s}" % sec_name[i])
+        parts.extend(FILLER[j] for j in fill_idx[i, :3])
+        if has_title[i]:
+            c = conv_ord[i]
+            if dup_title[i] and c in first_title_of_conv:
+                t0 = first_title_of_conv[c]
+                t = t0.replace(" ", "-").capitalize()  # case/sep variant → same dedup key
+            else:
+                w0, ln = title_idx[i, 0], title_len[i, 0]
+                t = " ".join(TITLE_WORDS[w0:w0 + ln])
+                first_title_of_conv.setdefault(c, t)
+            parts.append("ttl[tib]{%s}" % t)
+            if has_skt[i]:
+                w1, ln1 = title_idx[i, 1], title_len[i, 1]
+                parts.append("ttl[skt]{%s}" % " ".join(TITLE_WORDS[w1:w1 + ln1]))
+            if has_deva[i]:
+                parts.append("ttl[sktuni]{%s}" % TITLE_WORDS[title_idx[i, 1]])
+        if has_loc[i]:
+            if loc_bad[i]:
+                parts.append("loc{%%bad%%}")
+            elif simple_dialect[conv_ord[i]]:
+                parts.append("locs{%d.%d?, - %d.%d}"
+                             % (v1[i], bpage[i], v1[i] + vspan[i], bpage[i] + plen[i]))
+            else:
+                bv = INVALID_VOL if loc_badvol[i] else VALID_VOLS[bvol_i[i]]
+                rng_part = ""
+                if has_range[i]:
+                    rng_part = "-%s %d%s%d" % (VALID_VOLS[evol_i[i]],
+                                               bpage[i] + plen[i], eside[i], eline[i])
+                parts.append("loc{%s, %s %d%s%d%s (vol. %d-%d)}"
+                             % (sec_name[i], bv, bpage[i], bside[i], bline[i],
+                                rng_part, v1[i], v1[i] + vspan[i]))
+        parts.extend(FILLER[j] for j in fill_idx[i, 3:])
+        for m in range(n_ment[i]):
+            r = ment_kind[i, m]
+            if r < 0.03:
+                alias = PLACEHOLDERS[ph_pick[i, m]]
+            elif r < 0.38:
+                alias = HEADS[head_pick[i, m]]
+            else:
+                alias = f"ent-{tail_pick[i, m]:05d}"
+            parts.append("@[%s]" % alias)
+        texts[i] = " ".join(parts)
+
+    empty_text = rng.random(n) < 0.002  # edge rows: empty text (FIXTURES.md)
+    texts[empty_text] = ""
+
+    perm = rng.permutation(n)  # shuffled arrival order
+    table = pa.table({
+        "conv_id": pa.array(conv_id[perm], pa.string()),
+        "turn_idx": pa.array(turn_idx[perm], pa.int32()),
+        "role": pa.array(roles[perm], pa.string()),
+        "text": pa.array(texts[perm], pa.string()),
+        "tool": pa.array(tools[perm], pa.string()),
+        "ts": pa.array(ts[perm], pa.timestamp("us")),
+    })
+    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"),
+                   row_group_size=64 * 1024)
+
+    # --- gazetteer (≈ abstract-rkts.csv; some '?' rows to be dropped) --------
+    g_alias, g_canon = [], []
+    for h_i, h in enumerate(HEADS):
+        g_alias.append(h)
+        g_canon.append(f"WA{900000 + h_i:06d}")
+    n_gaz_tail = min(n_ent, max(160, n_ent * 7 // 10))
+    gaz_tail = rng.choice(n_ent, size=n_gaz_tail, replace=False)
+    qmark = rng.random(n_gaz_tail) < 0.10
+    for j, e in enumerate(gaz_tail):
+        g_alias.append(f"ent-{e:05d}")
+        g_canon.append(f"WA??{e:04d}" if qmark[j] else f"WA{e:06d}")
+    pq.write_table(pa.table({"alias": pa.array(g_alias, pa.string()),
+                             "canonical_id": pa.array(g_canon, pa.string())}),
+                   os.path.join(out_dir, "gazetteer.parquet"))
+
+    # --- alias_map (redirect chains incl. a→b→c; heads targeted) -------------
+    am_from, am_to, am_kind = [], [], []
+    kinds = ["canon-merge", "same-translation", "redirect"]
+    chain_src = rng.choice(n_ent, size=40, replace=False)
+    for j in range(0, 40, 2):
+        a, b = chain_src[j], chain_src[j + 1]
+        am_from.append(f"WA{a:06d}"); am_to.append(f"WA{b:06d}")
+        am_kind.append(kinds[j % 3])
+        if j % 4 == 0:  # extend into a chain b→head-canonical
+            am_from.append(f"WA{b:06d}"); am_to.append(f"WA{900000 + (j // 4) % 5:06d}")
+            am_kind.append("redirect")
+    pq.write_table(pa.table({"from_id": pa.array(am_from, pa.string()),
+                             "to_id": pa.array(am_to, pa.string()),
+                             "kind": pa.array(am_kind, pa.string())}),
+                   os.path.join(out_dir, "alias_map.parquet"))
+
+    # --- entity_props (≈ rkts-actors.csv; ~1% self-loops) --------------------
+    p_ent, p_prop, p_obj = [], [], []
+    all_canon = sorted({c for c in g_canon if "?" not in c}
+                       | {t for t in am_to} | {f for f in am_from})
+    for c in all_canon:
+        k = int(rng.integers(1, 4))
+        for _ in range(k):
+            prop = "ab" if rng.random() < 0.55 else "ge"
+            obj = c if rng.random() < 0.01 else f"P{int(rng.integers(0, 500)):05d}"
+            p_ent.append(c); p_prop.append(prop); p_obj.append(obj)
+    pq.write_table(pa.table({"entity_id": pa.array(p_ent, pa.string()),
+                             "prop": pa.array(p_prop, pa.string()),
+                             "object_id": pa.array(p_obj, pa.string())}),
+                   os.path.join(out_dir, "entity_props.parquet"))
+
+    return {"tag": tag, "n_turns": int(n), "n_convs": int(n_conv),
+            "n_gazetteer": len(g_alias), "n_alias_map": len(am_from),
+            "n_entity_props": len(p_ent), "seed": SEED}

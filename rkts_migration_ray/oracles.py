@@ -1,0 +1,261 @@
+"""DuckDB oracle SQL — the ANSI-SQL twin of every KG pipeline.
+
+Each engine query in __ray_entry__.queries() has a matching SQL string built
+here; the driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value hash. Column names and value formats are kept
+IDENTICAL to the Ray pipelines (zero-padding, sha256 minting, shad rules,
+language policy), so the SQL doubles as an executable specification of the
+reference semantics (SURVEY.md §5 oracle plan).
+
+All queries share one WITH-block over the deterministic fixture parquet files
+(fixtures.py); unused CTEs are pruned by DuckDB.
+"""
+
+from __future__ import annotations
+
+from . import fixtures
+from .functions.locations import (
+    ALLOWED_VOL_LETTERS,
+    PATTERN_LOC,
+    PATTERN_LOC_SIMPLE,
+    PATTERN_SMALL_LOC,
+)
+
+# RE2 patterns are shared verbatim with the engine; DuckDB standard strings
+# don't process backslashes, so embedding them is safe (no single quotes used).
+LP = PATTERN_LOC
+SP = PATTERN_LOC_SIMPLE
+PL = PATTERN_SMALL_LOC
+
+ALLOWED_SQL = "(" + ", ".join(
+    "'" + v.replace("'", "''") + "'" for v in sorted(ALLOWED_VOL_LETTERS)) + ")"
+
+BCP_CASE = (
+    "CASE k WHEN 'tib' THEN 'bo-x-ewts' WHEN 'col' THEN 'bo-x-ewts' "
+    "WHEN 'skt' THEN 'sa-x-iast' WHEN 'sktuni' THEN 'sa-Deva' "
+    "WHEN 'mng' THEN 'cmg-x-poppe' WHEN 'mngs' THEN 'cmg-x-poppe-simpl' "
+    "WHEN 'zh' THEN 'zh-Hant' WHEN 'en' THEN 'en' END"
+)
+
+
+def shad_sql(t: str) -> str:
+    """SQL CASE mirror of add_shad (utils.php:777-793 semantics)."""
+    last = (f"CASE WHEN substr({t}, length({t}), 1) IN ('a','i','e','o') "
+            f"THEN substr({t}, length({t})-1, 1) ELSE substr({t}, length({t}), 1) END")
+    return f"""CASE WHEN length({t}) < 2 THEN {t}
+ WHEN length({t}) > 2 AND {last} = 'g' AND substr({t}, length({t})-2, 1) = 'n' THEN {t} || ' /'
+ WHEN {last} IN ('g','k')
+      OR (length({t}) = 3 AND {last} = 'h' AND substr({t}, length({t})-2, 1) = 's')
+      OR (length({t}) > 3 AND {last} = 'h' AND substr({t}, length({t})-2, 1) = 's'
+          AND substr({t}, length({t})-3, 1) <> 't') THEN {t}
+ WHEN {last} < 'A' OR {last} > 'z' OR ({last} > 'Z' AND {last} < 'a') THEN {t}
+ ELSE {t} || '/' END"""
+
+
+def with_block(sf_dir_or_tag: str) -> str:
+    tr = fixtures.transcripts_path(sf_dir_or_tag)
+    gaz = fixtures.aux_path(sf_dir_or_tag, "gazetteer")
+    am = fixtures.aux_path(sf_dir_or_tag, "alias_map")
+    props = fixtures.aux_path(sf_dir_or_tag, "entity_props")
+    label_expr = f"CASE WHEN bcp LIKE '%ewts' THEN {shad_sql('title')} ELSE title END"
+    return f"""WITH RECURSIVE
+t AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM read_parquet('{tr}')),
+u AS (SELECT 'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
+             'C:'||conv_id AS conv, 'G:'||conv_id AS g, * FROM t),
+w0 AS (SELECT conv_id, turn_idx, text,
+        'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
+        'G:'||conv_id AS g,
+        NULLIF(regexp_extract(text,'sec\\{{([^}}]*)\\}}',1),'') AS secm,
+        NULLIF(regexp_extract(text,'loc\\{{([^}}]*)\\}}',1),'') AS fb,
+        NULLIF(regexp_extract(text,'locs\\{{([^}}]*)\\}}',1),'') AS sb
+       FROM t),
+w1 AS (SELECT *,
+        count(secm) OVER win AS sec_ord,
+        last_value(secm IGNORE NULLS) OVER win AS sec_name,
+        CASE WHEN fb IS NOT NULL THEN 'full'
+             WHEN sb IS NOT NULL THEN 'simple' END AS kind,
+        COALESCE(fb, sb) AS loc_body,
+        CASE WHEN fb IS NOT NULL THEN regexp_matches(fb, '{LP}')
+             WHEN sb IS NOT NULL THEN regexp_matches(sb, '{SP}')
+             ELSE FALSE END AS loc_valid,
+        CASE WHEN fb IS NOT NULL AND regexp_matches(fb, '{LP}')
+             THEN regexp_extract(fb, '{LP}',
+                  ['section','bvolname','bpageline','evolname','epageline','bvolnum','evolnum'])
+        END AS fs,
+        CASE WHEN sb IS NOT NULL AND regexp_matches(sb, '{SP}')
+             THEN regexp_extract(sb, '{SP}', ['bvolnum','bpagenum','evolnum','epagenum'])
+        END AS ss
+       FROM w0
+       WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+w2 AS (SELECT *,
+        row_number() OVER (PARTITION BY conv_id, sec_ord ORDER BY turn_idx) AS pos,
+        NULLIF(fs['bvolname'],'') AS bvolname,
+        NULLIF(fs['evolname'],'') AS evolname,
+        CASE WHEN kind='full' THEN regexp_extract(COALESCE(fs['bpageline'],''), '{PL}',
+             ['pagenum','side','linenum']) END AS bp,
+        CASE WHEN kind='full' THEN regexp_extract(COALESCE(fs['epageline'],''), '{PL}',
+             ['pagenum','side','linenum']) END AS ep
+       FROM w1),
+w3 AS (SELECT *,
+        CASE WHEN loc_valid AND kind='full' THEN
+          CASE WHEN bvolname IS NOT NULL AND bvolname NOT IN {ALLOWED_SQL} THEN bvolname
+               WHEN evolname IS NOT NULL AND evolname NOT IN {ALLOWED_SQL} THEN evolname
+          END END AS badvol
+       FROM w2),
+convs AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id),
+secs AS (SELECT conv_id, sec_ord, min(sec_name) AS name,
+          arg_min(loc_body, turn_idx) FILTER (WHERE loc_valid AND loc_body IS NOT NULL) AS begin_loc,
+          arg_max(loc_body, turn_idx) FILTER (WHERE loc_valid AND loc_body IS NOT NULL) AS end_loc
+         FROM w2 WHERE sec_ord > 0 GROUP BY conv_id, sec_ord),
+svols0 AS (SELECT conv_id, sec_ord, bvolname, min(turn_idx) AS ft FROM w2
+           WHERE sec_ord > 0 AND bvolname IS NOT NULL
+           GROUP BY conv_id, sec_ord, bvolname),
+svols AS (SELECT conv_id, sec_ord, string_agg(bvolname, ' ' ORDER BY ft) AS vols
+          FROM svols0 GROUP BY conv_id, sec_ord),
+secu AS (SELECT s.conv_id, s.sec_ord, s.name, s.begin_loc, s.end_loc, v.vols,
+          'N:SE'||upper(substr(sha256(s.conv_id||s.name),1,6))||'_'||s.conv_id AS sec_uri
+         FROM secs s LEFT JOIN svols v ON s.conv_id=v.conv_id AND s.sec_ord=v.sec_ord),
+tt0 AS (SELECT conv_id, turn_idx, um.m AS m FROM w0,
+        unnest(regexp_extract_all(text, 'ttl\\[\\w+\\]\\{{[^}}]*\\}}')) AS um(m)),
+tt1 AS (SELECT conv_id, turn_idx,
+         regexp_extract(m, 'ttl\\[(\\w+)\\]', 1) AS k,
+         regexp_extract(m, '\\{{([^}}]*)\\}}', 1) AS title FROM tt0),
+tt2 AS (SELECT conv_id, turn_idx, title, {BCP_CASE} AS bcp FROM tt1),
+tt3 AS (SELECT conv_id, turn_idx, bcp, title,
+         replace(replace(lower(title),'-',''),' ','') AS key FROM tt2
+        WHERE bcp IS NOT NULL AND bcp NOT IN ('sa-Deva','cmg-x-poppe-simpl')),
+tt4 AS (SELECT *, {label_expr} AS label FROM tt3),
+tt5 AS (SELECT *, row_number() OVER (PARTITION BY conv_id, bcp, key ORDER BY turn_idx) AS rn
+        FROM tt4),
+ttf AS (SELECT conv_id, bcp, label,
+         'N:TT'||upper(substr(sha256(conv_id||bcp||'|'||label),1,6))||'_'||conv_id AS t_uri
+        FROM tt5 WHERE rn = 1),
+ments AS (SELECT DISTINCT conv_id, turn_idx, ua.a AS alias FROM t,
+          unnest(regexp_extract_all(text, '@\\[([^\\]]*)\\]', 1)) AS ua(a)
+          WHERE ua.a NOT IN ('-','?','new','new?')),
+gaz AS (SELECT alias, canonical_id FROM read_parquet('{gaz}')
+        WHERE canonical_id NOT LIKE '%?%'),
+am AS (SELECT from_id, to_id FROM read_parquet('{am}')),
+closure AS (
+  SELECT from_id, to_id FROM am
+  UNION ALL SELECT c.from_id, a.to_id FROM closure c JOIN am a ON c.to_id = a.from_id),
+closure_f AS (SELECT from_id, to_id FROM closure
+              WHERE to_id NOT IN (SELECT from_id FROM am)),
+linked AS (SELECT m.conv_id, m.turn_idx, m.alias,
+            g.alias IS NOT NULL AS curated,
+            CASE WHEN g.alias IS NOT NULL THEN COALESCE(c.to_id, g.canonical_id) END AS final_id,
+            CASE WHEN g.alias IS NULL
+                 THEN 'N:EN'||upper(substr(sha256(m.alias),1,6))||'_'||m.alias
+                 ELSE 'ENT:'||COALESCE(c.to_id, g.canonical_id) END AS entity_uri
+           FROM ments m
+           LEFT JOIN gaz g ON m.alias = g.alias
+           LEFT JOIN closure_f c ON g.canonical_id = c.from_id),
+ents AS (SELECT DISTINCT entity_uri, curated, final_id,
+          CASE WHEN NOT curated THEN alias END AS alias FROM linked),
+props AS (SELECT entity_id, prop, object_id FROM read_parquet('{props}'))
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-family SELECT bodies (composable; no leading WITH)
+# ---------------------------------------------------------------------------
+
+SEL_STRUCTURAL = """
+SELECT turn AS subj, 'rdf:type' AS pred, 'tr:Turn' AS obj, '' AS obj_lang, '' AS obj_dt, g AS graph FROM u
+UNION ALL SELECT turn, 'tr:partOf', conv, '', '', g FROM u
+UNION ALL SELECT turn, 'tr:inRootInstance', conv, '', '', g FROM u
+UNION ALL SELECT turn, 'tr:role', role, '', '', g FROM u
+UNION ALL SELECT turn, 'tr:atTimeUs', CAST(epoch_us(ts) AS VARCHAR), '', 'xsd:long', g FROM u
+UNION ALL SELECT turn, 'tr:textDigest', substr(sha256(coalesce(text,'')),1,12), '', '', g FROM u
+UNION ALL SELECT turn, 'tr:invokedTool', 'TOOL:'||tool, '', '', g FROM u WHERE tool <> ''"""
+
+SEL_CONV = """
+SELECT turn AS subj, 'tr:partIndex' AS pred, CAST(pos AS VARCHAR) AS obj,
+       '' AS obj_lang, 'xsd:integer' AS obj_dt, g AS graph FROM w2
+UNION ALL SELECT turn, 'tr:partTreeIndex',
+       lpad(CAST(sec_ord AS VARCHAR),2,'0')||'.'||lpad(CAST(pos AS VARCHAR),4,'0'),
+       '', '', g FROM w2
+UNION ALL SELECT 'C:'||conv_id, 'rdf:type', 'tr:Conversation', '', '', 'G:'||conv_id FROM convs
+UNION ALL SELECT 'C:'||conv_id, 'tr:turnCount', CAST(n AS VARCHAR), '', 'xsd:integer', 'G:'||conv_id FROM convs
+UNION ALL SELECT sec_uri, 'rdf:type', 'tr:Section', '', '', 'G:'||conv_id FROM secu
+UNION ALL SELECT sec_uri, 'tr:sectionName', name, '', '', 'G:'||conv_id FROM secu
+UNION ALL SELECT sec_uri, 'tr:sectionBeginLoc', begin_loc, '', '', 'G:'||conv_id FROM secu WHERE begin_loc IS NOT NULL
+UNION ALL SELECT sec_uri, 'tr:sectionEndLoc', end_loc, '', '', 'G:'||conv_id FROM secu WHERE end_loc IS NOT NULL
+UNION ALL SELECT sec_uri, 'tr:sectionVolumes', vols, '', '', 'G:'||conv_id FROM secu WHERE vols IS NOT NULL
+UNION ALL SELECT w2.turn, 'tr:inSection', s.sec_uri, '', '', w2.g
+          FROM w2 JOIN secu s ON w2.conv_id = s.conv_id AND w2.sec_ord = s.sec_ord
+UNION ALL SELECT 'C:'||conv_id, 'tr:hasTitle', t_uri, '', '', 'G:'||conv_id FROM ttf
+UNION ALL SELECT t_uri, 'rdfs:label', label, bcp, '', 'G:'||conv_id FROM ttf"""
+
+SEL_MENTIONS = """
+SELECT DISTINCT 'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS subj,
+       'tr:mentions' AS pred, entity_uri AS obj, '' AS obj_lang, '' AS obj_dt,
+       'G:'||conv_id AS graph
+FROM linked"""
+
+SEL_ENTITIES = """
+SELECT entity_uri AS subj, 'rdf:type' AS pred, 'tr:Entity' AS obj,
+       '' AS obj_lang, '' AS obj_dt, 'G:entities' AS graph FROM ents
+UNION ALL SELECT entity_uri, 'rdfs:label', alias, '', '', 'G:entities'
+          FROM ents WHERE NOT curated
+UNION ALL SELECT e.entity_uri,
+       CASE p.prop WHEN 'ab' THEN 'tr:workIsAbout' ELSE 'tr:workGenre' END,
+       'ENT:'||p.object_id, '', '', 'G:entities'
+       FROM ents e JOIN props p ON e.final_id = p.entity_id
+       WHERE e.curated AND p.object_id <> p.entity_id"""
+
+SEL_QUARANTINE = """
+SELECT turn AS subj, 'q:invalid_loc' AS pred, COALESCE(loc_body,'') AS obj,
+       '' AS obj_lang, '' AS obj_dt, 'G:quarantine' AS graph
+FROM w3 WHERE kind IS NOT NULL AND NOT loc_valid
+UNION ALL SELECT turn, 'q:invalid_volname', badvol, '', '', 'G:quarantine'
+          FROM w3 WHERE badvol IS NOT NULL
+UNION ALL SELECT e.entity_uri, 'q:prop_self_loop', p.object_id, '', '', 'G:quarantine'
+          FROM ents e JOIN props p ON e.final_id = p.entity_id
+          WHERE e.curated AND p.object_id = p.entity_id"""
+
+SEL_LOCATIONS = """
+SELECT conv_id, turn_idx, kind, loc_valid AS valid,
+  NULLIF(fs['section'],'') AS section, bvolname, evolname,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(fs['bvolnum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['bvolnum'],'') AS BIGINT) END AS bvolnum,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(fs['evolnum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['evolnum'],'') AS BIGINT) END AS evolnum,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(bp['pagenum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['bpagenum'],'') AS BIGINT) END AS bpagenum,
+  NULLIF(bp['side'],'') AS bpageside,
+  TRY_CAST(NULLIF(bp['linenum'],'') AS BIGINT) AS blinenum,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(ep['pagenum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['epagenum'],'') AS BIGINT) END AS epagenum,
+  NULLIF(ep['side'],'') AS epageside,
+  TRY_CAST(NULLIF(ep['linenum'],'') AS BIGINT) AS elinenum
+FROM w2 WHERE kind IS NOT NULL"""
+
+SEL_VALIDATE = """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct,
+       CAST(max(turn_idx) AS BIGINT) AS max_idx,
+       (count(DISTINCT turn_idx) = count(*)
+        AND max(turn_idx) = count(*) - 1 AND min(turn_idx) = 0) AS dense,
+       bool_and(pts IS NULL OR ts > pts) AS ts_monotone
+FROM (SELECT conv_id, turn_idx, ts,
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts FROM t)
+GROUP BY conv_id"""
+
+
+def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
+    w = with_block(sf_dir_or_tag)
+    full_union = "\nUNION ALL ".join(
+        [SEL_STRUCTURAL, SEL_CONV, SEL_MENTIONS, SEL_ENTITIES, SEL_QUARANTINE])
+    return {
+        "kg_structural": w + SEL_STRUCTURAL,
+        "kg_conv_triples": w + SEL_CONV,
+        "kg_mentions": w + SEL_MENTIONS,
+        "kg_entities": w + SEL_ENTITIES,
+        "kg_quarantine": w + SEL_QUARANTINE,
+        "kg_locations": w + SEL_LOCATIONS,
+        "kg_validate": w + SEL_VALIDATE,
+        "kg_triples": w + full_union,
+    }

@@ -1,0 +1,187 @@
+"""The flagship KG-construction DAG (SURVEY.md §3.1 re-expressed).
+
+    read_parquet(transcripts)
+      → map_batches(extract_features)        # stateless, zero-copy Arrow
+      ├→ map_batches(structural_triples)     # no shuffle
+      ├→ groupby(conv_id).map_groups(conv_group_triples)   # shuffle #1: conv_id
+      └→ explode mentions → MentionLinker actor pool (broadcast gazetteer)
+           ├→ mention triples               # no shuffle
+           └→ entity partial-dedup → groupby(entity_uri) merge  # shuffle #2
+              → EntityEmitter actor pool (broadcast props)
+      → union of all triple streams
+
+Replaces the reference's sequential two-pass driver (migrate.php:101-152) and
+its cross-pass mutable globals (ST4/ST5/ST6) with explicit Dataset edges.
+All minted ids are content-hashes (M7), so every stage is pure/idempotent —
+retries and resume are safe by construction.
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..sources import readers
+from ..stages.convgroup import CONV_GROUP_COLUMNS, conv_group_triples
+from ..stages.extract import explode_mentions, extract_features, structural_triples
+from ..stages.linking import EntityEmitter, MentionLinker, entity_rows, mention_triples
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def features_ds(sf_dir: str, columns: list[str] | None = None):
+    ds = readers.read_transcripts(sf_dir, columns=columns or TRANSCRIPT_COLUMNS)
+    return ds.map_batches(extract_features, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+LOC_OUT_COLUMNS = [
+    "conv_id", "turn_idx", "kind", "valid", "section", "bvolname", "evolname",
+    "bvolnum", "evolnum", "bpagenum", "bpageside", "blinenum",
+    "epagenum", "epageside", "elinenum",
+]
+
+
+def locations_ds(sf_dir: str):
+    """Parsed location structs (M3/M4): one row per turn carrying a loc marker."""
+
+    def project(t):
+        t = t.filter(pc.is_valid(t["loc_kind"]))
+        cols = {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "kind": t["loc_kind"], "valid": t["loc_valid"]}
+        for k in ("section", "bvolname", "evolname", "bvolnum", "evolnum",
+                  "bpagenum", "bpageside", "blinenum", "epagenum", "epageside",
+                  "elinenum"):
+            cols[k] = t["loc_" + k]
+        import pyarrow as pa
+
+        return pa.table(cols)
+
+    return features_ds(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def structural_ds(sf_dir: str, include_quarantine: bool = False):
+    ds = features_ds(sf_dir).map_batches(structural_triples, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    if not include_quarantine:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["graph"], "G:quarantine"))),
+            batch_format="pyarrow")
+    return ds
+
+
+def conv_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    feats = features_ds(sf_dir).select_columns(CONV_GROUP_COLUMNS)
+    return feats.groupby("conv_id").map_groups(
+        lambda df: conv_group_triples(df, one_title_per_lang=cfg.one_title_per_lang),
+        batch_format="pandas")
+
+
+def _broadcast_lookups(sf_dir: str):
+    import ray
+
+    gaz_ref = ray.put(readers.load_gazetteer(sf_dir))
+    alias_ref = ray.put(readers.load_alias_closure(sf_dir))
+    props_ref = ray.put(readers.load_props(sf_dir))
+    return gaz_ref, alias_ref, props_ref
+
+
+def linked_mentions_ds(sf_dir: str, concurrency: int = 8):
+    gaz_ref, alias_ref, _ = _broadcast_lookups(sf_dir)
+    ments = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text", "role",
+                                          "tool", "ts"])
+             .select_columns(["conv_id", "turn_idx", "mentions"])
+             .map_batches(explode_mentions, batch_format="pyarrow"))
+    return ments.map_batches(
+        MentionLinker, batch_format="pyarrow",
+        fn_constructor_kwargs={"gaz_ref": gaz_ref, "alias_ref": alias_ref},
+        concurrency=(1, concurrency))
+
+
+def mention_triples_ds(sf_dir: str, concurrency: int = 8):
+    return linked_mentions_ds(sf_dir, concurrency).map_batches(
+        mention_triples, batch_format="pyarrow")
+
+
+def entity_triples_ds(sf_dir: str, concurrency: int = 8,
+                      include_quarantine: bool = True):
+    """Canonicalization merge: distinct entities (combiner + groupby) then
+    enrichment edges from the broadcast props map (J3/J4 + ST5→groupby)."""
+    _, _, props_ref = _broadcast_lookups(sf_dir)
+    ents = (linked_mentions_ds(sf_dir, concurrency)
+            .map_batches(entity_rows, batch_format="pyarrow")
+            .groupby("entity_uri")
+            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+    out = ents.map_batches(EntityEmitter, batch_format="pyarrow",
+                           fn_constructor_kwargs={"props_ref": props_ref},
+                           concurrency=(1, min(4, concurrency)))
+    if not include_quarantine:
+        out = out.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["graph"], "G:quarantine"))),
+            batch_format="pyarrow")
+    return out
+
+
+def _checkpoint(ds, path: str):
+    """Materialize a stage boundary as Parquet and re-read it.
+
+    This is the engine's DAG-edge mechanism (SURVEY.md §2.9/§3.4): a stage
+    output consumed by several downstream branches is written once and
+    streamed back per branch instead of recomputing the subtree per consumer
+    (and it doubles as a coarse checkpoint for resume)."""
+    import ray.data as rd
+
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
+
+
+def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+              concurrency: int = 8, ckpt_root: str | None = None) -> dict:
+    """All triple streams sharing two checkpoints (features, linked mentions)."""
+    import tempfile
+
+    root = ckpt_root or tempfile.mkdtemp(prefix="graft_ckpt_")
+    feats = _checkpoint(features_ds(sf_dir), f"{root}/features")
+
+    structural = feats.map_batches(structural_triples, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    conv = feats.select_columns(CONV_GROUP_COLUMNS).groupby("conv_id").map_groups(
+        lambda df: conv_group_triples(df, one_title_per_lang=cfg.one_title_per_lang),
+        batch_format="pandas")
+
+    gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
+    linked = (feats.select_columns(["conv_id", "turn_idx", "mentions"])
+              .map_batches(explode_mentions, batch_format="pyarrow")
+              .map_batches(MentionLinker, batch_format="pyarrow",
+                           fn_constructor_kwargs={"gaz_ref": gaz_ref,
+                                                  "alias_ref": alias_ref},
+                           concurrency=(1, concurrency)))
+    linked = _checkpoint(linked, f"{root}/linked")
+    ments = linked.map_batches(mention_triples, batch_format="pyarrow")
+    ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
+            .groupby("entity_uri")
+            .map_groups(lambda df: df.head(1), batch_format="pandas")
+            .map_batches(EntityEmitter, batch_format="pyarrow",
+                         fn_constructor_kwargs={"props_ref": props_ref},
+                         concurrency=(1, min(4, concurrency))))
+    return {"structural": structural, "conv": conv, "mentions": ments,
+            "entities": ents, "ckpt_root": root}
+
+
+def quarantine_ds(sf_dir: str, concurrency: int = 8):
+    """The error channel (W6): invalid_loc / invalid_volname / self-loop rows."""
+
+    def only_q(t):
+        return t.filter(pc.equal(t["graph"], "G:quarantine"))
+
+    b = kg_bundle(sf_dir, concurrency=concurrency)
+    return (b["structural"].map_batches(only_q, batch_format="pyarrow")
+            .union(b["entities"].map_batches(only_q, batch_format="pyarrow")))
+
+
+def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                  concurrency: int = 8):
+    """Full graph: structural ∪ conv-window ∪ mentions ∪ entities (plus the
+    quarantine graph, separated only by its graph name)."""
+    b = kg_bundle(sf_dir, cfg, concurrency=concurrency)
+    return b["structural"].union(b["conv"], b["mentions"], b["entities"])

@@ -1,0 +1,221 @@
+"""Turn-level feature extraction + structural triple emission.
+
+The flagship map_batches stage (M1/M2 analog, SURVEY.md §2.3): one catalog
+record → N triples becomes one transcript turn → feature columns → N triples.
+Everything here is stateless, batch_format="pyarrow", zero-copy, built from
+Arrow kernels (extract_regex / split_pattern / string joins); module-level
+compiled patterns play the role of per-actor state for stateless tasks.
+
+Emission semantics mirrored from the reference:
+- per-record typed node + structural edges (editionxmltottl.php:21-289)
+- deterministic sha256 facet minting (bnode_url, utils.php:7-15)
+- placeholder-id filtering '-', '?', 'new' (editionxmltottl.php:33-34)
+- invalid-loc / invalid-volname error channel (report_error utils.php:558-560)
+  emitted as quarantine triples in graph 'G:quarantine' (W6 analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import (
+    DT_LONG,
+    NAME_TO_BCP,
+    P_AT_TIME,
+    P_PART_OF,
+    P_ROLE,
+    P_ROOT,
+    P_TEXT_DIGEST,
+    P_TOOL,
+    P_TYPE,
+    PLACEHOLDER_IDS,
+    RULE_INVALID_LOC,
+    RULE_INVALID_VOLNAME,
+    T_TURN,
+)
+from ..functions.arrowutils import extract_all, from_pandas_clean
+from ..functions.locations import parse_loc_full, parse_loc_simple
+from ..functions.minting import sha256_hex_array, turn_uri_array
+from ..functions.normalize import normalize_title_array, title_dedup_key
+
+SEC_PATTERN = r"sec\{(?P<sec>[^}]*)\}"
+LOC_PATTERN = r"loc\{(?P<body>[^}]*)\}"
+LOCS_PATTERN = r"locs\{(?P<body>[^}]*)\}"
+TITLE_TAIL = r"^(?P<k>\w+)\]\{(?P<title>[^}]*)\}"
+MENTION_TAIL = r"^(?P<alias>[^\]]*)\]"
+
+GRAPH_QUARANTINE = "G:quarantine"
+
+
+def _chunk(table: pa.Table, name: str) -> pa.Array:
+    col = table[name]
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    return col
+
+
+def _first_group(text: pa.Array, pattern: str, group: str) -> pa.Array:
+    ext = pc.extract_regex(text, pattern)
+    if len(text):
+        ext = pc.if_else(pc.is_valid(ext), ext, pa.nulls(len(text), ext.type))
+    return pc.struct_field(ext, group)
+
+
+def _list_column(n_rows: int, rows: np.ndarray, values: pa.Array) -> pa.ListArray:
+    """Pack (row_idx, value) pairs (row_idx non-decreasing) into list<...>."""
+    counts = (np.bincount(rows, minlength=n_rows) if len(rows)
+              else np.zeros(n_rows, np.int64))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+
+def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
+    """transcripts batch → per-turn feature columns (pure, vectorized)."""
+    batch = batch.combine_chunks()
+    text = _chunk(batch, "text")
+    n = len(batch)
+
+    sec = _first_group(text, SEC_PATTERN, "sec")
+    loc_full_body = _first_group(text, LOC_PATTERN, "body")
+    loc_simple_body = _first_group(text, LOCS_PATTERN, "body")
+
+    full = parse_loc_full(loc_full_body)
+    simple = parse_loc_simple(loc_simple_body)
+    has_full = pc.is_valid(loc_full_body)
+    loc_kind = pc.if_else(
+        has_full, pa.scalar("full", pa.string()),
+        pc.if_else(pc.is_valid(loc_simple_body), pa.scalar("simple", pa.string()),
+                   pa.scalar(None, pa.string())))
+    merged = {
+        k: pc.if_else(has_full, full[k], simple[k])
+        for k in ("section", "bvolname", "evolname", "bvolnum", "evolnum",
+                  "bpagenum", "bpageside", "blinenum", "epagenum", "epageside",
+                  "elinenum", "valid", "badvol")
+    }
+    loc_body = pc.if_else(has_full, loc_full_body, loc_simple_body)
+
+    # titles → parallel list columns (lang-bcp, normalized label, dedup key)
+    t_rows, t_ext = extract_all(text, "ttl[", TITLE_TAIL)
+    t_k = pc.struct_field(t_ext, "k")
+    t_title = pc.struct_field(t_ext, "title")
+    t_bcp = pa.array([NAME_TO_BCP.get(k) for k in t_k.to_pylist()], pa.string())
+    t_label = normalize_title_array(t_title, t_bcp, target)
+    t_key = title_dedup_key(t_title)
+    keep = np.asarray(pc.and_(pc.is_valid(t_bcp), pc.is_valid(t_label))).astype(bool)
+    keep_arr = pa.array(keep)
+    title_bcp = _list_column(n, t_rows[keep], t_bcp.filter(keep_arr))
+    title_label = _list_column(n, t_rows[keep], t_label.filter(keep_arr))
+    title_key = _list_column(n, t_rows[keep], t_key.filter(keep_arr))
+
+    # mentions → list column (placeholders dropped per editionxmltottl.php:33-34)
+    m_rows, m_ext = extract_all(text, "@[", MENTION_TAIL)
+    m_alias = pc.struct_field(m_ext, "alias")
+    keep_m = np.asarray(pc.invert(
+        pc.is_in(m_alias, value_set=pa.array(sorted(PLACEHOLDER_IDS)))))
+    mentions = _list_column(n, m_rows[keep_m], m_alias.filter(pa.array(keep_m)))
+
+    cols = {
+        "conv_id": batch["conv_id"],
+        "turn_idx": batch["turn_idx"],
+        "role": batch["role"],
+        "tool": batch["tool"],
+        "ts_us": pc.cast(batch["ts"], pa.int64()),
+        "text_digest": sha256_hex_array(pc.fill_null(text, ""), 12),
+        "sec": sec,
+        "loc_kind": loc_kind,
+        "loc_body": loc_body,
+        "loc_valid": pc.fill_null(merged["valid"], False),
+        "loc_badvol": merged["badvol"],
+        "title_bcp": title_bcp,
+        "title_label": title_label,
+        "title_key": title_key,
+        "mentions": mentions,
+    }
+    for k in ("section", "bvolname", "evolname", "bvolnum", "evolnum",
+              "bpagenum", "bpageside", "blinenum", "epagenum", "epageside",
+              "elinenum"):
+        cols["loc_" + k] = merged[k]
+    return pa.table(cols)
+
+
+def _const(v: str, n: int) -> pa.Array:
+    return pa.array(np.repeat(v, n), pa.string())
+
+
+def _triple_block(subj, pred, obj, lang, dt, graph) -> pa.Table:
+    n = len(subj)
+    mk = lambda v: _const(v, n) if isinstance(v, str) else v  # noqa: E731
+    return pa.table({"subj": mk(subj), "pred": mk(pred), "obj": mk(obj),
+                     "obj_lang": mk(lang), "obj_dt": mk(dt), "graph": mk(graph)})
+
+
+def structural_triples(feats: pa.Table) -> pa.Table:
+    """Per-turn structural triples + quarantine rows — no shuffle needed.
+
+    Predicate set ≈ the per-item emission of edition_item_to_ttl
+    (editionxmltottl.php:21-289) transposed to turns."""
+    feats = feats.combine_chunks()
+    n = len(feats)
+    conv = _chunk(feats, "conv_id")
+    turn = turn_uri_array(conv, _chunk(feats, "turn_idx"))
+    conv_uri = pc.binary_join_element_wise(pa.scalar("C:"), conv, "")
+    graph = pc.binary_join_element_wise(pa.scalar("G:"), conv, "")
+    e = _const("", n)
+
+    blocks = [
+        _triple_block(turn, P_TYPE, T_TURN, e, e, graph),
+        _triple_block(turn, P_PART_OF, conv_uri, e, e, graph),
+        _triple_block(turn, P_ROOT, conv_uri, e, e, graph),
+        _triple_block(turn, P_ROLE, _chunk(feats, "role"), e, e, graph),
+        _triple_block(turn, P_AT_TIME, pc.cast(_chunk(feats, "ts_us"), pa.string()),
+                      e, _const(DT_LONG, n), graph),
+        _triple_block(turn, P_TEXT_DIGEST, _chunk(feats, "text_digest"), e, e, graph),
+    ]
+    # tool edges only where tool != '' (sparse)
+    tool = _chunk(feats, "tool")
+    tmask = pc.invert(pc.equal(pc.fill_null(tool, ""), ""))
+    if pc.any(tmask).as_py():
+        tool_obj = pc.binary_join_element_wise(pa.scalar("TOOL:"), tool, "")
+        blocks.append(_triple_block(
+            turn.filter(tmask), P_TOOL, tool_obj.filter(tmask),
+            "", "", graph.filter(tmask)))
+
+    # quarantine: unparsable loc body (report_error 'invalid_loc', utils.php:626)
+    bmask = pc.and_(pc.is_valid(_chunk(feats, "loc_kind")),
+                    pc.invert(_chunk(feats, "loc_valid")))
+    if pc.any(bmask).as_py():
+        blocks.append(_triple_block(
+            turn.filter(bmask), "q:" + RULE_INVALID_LOC,
+            pc.fill_null(_chunk(feats, "loc_body"), "").filter(bmask),
+            "", "", GRAPH_QUARANTINE))
+    # quarantine: volume letter outside whitelist (utils.php:634-639)
+    vmask = pc.is_valid(_chunk(feats, "loc_badvol"))
+    if pc.any(vmask).as_py():
+        blocks.append(_triple_block(
+            turn.filter(vmask), "q:" + RULE_INVALID_VOLNAME,
+            _chunk(feats, "loc_badvol").filter(vmask),
+            "", "", GRAPH_QUARANTINE))
+    return pa.concat_tables(blocks).combine_chunks()
+
+
+def explode_mentions(feats: pa.Table) -> pa.Table:
+    """(conv_id, turn_idx, alias) rows; per-turn duplicate aliases collapsed
+    (a turn lives wholly inside one batch row, so in-batch dedup is exact)."""
+    feats = feats.combine_chunks()
+    ml = _chunk(feats, "mentions")
+    counts = np.asarray(pc.list_value_length(ml).fill_null(0))
+    rows = np.repeat(np.arange(len(feats)), counts)
+    aliases = pc.list_flatten(ml)
+    t = pa.table({
+        "conv_id": _chunk(feats, "conv_id").take(pa.array(rows)),
+        "turn_idx": _chunk(feats, "turn_idx").take(pa.array(rows)),
+        "alias": aliases,
+    })
+    if len(t) == 0:
+        return t
+    df = t.to_pandas().drop_duplicates()
+    return from_pandas_clean(df, schema=t.schema)

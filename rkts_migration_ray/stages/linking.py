@@ -1,0 +1,124 @@
+"""Entity linking: stateful actor pool over a broadcast gazetteer.
+
+≈ the reference's gazetteer hit / minted miss logic (id_to_url_abstract,
+utils.php:68-97 + get_abstract_mapping utils.php:872-897) and the alias
+canonicalization maps (KTMapping / SameTextDifferentTranslation / redirects,
+rkts.yaml:38-113, utils.php:102-109, kernelxmltottl.php:255-270).
+
+The gazetteer / alias-closure / props dicts are ray.put ONCE on the driver and
+fetched in each actor's __init__ (ST2 in SURVEY.md §2.4) — broadcast
+small-side lookup, never a shuffle join, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.arrowutils import from_pandas_clean
+from ..config import (
+    GRAPH_ENTITIES,
+    P_GENRE,
+    P_IS_ABOUT,
+    P_LABEL,
+    P_MENTIONS,
+    P_TYPE,
+    RULE_SELF_LOOP,
+    T_ENTITY,
+    TRIPLE_COLUMNS,
+)
+
+GRAPH_QUARANTINE = "G:quarantine"
+
+
+def _mint_entity_uris(aliases: pd.Series) -> pd.Series:
+    """Minted miss path: 'N:EN<sha6>_<alias>' (bnode_url, utils.php:7-15).
+    Unique aliases hashed once per batch, then mapped back."""
+    uniq = aliases.unique()
+    sha = hashlib.sha256
+    table = {a: f"N:EN{sha(a.encode()).hexdigest()[:6].upper()}_{a}" for a in uniq}
+    return aliases.map(table)
+
+
+class MentionLinker:
+    """Actor-pool stage: (conv_id, turn_idx, alias) → + entity_uri/final_id/curated."""
+
+    def __init__(self, gaz_ref=None, alias_ref=None, gaz=None, alias_closure=None):
+        import ray
+
+        self.gaz = gaz if gaz is not None else ray.get(gaz_ref)
+        self.closure = alias_closure if alias_closure is not None else ray.get(alias_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        canon = df["alias"].map(self.gaz)
+        final = canon.map(self.closure).fillna(canon)
+        curated = canon.notna()
+        minted = _mint_entity_uris(df["alias"][~curated]) if (~curated).any() else pd.Series(dtype=object)
+        uri = pd.Series(np.empty(len(df), dtype=object), index=df.index)
+        uri[curated] = "ENT:" + final[curated]
+        uri[~curated] = minted
+        out = df.assign(entity_uri=uri, final_id=final.where(curated, None),
+                        curated=curated)
+        return from_pandas_clean(out)
+
+
+def mention_triples(batch: pa.Table) -> pa.Table:
+    """(turn, tr:mentions, entity) — deduped per turn after linking (two
+    aliases resolving to one canonical yield one edge; ≈ A5 seen-sets)."""
+    df = batch.to_pandas()[["conv_id", "turn_idx", "entity_uri"]].drop_duplicates()
+    turn = "U:" + df["conv_id"] + "/" + df["turn_idx"].astype(int).astype(str).str.zfill(5)
+    out = pd.DataFrame({
+        "subj": turn, "pred": P_MENTIONS, "obj": df["entity_uri"],
+        "obj_lang": "", "obj_dt": "", "graph": "G:" + df["conv_id"],
+    })
+    return from_pandas_clean(out[TRIPLE_COLUMNS])
+
+
+def entity_rows(batch: pa.Table) -> pa.Table:
+    """Partial dedup: distinct (entity_uri, curated, final_id, alias) per batch.
+    This is the combiner before the canonical-merge groupby — head entities
+    (≈ P7326 skew) collapse to ≤1 row per batch here, bounding group sizes."""
+    df = batch.to_pandas()
+    df["alias"] = df["alias"].where(~df["curated"], None)
+    cols = df[["entity_uri", "curated", "final_id", "alias"]].drop_duplicates("entity_uri")
+    return from_pandas_clean(cols)
+
+
+class EntityEmitter:
+    """Distinct-entity stream → entity triples + props enrichment edges.
+
+    ≈ add_props (kernelxmltottl.php:36-47): 'ab' → workIsAbout, 'ge' →
+    workGenre, self-pointer → error channel (kernelxmltottl.php:41-42)."""
+
+    def __init__(self, props_ref=None, props=None):
+        import ray
+
+        self.props = props if props is not None else ray.get(props_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        subj, pred, obj, lang, dt, graph = [], [], [], [], [], []
+
+        def emit(s, p, o, g=GRAPH_ENTITIES, la="", d=""):
+            subj.append(s); pred.append(p); obj.append(o)
+            lang.append(la); dt.append(d); graph.append(g)
+
+        for uri, curated, final, alias in zip(
+                df["entity_uri"], df["curated"], df["final_id"], df["alias"]):
+            emit(uri, P_TYPE, T_ENTITY)
+            if curated:
+                for prop, target in self.props.get(final, ()):
+                    if target == final:
+                        emit(uri, "q:" + RULE_SELF_LOOP, target, GRAPH_QUARANTINE)
+                    else:
+                        emit(uri, P_IS_ABOUT if prop == "ab" else P_GENRE,
+                             "ENT:" + target)
+            else:
+                emit(uri, P_LABEL, alias)
+        return from_pandas_clean(
+            pd.DataFrame({"subj": subj, "pred": pred, "obj": obj,
+                          "obj_lang": lang, "obj_dt": dt, "graph": graph})[TRIPLE_COLUMNS])
