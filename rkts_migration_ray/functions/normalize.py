@@ -49,6 +49,8 @@ def add_shad_array(arr: pa.Array) -> pa.Array:
     """Vectorized add_shad via positional char columns + numpy select.
 
     Avoids a per-row Python call in the title-normalization hot path."""
+    if len(arr) == 0:
+        return pa.array([], pa.string())
     raw = np.asarray(pc.cast(arr, pa.string()), dtype=object)
     null_mask = np.array([x is None for x in raw])
     np_arr = np.where(null_mask, "", raw)
@@ -69,7 +71,8 @@ def add_shad_array(arr: pa.Array) -> pa.Array:
         | ((n > 3) & (last == "h") & (c3 == "s") & (c4 != "t"))
     )
     non_letter = np.array(
-        [(c < "A" or c > "z" or ("Z" < c < "a")) if c else True for c in last]
+        [(c < "A" or c > "z" or ("Z" < c < "a")) if c else True for c in last],
+        dtype=bool,
     )
     out = np.select(
         [n < 2, is_ng, keep, non_letter],

@@ -1,0 +1,23 @@
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    """One Ray session per pytest run (required by the build contract)."""
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_tag():
+    from rkts_migration_ray import fixtures
+
+    fixtures.ensure_fixture("sf0.001")
+    return "sf0.001"

@@ -1,0 +1,60 @@
+"""Unit tests for the extraction stage over a hand-built batch."""
+
+import pyarrow as pa
+
+from rkts_migration_ray.stages import extract
+
+
+def make_batch(texts, convs=None, idxs=None):
+    n = len(texts)
+    return pa.table({
+        "conv_id": pa.array(convs or [f"c{i}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(idxs or list(range(n)), pa.int32()),
+        "role": pa.array(["user"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([""] * n, pa.string()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")),
+    })
+
+
+def test_markers_extracted():
+    b = make_batch([
+        "sec{mdo sde} hello ttl[tib]{nga ro} loc{mdo sde, ka 1b1-2a3 (vol. 1)} @[e-1] @[e-2]",
+        "plain text only",
+        "",
+        "ttl[sktuni]{dropped} ttl[xx]{unknown-kind} @[?] @[-] @[new]",
+    ])
+    f = extract.extract_features(b)
+    assert f["sec"].to_pylist() == ["mdo sde", None, None, None]
+    assert f["loc_kind"].to_pylist() == ["full", None, None, None]
+    assert f["loc_valid"].to_pylist() == [True, False, False, False]
+    assert f["title_label"].to_pylist()[0] == ["nga ro/"]      # shad applied
+    assert f["title_label"].to_pylist()[3] == []               # policy + unknown kind
+    assert f["mentions"].to_pylist() == [["e-1", "e-2"], [], [], []]  # placeholders dropped
+    assert f["loc_bpagenum"].to_pylist() == [1, None, None, None]
+
+
+def test_structural_triples_counts():
+    b = make_batch(["a", "b"], convs=["c1", "c1"], idxs=[0, 1])
+    t = extract.structural_triples(extract.extract_features(b))
+    preds = t["pred"].to_pylist()
+    # 6 unconditional predicates per turn, no tools, no quarantine
+    assert len(t) == 12
+    assert preds.count("rdf:type") == 2 and preds.count("tr:textDigest") == 2
+    assert set(t["graph"].to_pylist()) == {"G:c1"}
+
+
+def test_quarantine_rows():
+    b = make_batch(["loc{%%bad%%}", "loc{mdo, qx 3a1 (vol. 1)}"])
+    t = extract.structural_triples(extract.extract_features(b))
+    q = t.filter(pa.compute.equal(t["graph"], "G:quarantine"))
+    rules = sorted(q["pred"].to_pylist())
+    assert rules == ["q:invalid_loc", "q:invalid_volname"]
+    assert "%%bad%%" in q["obj"].to_pylist()
+
+
+def test_explode_mentions_dedups_within_turn():
+    b = make_batch(["@[x] @[x] @[y]"], convs=["c9"], idxs=[3])
+    m = extract.explode_mentions(extract.extract_features(b))
+    assert sorted(m["alias"].to_pylist()) == ["x", "y"]
+    assert m["conv_id"].to_pylist() == ["c9", "c9"]

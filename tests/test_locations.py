@@ -1,0 +1,57 @@
+"""Location grammar goldens seeded from the reference's inline doc-tests
+(utils.php:748-752) and the chemdo simple dialect (utils.php:570,629-633)."""
+
+import pyarrow as pa
+
+from rkts_migration_ray.functions import locations
+
+
+def parse_one_full(s: str) -> dict:
+    out = locations.parse_loc_full(pa.array([s]))
+    return {k: v[0].as_py() for k, v in out.items()}
+
+
+def test_doc_test_dul_ba():
+    # get_text_loc("'dul ba, ka 1b1-nga 302a5 (vol. 1-4)") — utils.php:750
+    m = parse_one_full("'dul ba, ka 1b1-nga 302a5 (vol. 1-4)")
+    assert m["valid"]
+    assert m["section"] == "'dul ba"
+    assert m["bvolname"] == "ka" and m["evolname"] == "nga"
+    assert m["bpagenum"] == 1 and m["bpageside"] == "b" and m["blinenum"] == 1
+    assert m["epagenum"] == 302 and m["epageside"] == "a" and m["elinenum"] == 5
+    assert m["bvolnum"] == 1 and m["evolnum"] == 4
+    assert m["badvol"] is None
+
+
+def test_doc_test_single_point():
+    # get_text_loc("rgyud, ja 39b7 (vol. 83)") — utils.php:752
+    m = parse_one_full("rgyud, ja 39b7 (vol. 83)")
+    assert m["valid"] and m["section"] == "rgyud" and m["bvolname"] == "ja"
+    assert m["bpagenum"] == 39 and m["bpageside"] == "b" and m["blinenum"] == 7
+    assert m["bvolnum"] == 83 and m["evolnum"] is None and m["epagenum"] is None
+
+
+def test_doc_test_wam():
+    # get_text_loc("gzugs, wam 245a4-247a7 (vol. 102)") — utils.php:751
+    m = parse_one_full("gzugs, wam 245a4-247a7 (vol. 102)")
+    assert m["valid"] and m["bvolname"] == "wam"
+    assert m["epagenum"] == 247 and m["evolname"] is None
+
+
+def test_invalid_volname_flag():
+    m = parse_one_full("mdo, qx 12a3 (vol. 2)")
+    assert m["valid"] and m["badvol"] == "qx"  # → invalid_volname quarantine
+
+
+def test_unparsable():
+    m = parse_one_full("%%bad%%")
+    assert not m["valid"]
+    assert m["section"] is None
+
+
+def test_simple_dialect():
+    out = locations.parse_loc_simple(pa.array(["3.12?, - 4.118", "junk"]))
+    assert out["valid"].to_pylist() == [True, False]
+    assert out["bvolnum"][0].as_py() == 3 and out["bpagenum"][0].as_py() == 12
+    assert out["evolnum"][0].as_py() == 4 and out["epagenum"][0].as_py() == 118
+    assert out["bpageside"][0].as_py() is None

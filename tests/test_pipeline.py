@@ -1,0 +1,111 @@
+"""End-to-end pipeline properties at sf0.001 (FIXTURES.md §6):
+
+1. oracle parity (the driver's gate, local edition) for fast queries;
+2. determinism — two runs, identical triple multiset;
+3. permutation invariance — the fixture is written in shuffled arrival order,
+   and block order is nondeterministic across runs, so (2) over the union
+   pipeline exercises it; additionally an explicitly re-shuffled input;
+4. resume — materialize, delete some buckets, re-run, identical output.
+"""
+
+import os
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+
+from rkts_migration_ray import oracles
+from rkts_migration_ray.pipelines import kg, materialize
+from rkts_migration_ray.state import manifest as mf
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["kg_structural", "kg_conv_triples",
+                                  "kg_locations", "kg_validate"])
+def test_oracle_parity(sf_tag, name):
+    import __ray_entry__ as e
+
+    ray_df = e.queries()[name](sf_tag).to_pandas()
+    sql_df = duckdb.sql(oracles.kg_oracle_sql(sf_tag)[name]).df()
+    a, b = norm(ray_df), norm(sql_df)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_determinism_two_runs(sf_tag):
+    a = norm(kg.conv_triples_ds(sf_tag).to_pandas())
+    b = norm(kg.conv_triples_ds(sf_tag).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_permutation_invariance(sf_tag, tmp_path):
+    """Shuffle the input rows; the triple multiset must not change (the
+    reference depends on document order — editionxmltottl.php:432-435 — the
+    engine must not)."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray import fixtures
+
+    src = fixtures.transcripts_path(sf_tag)
+    t = pq.read_table(src)
+    perm = t.take(pa_indices(t.num_rows, seed=7))
+    alt_tag = "sfperm"
+    alt_dir = fixtures.fixture_dir(alt_tag)
+    os.makedirs(alt_dir, exist_ok=True)
+    pq.write_table(perm, os.path.join(alt_dir, "transcripts.parquet"))
+    for aux in ("gazetteer", "alias_map", "entity_props"):
+        shutil.copy(fixtures.aux_path(sf_tag, aux), fixtures.aux_path(alt_tag, aux))
+    open(os.path.join(alt_dir, "_DONE"), "w").write("{}")
+    try:
+        a = norm(kg.conv_triples_ds(sf_tag).to_pandas())
+        b = norm(kg.conv_triples_ds(alt_tag).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+    finally:
+        shutil.rmtree(alt_dir, ignore_errors=True)
+
+
+def pa_indices(n, seed):
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.array(np.random.default_rng(seed).permutation(n))
+
+
+def test_materialize_resume(sf_tag, tmp_path):
+    out = str(tmp_path / "graph")
+    ds = kg.structural_ds(sf_tag, include_quarantine=True)
+    m1 = materialize.write_graph(ds, out, n_buckets=8, resume=False)
+    assert not m1["skipped"].any()
+    total1 = int(m1["rows"].sum())
+    sums1 = dict(zip(m1["bucket"], m1["checksum"]))
+
+    # delete two buckets (simulate a partial failure), then resume
+    for b in [2, 5]:
+        shutil.rmtree(os.path.join(out, f"bucket={b:05d}"))
+        os.remove(mf.manifest_path(out, b))
+    ds2 = kg.structural_ds(sf_tag, include_quarantine=True)
+    m2 = materialize.write_graph(ds2, out, n_buckets=8, resume=True)
+    assert int(m2["rows"].sum()) == total1
+    assert set(m2[m2["skipped"]]["bucket"]) == set(m1["bucket"]) - {2, 5}
+    assert dict(zip(m2["bucket"], m2["checksum"])) == sums1  # content identical
+
+
+def test_entity_canonicalization(sf_tag):
+    """Alias chains flatten to terminal ids; curated entities carry props."""
+    df = kg.entity_triples_ds(sf_tag).to_pandas()
+    # no intermediate alias targets remain as subjects of curated entities
+    from rkts_migration_ray.sources import readers
+
+    closure = readers.load_alias_closure(sf_tag)
+    non_terminal = {f"ENT:{src}" for src in closure}
+    assert not (df["subj"].isin(non_terminal)).any()
+    # self-loops quarantined, not emitted as edges
+    q = df[df["graph"] == "G:quarantine"]
+    assert (q["pred"] == "q:prop_self_loop").all()
+    edges = df[df["pred"].isin(["tr:workIsAbout", "tr:workGenre"])]
+    assert not (edges["subj"] == edges["obj"]).any()
