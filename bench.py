@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Headline: the flagship KG pipeline (transcripts → full triple Dataset →
+bucket-partitioned Parquet) over the deterministic fixture tier matching
+$GRAFT_SF_DIR (default /root/testdata/sf0.1 → 600k turns). Per-query timings
+for the component pipelines are reported under "queries".
+
+    python bench.py              # single run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs +
+                                 # scaling efficiency (sandbox stand-in for
+                                 # the north rule's N vs 4N node clusters)
+
+Fixture generation is done (and cached) BEFORE timing; one untimed warm read
+precedes the timed section so the page cache is hot at both CPU levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+
+    from rkts_migration_ray import fixtures
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag = fixtures.tag_of(sf_dir)
+    fixtures.ensure_fixture(tag)
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rkts_migration_ray.pipelines import kg, materialize
+
+    # untimed warm-up read (page cache)
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_table(fixtures.transcripts_path(tag)).num_rows
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    conc = max(4, num_cpus // 2)
+    timed("kg_structural", lambda: kg.structural_ds(tag, include_quarantine=True).count())
+    timed("kg_conv_triples", lambda: kg.conv_triples_ds(tag).count())
+    timed("kg_mentions", lambda: kg.mention_triples_ds(tag, concurrency=conc).count())
+    timed("kg_entities", lambda: kg.entity_triples_ds(tag, concurrency=conc).count())
+
+    out_dir = f"/tmp/graft_bench_out/{tag}-{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = kg.kg_triples_ds(tag, concurrency=conc)
+    manifest = materialize.write_graph(ds, out_dir, n_buckets=64, resume=False,
+                                       source=fixtures.transcripts_path(tag))
+    headline = time.perf_counter() - t0
+    n_triples = int(manifest["rows"].sum())
+    timings["kg_triples_materialize"] = round(headline, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_triples_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": tag,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_fresh(num_cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_fresh(lo_cpus)
+        hi = run_fresh(hi_cpus)
+        tput_lo = lo["triples_per_sec"]
+        tput_hi = hi["triples_per_sec"]
+        eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {f"sec_{lo_cpus}": lo["value"], f"sec_{hi_cpus}": hi["value"]},
+            "sf": lo["sf"],
+            "num_cpus": hi_cpus,
+            "throughput_lo": tput_lo,
+            "throughput_hi": tput_hi,
+            "cpus": [lo_cpus, hi_cpus],
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

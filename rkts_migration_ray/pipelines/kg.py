@@ -22,9 +22,19 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..sources import readers
-from ..stages.convgroup import CONV_GROUP_COLUMNS, conv_group_triples
+from ..stages.convgroup import (
+    CONV_GROUP_COLUMNS,
+    add_conv_bucket,
+    conv_bucket_triples,
+)
 from ..stages.extract import explode_mentions, extract_features, structural_triples
-from ..stages.linking import EntityEmitter, MentionLinker, entity_rows, mention_triples
+from ..stages.linking import (
+    EntityEmitter,
+    MentionLinker,
+    dedup_entities,
+    entity_rows,
+    mention_triples,
+)
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -70,11 +80,18 @@ def structural_ds(sf_dir: str, include_quarantine: bool = False):
     return ds
 
 
+def _conv_stage(feats, cfg: PipelineConfig):
+    """Shuffle #1 (key: conv-hash bucket) + vectorized per-conv windows."""
+    return (feats.select_columns(CONV_GROUP_COLUMNS)
+            .map_batches(add_conv_bucket, batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(lambda df: conv_bucket_triples(
+                df, one_title_per_lang=cfg.one_title_per_lang),
+                batch_format="pandas"))
+
+
 def conv_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    feats = features_ds(sf_dir).select_columns(CONV_GROUP_COLUMNS)
-    return feats.groupby("conv_id").map_groups(
-        lambda df: conv_group_triples(df, one_title_per_lang=cfg.one_title_per_lang),
-        batch_format="pandas")
+    return _conv_stage(features_ds(sf_dir), cfg)
 
 
 def _broadcast_lookups(sf_dir: str):
@@ -110,8 +127,8 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
     _, _, props_ref = _broadcast_lookups(sf_dir)
     ents = (linked_mentions_ds(sf_dir, concurrency)
             .map_batches(entity_rows, batch_format="pyarrow")
-            .groupby("entity_uri")
-            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+            .groupby("ebucket")
+            .map_groups(dedup_entities, batch_format="pandas"))
     out = ents.map_batches(EntityEmitter, batch_format="pyarrow",
                            fn_constructor_kwargs={"props_ref": props_ref},
                            concurrency=(1, min(4, concurrency)))
@@ -145,9 +162,7 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     structural = feats.map_batches(structural_triples, batch_format="pyarrow",
                                    zero_copy_batch=True)
-    conv = feats.select_columns(CONV_GROUP_COLUMNS).groupby("conv_id").map_groups(
-        lambda df: conv_group_triples(df, one_title_per_lang=cfg.one_title_per_lang),
-        batch_format="pandas")
+    conv = _conv_stage(feats, cfg)
 
     gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
     linked = (feats.select_columns(["conv_id", "turn_idx", "mentions"])
@@ -159,8 +174,8 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     linked = _checkpoint(linked, f"{root}/linked")
     ments = linked.map_batches(mention_triples, batch_format="pyarrow")
     ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
-            .groupby("entity_uri")
-            .map_groups(lambda df: df.head(1), batch_format="pandas")
+            .groupby("ebucket")
+            .map_groups(dedup_entities, batch_format="pandas")
             .map_batches(EntityEmitter, batch_format="pyarrow",
                          fn_constructor_kwargs={"props_ref": props_ref},
                          concurrency=(1, min(4, concurrency))))

@@ -39,11 +39,16 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
     """Write a triple Dataset → out_dir/bucket=K/part.parquet + manifests.
 
     Returns the (small) manifest summary DataFrame."""
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
 
-    ds = triples_ds.map_batches(lambda t: add_bucket(t, n_buckets),
-                                batch_format="pyarrow")
+    # coalesce before the bucket shuffle: sort-shuffle cost grows with input
+    # block count, and upstream unions produce many small blocks
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ds = triples_ds.repartition(n_blocks).map_batches(
+        lambda t: add_bucket(t, n_buckets), batch_format="pyarrow")
     if done:
         done_arr = pa.array(sorted(done), pa.int32())
 

@@ -1,9 +1,6 @@
 """Per-conversation ordered windows: hierarchy indices, section rollup, titles.
 
-Runs as groupby("conv_id").map_groups(..., batch_format="pandas") — the
-engine's single conv-keyed shuffle replaces every document-order dependency of
-the reference (SURVEY.md §2.9):
-
+Semantics mirrored from the reference (SURVEY.md §2.6/§2.4):
 - partIndex: dense sibling index within the enclosing section
   (countValues('bdo:hasPart')+1, editionxmltottl.php:192-195)
 - partTreeIndex: zero-padded path 'SS.PPPP' (editionxmltottl.php:171,196)
@@ -15,12 +12,23 @@ the reference (SURVEY.md §2.9):
   editionxmltottl.php:360-376, exportvolumemap.php:11-59)
 - per-conv title dedup, case/separator-insensitive (kernelxmltottl.php:205-227)
 
-In-group order is explicit (sort by turn_idx), never block-arrival order.
+Execution shape: conversations are hash-bucketed (crc32(conv_id) % B) and the
+shuffle runs groupby("conv_bucket").map_groups — each group holds MANY whole
+conversations, and all window math inside is vectorized pandas groupby over
+the bucket (per-conversation map_groups costs ~ms of Python per group, which
+dominates wall time at 10^6+ conversations; bucketing amortizes it B-fold
+while preserving exact per-conv semantics, since a bucket always contains
+every turn of its conversations). In-group order is explicit (sort by
+conv_id, turn_idx), never block-arrival order.
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..config import (
     DT_INT,
@@ -39,87 +47,122 @@ from ..config import (
     T_SECTION,
     TRIPLE_COLUMNS,
 )
-from ..functions.minting import mint_node
+from ..functions.arrowutils import from_pandas_clean
+from ..functions.minting import mint_hash6
 
 CONV_GROUP_COLUMNS = [
     "conv_id", "turn_idx", "sec", "loc_valid", "loc_body", "loc_bvolname",
     "title_bcp", "title_label", "title_key",
 ]
 
+N_CONV_BUCKETS = 256  # shuffle-key fanout; ≥ cluster parallelism, ≪ #convs
 
-def conv_group_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> pd.DataFrame:
-    """One conversation (arbitrary arrival order) → window-derived triples."""
-    df = df.sort_values("turn_idx", kind="stable").reset_index(drop=True)
-    conv = df["conv_id"].iloc[0]
-    conv_uri = "C:" + conv
+
+def add_conv_bucket(batch: pa.Table, n_buckets: int = N_CONV_BUCKETS) -> pa.Table:
+    convs = batch["conv_id"].to_pylist()
+    b = np.fromiter((zlib.crc32(c.encode()) % n_buckets for c in convs),
+                    dtype=np.int32, count=len(convs))
+    return batch.append_column("conv_bucket", pa.array(b, pa.int32()))
+
+
+def _mint_series(facet: str, local: pd.Series, content: pd.Series) -> pd.Series:
+    vals = [f"N:{facet}{mint_hash6(lo, co)}_{lo}" for lo, co in zip(local, content)]
+    return pd.Series(vals, index=local.index, dtype=object)
+
+
+def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> pa.Table:
+    """One bucket of whole conversations (arbitrary arrival order) →
+    window-derived triples. All per-conv windows vectorized over the bucket."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    conv = df["conv_id"]
+    turn_uris = "U:" + conv + "/" + df["turn_idx"].astype(int).astype(str).str.zfill(5)
     graph = "G:" + conv
 
-    sec_marker = df["sec"]
-    sec_ord = sec_marker.notna().cumsum()
-    sec_name = sec_marker.ffill()
-    pos = df.groupby(sec_ord).cumcount() + 1
+    sec_flag = df["sec"].notna()
+    sec_ord = sec_flag.groupby(conv, sort=False).cumsum()
+    pos = df.groupby([conv, sec_ord], sort=False).cumcount() + 1
+    tree = sec_ord.astype(str).str.zfill(2) + "." + pos.astype(str).str.zfill(4)
 
-    turn_uris = "U:" + conv + "/" + df["turn_idx"].astype(int).astype(str).str.zfill(5)
-    tree_idx = sec_ord.astype(str).str.zfill(2) + "." + pos.astype(str).str.zfill(4)
+    frames: list[pd.DataFrame] = []
 
-    subj, pred, obj, lang, dt = [], [], [], [], []
+    def col(v):
+        # positional semantics everywhere: Series/Index → plain object array
+        if isinstance(v, (pd.Series, pd.Index)):
+            return v.to_numpy(dtype=object)
+        return v if isinstance(v, str) else np.asarray(v, dtype=object)
 
-    def emit(s, p, o, la="", d=""):
-        subj.append(s); pred.append(p); obj.append(o); lang.append(la); dt.append(d)
+    def emit(subj, pred, obj, lang="", dt="", g=None):
+        frames.append(pd.DataFrame({
+            "subj": col(subj), "pred": col(pred), "obj": col(obj),
+            "obj_lang": col(lang), "obj_dt": col(dt), "graph": col(g)}))
 
-    # vectorized per-turn window triples
-    n = len(df)
-    subj.extend(turn_uris); pred.extend([P_PART_INDEX] * n)
-    obj.extend(pos.astype(str)); lang.extend([""] * n); dt.extend([DT_INT] * n)
-    subj.extend(turn_uris); pred.extend([P_TREE_INDEX] * n)
-    obj.extend(tree_idx); lang.extend([""] * n); dt.extend([""] * n)
+    emit(turn_uris, P_PART_INDEX, pos.astype(str), "", DT_INT, graph)
+    emit(turn_uris, P_TREE_INDEX, tree, "", "", graph)
 
-    # conversation node
-    emit(conv_uri, P_TYPE, T_CONV)
-    emit(conv_uri, P_TURN_COUNT, str(n), "", DT_INT)
+    sizes = df.groupby(conv, sort=False).size()
+    conv_ids = sizes.index.to_numpy(dtype=object)
+    emit("C:" + sizes.index, P_TYPE, T_CONV, "", "", "G:" + sizes.index)
+    emit("C:" + sizes.index, P_TURN_COUNT,
+         sizes.astype(str).to_numpy(dtype=object), "", DT_INT, "G:" + sizes.index)
 
-    # sections (rollover windows; skip turns before the first marker)
-    in_sec = sec_ord > 0
-    if in_sec.any():
-        sec_uris = {}
-        for so, g in df[in_sec].groupby(sec_ord[in_sec]):
-            name = sec_name.loc[g.index[0]]
-            s_uri = mint_node("SE", conv, name)
-            sec_uris[so] = s_uri
-            emit(s_uri, P_TYPE, T_SECTION)
-            emit(s_uri, P_SECTION_NAME, name)
-            locs = g[g["loc_valid"].fillna(False) & g["loc_body"].notna()]
-            if len(locs):
-                emit(s_uri, P_BEGIN_LOC, locs["loc_body"].iloc[0])
-                emit(s_uri, P_END_LOC, locs["loc_body"].iloc[-1])
-            vols = g["loc_bvolname"].dropna()
-            if len(vols):
-                ordered_distinct = list(dict.fromkeys(vols))
-                emit(s_uri, P_SECTION_VOLS, " ".join(ordered_distinct))
-        sec_uri_of_turn = sec_ord[in_sec].map(sec_uris)
-        k = int(in_sec.sum())
-        subj.extend(turn_uris[in_sec]); pred.extend([P_IN_SECTION] * k)
-        obj.extend(sec_uri_of_turn); lang.extend([""] * k); dt.extend([""] * k)
+    # ---- sections -----------------------------------------------------------
+    insec_mask = sec_ord > 0
+    if insec_mask.any():
+        sec_name = df["sec"].groupby(conv, sort=False).ffill()
+        insec = pd.DataFrame({
+            "conv_id": conv[insec_mask], "sec_ord": sec_ord[insec_mask],
+            "sec_name": sec_name[insec_mask], "turn_uri": turn_uris[insec_mask],
+            "graph": graph[insec_mask],
+            "loc_valid": df["loc_valid"][insec_mask].fillna(False),
+            "loc_body": df["loc_body"][insec_mask],
+            "bvolname": df["loc_bvolname"][insec_mask],
+        })
+        keys = ["conv_id", "sec_ord"]
+        secs = insec.groupby(keys, sort=False).agg(
+            name=("sec_name", "first"), graph=("graph", "first")).reset_index()
+        secs["sec_uri"] = _mint_series("SE", secs["conv_id"], secs["name"])
+        locs = insec[insec["loc_valid"] & insec["loc_body"].notna()]
+        bl = locs.groupby(keys, sort=False)["loc_body"].agg(["first", "last"])
+        secs = secs.merge(bl.reset_index(), on=keys, how="left")
+        v = insec[insec["bvolname"].notna()].drop_duplicates(keys + ["bvolname"])
+        vols = (v.groupby(keys, sort=False)["bvolname"].agg(" ".join)
+                .rename("vols").reset_index())
+        secs = secs.merge(vols, on=keys, how="left")
 
-    # titles: first occurrence per (lang, dedup-key) in turn order
-    seen: set[tuple[str, str]] = set()
-    title_cols = zip(df["title_bcp"], df["title_label"], df["title_key"])
-    for bcps, labels, keys in title_cols:
-        if bcps is None or len(bcps) == 0:
-            continue
-        for bcp, label, key in zip(bcps, labels, keys):
-            if bcp is None or label is None:
-                continue
-            dedup = (bcp, "") if one_title_per_lang else (bcp, key)
-            if dedup in seen:
-                continue
-            seen.add(dedup)
-            t_uri = mint_node("TT", conv, bcp + "|" + label)
-            emit(conv_uri, P_HAS_TITLE, t_uri)
-            emit(t_uri, P_LABEL, label, bcp)
+        emit(secs["sec_uri"], P_TYPE, T_SECTION, "", "", secs["graph"])
+        emit(secs["sec_uri"], P_SECTION_NAME, secs["name"], "", "", secs["graph"])
+        with_b = secs[secs["first"].notna()]
+        emit(with_b["sec_uri"], P_BEGIN_LOC, with_b["first"], "", "", with_b["graph"])
+        emit(with_b["sec_uri"], P_END_LOC, with_b["last"], "", "", with_b["graph"])
+        with_v = secs[secs["vols"].notna()]
+        emit(with_v["sec_uri"], P_SECTION_VOLS, with_v["vols"], "", "", with_v["graph"])
+        edges = insec.merge(secs[keys + ["sec_uri"]], on=keys)
+        emit(edges["turn_uri"], P_IN_SECTION, edges["sec_uri"], "", "", edges["graph"])
 
-    out = pd.DataFrame({
-        "subj": subj, "pred": pred, "obj": obj,
-        "obj_lang": lang, "obj_dt": dt, "graph": graph,
-    })
-    return out[TRIPLE_COLUMNS]
+    # ---- titles (first occurrence per conv × lang × dedup-key) --------------
+    has_titles = df["title_bcp"].map(len).astype(int) > 0
+    if has_titles.any():
+        tt = (df.loc[has_titles,
+                     ["conv_id", "turn_idx", "title_bcp", "title_label", "title_key"]]
+              .explode(["title_bcp", "title_label", "title_key"])
+              .dropna(subset=["title_bcp"]))
+        subset = (["conv_id", "title_bcp"] if one_title_per_lang
+                  else ["conv_id", "title_bcp", "title_key"])
+        tt = tt.drop_duplicates(subset=subset, keep="first")
+        t_uri = _mint_series("TT", tt["conv_id"],
+                             tt["title_bcp"] + "|" + tt["title_label"])
+        emit("C:" + tt["conv_id"], P_HAS_TITLE, t_uri, "", "", "G:" + tt["conv_id"])
+        emit(t_uri, P_LABEL, tt["title_label"], tt["title_bcp"], "",
+             "G:" + tt["conv_id"])
+
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("pred", "obj_lang", "obj_dt"):
+        out[c] = out[c].astype(object)
+    return from_pandas_clean(out[TRIPLE_COLUMNS], schema=pa.schema(
+        [(c, pa.string()) for c in TRIPLE_COLUMNS]))
+
+
+def conv_group_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> pd.DataFrame:
+    """Single-conversation reference implementation (used by unit tests and as
+    the readable specification of conv_bucket_triples)."""
+    return conv_bucket_triples(df, one_title_per_lang).to_pandas()

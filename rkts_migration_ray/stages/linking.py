@@ -78,14 +78,29 @@ def mention_triples(batch: pa.Table) -> pa.Table:
     return from_pandas_clean(out[TRIPLE_COLUMNS])
 
 
-def entity_rows(batch: pa.Table) -> pa.Table:
+N_ENTITY_BUCKETS = 64
+
+
+def entity_rows(batch: pa.Table, n_buckets: int = N_ENTITY_BUCKETS) -> pa.Table:
     """Partial dedup: distinct (entity_uri, curated, final_id, alias) per batch.
     This is the combiner before the canonical-merge groupby — head entities
-    (≈ P7326 skew) collapse to ≤1 row per batch here, bounding group sizes."""
+    (≈ P7326 skew) collapse to ≤1 row per batch here, bounding group sizes.
+    'ebucket' (crc32(uri) % n) is the shuffle key: the merge groups whole hash
+    buckets, not individual entities (per-group Python overhead amortized)."""
+    import zlib
+
     df = batch.to_pandas()
     df["alias"] = df["alias"].where(~df["curated"], None)
     cols = df[["entity_uri", "curated", "final_id", "alias"]].drop_duplicates("entity_uri")
+    cols = cols.assign(ebucket=cols["entity_uri"].map(
+        lambda u: zlib.crc32(u.encode()) % n_buckets).astype("int32"))
     return from_pandas_clean(cols)
+
+
+def dedup_entities(df: pd.DataFrame) -> pd.DataFrame:
+    """Final canonical-merge dedup within one entity-hash bucket (exact: a
+    bucket holds every partial row of its entities)."""
+    return df.drop_duplicates("entity_uri").drop(columns=["ebucket"])
 
 
 class EntityEmitter:

@@ -12,35 +12,68 @@ per conversation (sorted by turn_idx):
   holds iff turn_idx is unique (checked) — the validation output is stable
   across input permutations.
 
-Output: one row per conversation with boolean verdicts (empty-violation
-convention: dense && monotone && unique everywhere when input is healthy).
+Output: one row per conversation with boolean verdicts. Shuffle shape matches
+the conv stage: hash-bucketed conv groups, vectorized aggregation inside.
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from ..functions.arrowutils import from_pandas_clean
 
 VALIDATE_COLUMNS = ["conv_id", "n_turns", "n_distinct", "max_idx", "dense", "ts_monotone"]
 
+VALIDATE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()), ("n_distinct", pa.int64()),
+    ("max_idx", pa.int64()), ("dense", pa.bool_()), ("ts_monotone", pa.bool_()),
+])
 
-def validate_conv(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values("turn_idx", kind="stable")
-    n = len(df)
-    n_distinct = int(df["turn_idx"].nunique())
-    max_idx = int(df["turn_idx"].max())
-    dense = bool(n_distinct == n and max_idx == n - 1 and int(df["turn_idx"].min()) == 0)
+
+def _add_bucket(batch: pa.Table, n_buckets: int = 256) -> pa.Table:
+    convs = batch["conv_id"].to_pylist()
+    b = np.fromiter((zlib.crc32(c.encode()) % n_buckets for c in convs),
+                    dtype=np.int32, count=len(convs))
+    return batch.append_column("conv_bucket", pa.array(b, pa.int32()))
+
+
+def validate_bucket(df: pd.DataFrame) -> pa.Table:
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    conv = df["conv_id"]
+    g = df.groupby(conv, sort=False)
+    n = g.size()
+    nd = g["turn_idx"].nunique()
+    mx = g["turn_idx"].max().astype("int64")
+    mn = g["turn_idx"].min().astype("int64")
     ts = df["ts"].astype("int64")
-    ts_monotone = bool((ts.diff().dropna() > 0).all()) if n > 1 else True
-    return pd.DataFrame({
-        "conv_id": [df["conv_id"].iloc[0]],
-        "n_turns": [n],
-        "n_distinct": [n_distinct],
-        "max_idx": [max_idx],
-        "dense": [dense],
-        "ts_monotone": [ts_monotone],
+    prev = ts.groupby(conv, sort=False).shift(1)
+    ok = prev.isna() | (ts > prev)
+    mono = ok.groupby(conv, sort=False).all()
+    out = pd.DataFrame({
+        "conv_id": n.index.to_numpy(dtype=object),
+        "n_turns": n.to_numpy("int64"),
+        "n_distinct": nd.to_numpy("int64"),
+        "max_idx": mx.to_numpy("int64"),
+        "dense": ((nd.to_numpy("int64") == n.to_numpy("int64"))
+                  & (mx.to_numpy("int64") == n.to_numpy("int64") - 1)
+                  & (mn.to_numpy("int64") == 0)),
+        "ts_monotone": mono.to_numpy(bool),
     })
+    return from_pandas_clean(out[VALIDATE_COLUMNS], schema=VALIDATE_SCHEMA)
 
 
 def validate_transcripts(ds):
-    """groupby(conv_id) validation — shares the conv-keyed shuffle shape."""
-    return ds.groupby("conv_id").map_groups(validate_conv, batch_format="pandas")
+    """Bucketed groupby(conv_id) validation — same shuffle shape as the
+    conv-window stage; each group holds whole conversations."""
+    return (ds.map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(validate_bucket, batch_format="pandas"))
+
+
+def validate_conv(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-conversation reference implementation (tests)."""
+    return validate_bucket(df).to_pandas()
