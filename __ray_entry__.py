@@ -5,11 +5,14 @@ The driver calls ray.init() itself before importing this module; nothing here
 
 - entry(): flagship KG pipeline (transcripts → triples) on the sf0.001-scale
   deterministic fixture; returns the triple Dataset.
-- queries(): one callable per implemented pipeline (SURVEY.md §2 coverage);
-  each takes sf_dir and returns a Dataset / DataFrame / Table.
-- oracle_sql(): DuckDB twins of each query at sf=0.01, reading the same
-  deterministic fixture parquet (generated idempotently at import so the
-  oracle can run in any order relative to the Ray side).
+- queries(): one callable per implemented pipeline (SURVEY.md §2 coverage +
+  the training-data operator suite); each takes sf_dir and returns a Dataset /
+  DataFrame / Table.
+- oracle_sql(): DuckDB twins. KG queries read the deterministic transcript
+  fixture parquet (generated idempotently at import so the oracle can run in
+  any order relative to the Ray side); documents/embeddings/relational
+  queries reference the driver's pre-registered views by name. Queries with
+  no oracle entry (minhash/simhash/LSH/multimodal) get the rows-only check.
 """
 
 from __future__ import annotations
@@ -18,8 +21,9 @@ from collections.abc import Callable
 from typing import Any
 
 from rkts_migration_ray import fixtures, oracles
-from rkts_migration_ray.pipelines import kg
+from rkts_migration_ray.pipelines import docs, kg, relational
 from rkts_migration_ray.sources import readers
+from rkts_migration_ray.stages import multimodal
 from rkts_migration_ray.stages.validate import validate_transcripts
 
 # the driver compares at sf0.01; make sure the oracle's parquet exists even if
@@ -27,14 +31,27 @@ from rkts_migration_ray.stages.validate import validate_transcripts
 fixtures.ensure_fixture("sf0.01")
 fixtures.ensure_fixture("sf0.001")
 
+MEDIA_DIR = "/tmp/graft_fixtures/media"
+
 
 def entry() -> Any:
     """Flagship pipeline on the sf0.001-scale fixture; driver checks rows>=0."""
     return kg.kg_triples_ds("sf0.001")
 
 
+def _mm_decode(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.decode_media_ds(path)
+
+
+def _mm_stats(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.media_stats_ds(path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    q: dict[str, Callable[[str], Any]] = {
+    return {
+        # --- KG construction (the reference's capability surface) ---------
         "kg_structural": lambda sf: kg.structural_ds(sf, include_quarantine=False),
         "kg_conv_triples": kg.conv_triples_ds,
         "kg_mentions": kg.mention_triples_ds,
@@ -43,9 +60,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_locations": kg.locations_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
+        # --- training-data ops: dedup --------------------------------------
+        "dedup_exact": docs.dedup_exact_ds,
+        "dedup_charset_pairs": docs.charset_pairs_ds,
+        "dedup_minhash_pairs": docs.minhash_pairs_ds,      # rows-only
+        "minhash_signatures": docs.minhash_signatures_ds,  # rows-only
+        "dedup_simhash": docs.simhash_ds,                  # rows-only
+        # --- training-data ops: text analysis -------------------------------
+        "text_stats": docs.text_stats_ds,
+        "text_langid": docs.langid_ds,
+        "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
+        # --- similarity search ----------------------------------------------
+        "knn_brute": docs.knn_brute_ds,
+        "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
+        # --- relational surface ---------------------------------------------
+        "rel_pricing_summary": relational.pricing_summary_ds,
+        "rel_top_customers": relational.top_customers_ds,
+        "rel_events_window": relational.events_window_ds,
+        "rel_orders_by_nation": relational.orders_by_nation_ds,
+        # --- multimodal plumbing (stubbed codec) ----------------------------
+        "mm_decode": _mm_decode,                           # rows-only
+        "mm_media_stats": _mm_stats,                       # rows-only
     }
-    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracles.kg_oracle_sql("sf0.01")
+    out = oracles.kg_oracle_sql("sf0.01")
+    out.update(oracles.doc_rel_oracle_sql())
+    return out

@@ -1,0 +1,85 @@
+"""Text-analysis primitives for the documents pipelines.
+
+Deterministic, seed-free (all hashing via blake2b/sha256 — stable across
+processes, the same property that makes minted URIs retry-safe, M7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"[a-z]+")
+
+STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+STOP_DE = ("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+STOP_FR = ("le", "la", "et", "les", "des", "un", "une", "est")
+
+
+def tokens_lower(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def word_hash64(word: str) -> int:
+    """Stable 64-bit word hash (blake2b digest_size=8, fixed key-free)."""
+    return int.from_bytes(hashlib.blake2b(word.encode(), digest_size=8).digest(), "big")
+
+
+def shingle_hashes(toks: list[str], k: int = 3) -> np.ndarray:
+    """Distinct k-word shingle hashes (the MinHash universe)."""
+    if len(toks) < k:
+        return np.array([], dtype=np.uint64)
+    out = {word_hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+_MERSENNE31 = (1 << 31) - 1  # fits a*x in uint64 → fully vectorized mod-hash
+
+
+def minhash_params(k: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed permutation parameters — derived once from a constant seed, so
+    signatures are identical on every worker and every run."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, size=k, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-wise min over (a*x+b mod 2^31-1) — vectorized (k × |shingles|),
+    pure uint64 arithmetic (a, x < 2^31 ⇒ a*x < 2^62, no overflow)."""
+    if len(sh) == 0:
+        return np.full(len(a), _MERSENNE31, dtype=np.uint64)
+    x = (sh % _MERSENNE31).astype(np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE31
+    return vals.min(axis=1)
+
+
+def simhash64(toks: list[str]) -> int:
+    """Classic 64-bit SimHash over token multiset."""
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    bits = np.zeros((len(uniq), 64), dtype=np.int64)
+    for i, w in enumerate(uniq):
+        h = word_hash64(w)
+        bits[i] = [(h >> j) & 1 for j in range(64)]
+    weights = np.where(bits == 1, 1, -1) * counts[:, None]
+    acc = weights.sum(axis=0)
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= (1 << j)
+    return out
+
+
+def rolling_fingerprints(toks: list[str], k: int = 5, n_keep: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: the n_keep smallest k-gram
+    rolling hashes (order-insensitive content sketch)."""
+    sh = shingle_hashes(toks, k)
+    if len(sh) == 0:
+        return []
+    vals = np.sort(sh & np.uint64(0x7FFFFFFFFFFFFFFF))  # int64-safe
+    return [int(v) for v in vals[:n_keep]]

@@ -245,6 +245,97 @@ FROM (SELECT conv_id, turn_idx, ts,
 GROUP BY conv_id"""
 
 
+# ---------------------------------------------------------------------------
+# documents / embeddings / relational oracles — these reference the driver's
+# pre-registered views (documents, embeddings, lineitem, orders, customer,
+# nation, events) by name, so they need no path interpolation.
+# ---------------------------------------------------------------------------
+
+_STOP_EN_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+_STOP_DE_SQL = "['der','die','das','und','ist','ein','nicht','mit']"
+_STOP_FR_SQL = "['le','la','et','les','des','un','une','est']"
+
+
+def doc_rel_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY sha256(text)""",
+        "dedup_charset_pairs": """
+SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(jaccard(a.text, b.text), 6) AS jac
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(jaccard(a.text, b.text), 6) >= 0.9""",
+        "text_stats": f"""
+WITH s AS (SELECT doc_id, length(text) AS n_chars2,
+                  regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+s2 AS (SELECT doc_id, n_chars2, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS n_stop
+       FROM s)
+SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
+ round(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS stop_ratio,
+ round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
+       * least(1.0, n_tokens / 200.0), 6) AS quality
+FROM s2""",
+        "text_langid": f"""
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+h AS (SELECT doc_id,
+  CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS en_hits,
+  CAST(len(list_filter(toks, x -> list_contains({_STOP_DE_SQL}, x))) AS BIGINT) AS de_hits,
+  CAST(len(list_filter(toks, x -> list_contains({_STOP_FR_SQL}, x))) AS BIGINT) AS fr_hits
+ FROM s)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+ CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess
+FROM h""",
+        "doc_fingerprint": r"""
+SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+FROM documents""",
+        "knn_brute": """
+WITH sims AS (
+ SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS s
+ FROM embeddings q, embeddings e
+ WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, s,
+       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(s, 6) AS cos_sim
+FROM r WHERE rank <= 10""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+ CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+ CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+ CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+ CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "rel_top_customers": """
+SELECT o.o_custkey AS o_custkey, c.c_name AS c_name,
+ CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+ CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY revenue_c DESC, o_custkey LIMIT 10""",
+        "rel_events_window": """
+SELECT event_type,
+ CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
+ CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
+ CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2""",
+        "rel_orders_by_nation": """
+SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+    }
+
+
 def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     w = with_block(sf_dir_or_tag)
     full_union = "\nUNION ALL ".join(

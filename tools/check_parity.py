@@ -55,17 +55,29 @@ def main() -> int:
         sys.path.insert(0, ".")
         import __ray_entry__ as e
         from rkts_migration_ray import oracles
+        from rkts_migration_ray.pipelines.docs import resolve_sf_dir
+
+        con = duckdb.connect()
+        sf_dir = resolve_sf_dir(tag)
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
 
         qs = e.queries()
         sqls = oracles.kg_oracle_sql(tag)
+        sqls.update(oracles.doc_rel_oracle_sql())
+        only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         failures = []
         for name, fn in qs.items():
+            if only and name not in only:
+                continue
             res = fn(tag)
             ray_df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
             if name not in sqls:
                 print(f"  [{name}] rows-only: {len(ray_df)}")
                 continue
-            sql_df = duckdb.sql(sqls[name]).df()
+            sql_df = con.sql(sqls[name]).df()
             if compare(name, ray_df, sql_df):
                 print(f"  [{name}] OK rows={len(ray_df)}")
             else:
