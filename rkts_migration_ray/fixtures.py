@@ -78,8 +78,17 @@ def fixture_dir(sf_dir_or_tag: str) -> str:
     return os.path.join(FIXTURE_ROOT, tag_of(sf_dir_or_tag))
 
 
+N_TRANSCRIPT_FILES = 16  # file-level read parallelism (a single file reads serially)
+
+
 def transcripts_path(sf_dir_or_tag: str) -> str:
-    return os.path.join(fixture_dir(sf_dir_or_tag), "transcripts.parquet")
+    """Directory of part files (read_parquet parallelizes per file)."""
+    return os.path.join(fixture_dir(sf_dir_or_tag), "transcripts")
+
+
+def transcripts_glob(sf_dir_or_tag: str) -> str:
+    """DuckDB-readable glob for the same data."""
+    return os.path.join(transcripts_path(sf_dir_or_tag), "*.parquet")
 
 
 def aux_path(sf_dir_or_tag: str, name: str) -> str:
@@ -249,8 +258,14 @@ def _generate(tag: str, out_dir: str) -> dict:
         "tool": pa.array(tools[perm], pa.string()),
         "ts": pa.array(ts[perm], pa.timestamp("us")),
     })
-    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"),
-                   row_group_size=64 * 1024)
+    tdir = os.path.join(out_dir, "transcripts")
+    os.makedirs(tdir, exist_ok=True)
+    step = (n + N_TRANSCRIPT_FILES - 1) // N_TRANSCRIPT_FILES
+    for fi in range(N_TRANSCRIPT_FILES):
+        sl = table.slice(fi * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(tdir, f"part-{fi:04d}.parquet"),
+                           row_group_size=16 * 1024)
 
     # --- gazetteer (≈ abstract-rkts.csv; some '?' rows to be dropped) --------
     g_alias, g_canon = [], []

@@ -53,7 +53,7 @@ def shad_sql(t: str) -> str:
 
 
 def with_block(sf_dir_or_tag: str) -> str:
-    tr = fixtures.transcripts_path(sf_dir_or_tag)
+    tr = fixtures.transcripts_glob(sf_dir_or_tag)
     gaz = fixtures.aux_path(sf_dir_or_tag, "gazetteer")
     am = fixtures.aux_path(sf_dir_or_tag, "alias_map")
     props = fixtures.aux_path(sf_dir_or_tag, "entity_props")

@@ -153,12 +153,21 @@ def _checkpoint(ds, path: str):
 
 
 def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
-              concurrency: int = 8, ckpt_root: str | None = None) -> dict:
-    """All triple streams sharing two checkpoints (features, linked mentions)."""
+              concurrency: int = 8, ckpt_root: str | None = None,
+              checkpoint_features: bool = False) -> dict:
+    """All triple streams; the linked-mentions stage is always checkpointed
+    (it feeds two branches through an actor pool — recomputing it would spin
+    a second pool). The feature extraction is recomputed per branch by
+    default: it is stateless, fully parallel, and cheaper than the
+    write-barrier + re-read of a features checkpoint (measured at sf0.1);
+    pass checkpoint_features=True to trade recompute for the barrier (e.g.
+    when extraction dominates, or to persist the stage for resume)."""
     import tempfile
 
     root = ckpt_root or tempfile.mkdtemp(prefix="graft_ckpt_")
-    feats = _checkpoint(features_ds(sf_dir), f"{root}/features")
+    feats = features_ds(sf_dir)
+    if checkpoint_features:
+        feats = _checkpoint(feats, f"{root}/features")
 
     structural = feats.map_batches(structural_triples, batch_format="pyarrow",
                                    zero_copy_batch=True)

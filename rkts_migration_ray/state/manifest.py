@@ -10,26 +10,29 @@ version. A rerun verifies/skips committed buckets.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 
 MANIFEST_SUFFIX = ".manifest.json"
 
 
 def content_checksum(table: pa.Table, columns: list[str]) -> str:
-    """Order-insensitive checksum: XOR of per-row sha256-derived 64-bit words.
-    Commutative, so block order / shuffle nondeterminism never changes it."""
+    """Order-insensitive checksum: XOR of vectorized per-row 64-bit hashes.
+    Commutative, so block order / shuffle nondeterminism never changes it.
+    (pandas hash_pandas_object: C-speed siphash with a fixed default key —
+    stable across processes; recorded manifests are only comparable within
+    one pandas major version, which is fine for job-resume lineage.)"""
     if table.num_rows == 0:
         return "0" * 16
-    cols = [table[c].to_pylist() for c in columns]
-    acc = 0
-    for row in zip(*cols):
-        h = hashlib.sha256("\x1f".join("" if v is None else str(v) for v in row).encode())
-        acc ^= int.from_bytes(h.digest()[:8], "big")
-    return f"{acc:016x}"
+    import pandas as pd
+
+    df = table.select(columns).to_pandas()
+    hashes = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    acc = int(np.bitwise_xor.reduce(hashes))
+    return f"{acc & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 def manifest_path(out_dir: str, bucket: int) -> str:

@@ -56,8 +56,8 @@ def test_permutation_invariance(sf_tag, tmp_path):
     perm = t.take(pa_indices(t.num_rows, seed=7))
     alt_tag = "sfperm"
     alt_dir = fixtures.fixture_dir(alt_tag)
-    os.makedirs(alt_dir, exist_ok=True)
-    pq.write_table(perm, os.path.join(alt_dir, "transcripts.parquet"))
+    os.makedirs(os.path.join(alt_dir, "transcripts"), exist_ok=True)
+    pq.write_table(perm, os.path.join(alt_dir, "transcripts", "part-0000.parquet"))
     for aux in ("gazetteer", "alias_map", "entity_props"):
         shutil.copy(fixtures.aux_path(sf_tag, aux), fixtures.aux_path(alt_tag, aux))
     open(os.path.join(alt_dir, "_DONE"), "w").write("{}")
