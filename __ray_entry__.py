@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": kg.mention_triples_ds,
         "kg_entities": lambda sf: kg.entity_triples_ds(sf, include_quarantine=False),
         "kg_quarantine": kg.quarantine_ds,
+        "kg_location_nodes": kg.location_nodes_ds,
         "kg_locations": kg.locations_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
+        "rel_events_asof": relational.events_asof_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,
         # --- multimodal plumbing (stubbed codec) ----------------------------
         "mm_decode": _mm_decode,                           # rows-only

@@ -1,0 +1,70 @@
+"""CLI entry point (S1 analog of migrate.php:16-61's GetOpt driver).
+
+    python -m rkts_migration_ray run      --sf sf0.001 --out /tmp/graph [--buckets 64] [--no-resume]
+    python -m rkts_migration_ray validate --sf sf0.001
+    python -m rkts_migration_ray bench    --sf sf0.01
+
+Owns its Ray session (the only places allowed to: CLI, bench.py, tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rkts_migration_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="full KG pipeline → partitioned graph")
+    run.add_argument("--sf", default="sf0.001")
+    run.add_argument("--out", required=True)
+    run.add_argument("--buckets", type=int, default=64)
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--num-cpus", type=int, default=None)
+
+    val = sub.add_parser("validate", help="transcript invariant validation")
+    val.add_argument("--sf", default="sf0.001")
+    val.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        if args.cmd == "run":
+            from .pipelines import kg, materialize
+
+            ds = kg.kg_triples_ds(args.sf)
+            manifest = materialize.write_graph(ds, args.out,
+                                               n_buckets=args.buckets,
+                                               resume=not args.no_resume)
+            print(json.dumps({
+                "buckets": int(len(manifest)),
+                "rows": int(manifest["rows"].sum()),
+                "skipped": int(manifest["skipped"].sum()),
+                "out": args.out,
+            }))
+        elif args.cmd == "validate":
+            from .sources import readers
+            from .stages.validate import validate_transcripts
+
+            df = validate_transcripts(readers.read_transcripts(args.sf)).to_pandas()
+            bad = df[~(df["dense"] & df["ts_monotone"])]
+            print(json.dumps({"conversations": int(len(df)),
+                              "violations": int(len(bad))}))
+            return 1 if len(bad) else 0
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

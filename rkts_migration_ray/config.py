@@ -34,10 +34,24 @@ P_TURN_COUNT = "tr:turnCount"
 P_IS_ABOUT = "tr:workIsAbout"        # ≈ 'ab' rows of rkts-actors.csv (utils.php:852-870)
 P_GENRE = "tr:workGenre"             # ≈ 'ge' rows
 
+P_CONTENT_LOC = "tr:contentLocation"   # ≈ bdo:contentLocation (utils.php:412-526)
+P_LOC_SECTION = "tr:locSection"
+P_LOC_VOLNAME = "tr:locVolname"
+P_LOC_END_VOLNAME = "tr:locEndVolname"
+P_LOC_VOLNUM = "tr:locVolnum"
+P_LOC_END_VOLNUM = "tr:locEndVolnum"
+P_LOC_PAGENUM = "tr:locPagenum"
+P_LOC_END_PAGENUM = "tr:locEndPagenum"
+P_LOC_LINENUM = "tr:locLinenum"
+P_LOC_END_LINENUM = "tr:locEndLinenum"
+P_LOC_PAGESIDE = "tr:locPageside"
+P_LOC_END_PAGESIDE = "tr:locEndPageside"
+
 T_CONV = "tr:Conversation"
 T_TURN = "tr:Turn"
 T_SECTION = "tr:Section"
 T_ENTITY = "tr:Entity"
+T_CONTENT_LOCATION = "tr:ContentLocation"
 
 DT_LONG = "xsd:long"
 DT_INT = "xsd:integer"

@@ -215,6 +215,40 @@ UNION ALL SELECT e.entity_uri, 'q:prop_self_loop', p.object_id, '', '', 'G:quara
           FROM ents e JOIN props p ON e.final_id = p.entity_id
           WHERE e.curated AND p.object_id = p.entity_id"""
 
+_LT = """
+lt AS (SELECT turn, g, conv_id, loc_body,
+   'N:CL'||upper(substr(sha256(conv_id||loc_body),1,6))||'_'||conv_id AS cl,
+   NULLIF(fs['section'],'') AS l_section, bvolname AS l_bvolname,
+   evolname AS l_evolname,
+   NULLIF(bp['side'],'') AS l_bpageside, NULLIF(ep['side'],'') AS l_epageside,
+   CASE WHEN kind='full' THEN TRY_CAST(NULLIF(fs['bvolnum'],'') AS BIGINT)
+        ELSE TRY_CAST(NULLIF(ss['bvolnum'],'') AS BIGINT) END AS l_bvolnum,
+   CASE WHEN kind='full' THEN TRY_CAST(NULLIF(fs['evolnum'],'') AS BIGINT)
+        ELSE TRY_CAST(NULLIF(ss['evolnum'],'') AS BIGINT) END AS l_evolnum,
+   CASE WHEN kind='full' THEN TRY_CAST(NULLIF(bp['pagenum'],'') AS BIGINT)
+        ELSE TRY_CAST(NULLIF(ss['bpagenum'],'') AS BIGINT) END AS l_bpagenum,
+   CASE WHEN kind='full' THEN TRY_CAST(NULLIF(ep['pagenum'],'') AS BIGINT)
+        ELSE TRY_CAST(NULLIF(ss['epagenum'],'') AS BIGINT) END AS l_epagenum,
+   TRY_CAST(NULLIF(bp['linenum'],'') AS BIGINT) AS l_blinenum,
+   TRY_CAST(NULLIF(ep['linenum'],'') AS BIGINT) AS l_elinenum
+ FROM w3 WHERE kind IS NOT NULL AND loc_valid)"""
+
+SEL_LOCNODES = """
+SELECT cl AS subj, 'rdf:type' AS pred, 'tr:ContentLocation' AS obj,
+       '' AS obj_lang, '' AS obj_dt, g AS graph FROM lt
+UNION ALL SELECT turn, 'tr:contentLocation', cl, '', '', g FROM lt
+UNION ALL SELECT cl, 'tr:locSection', l_section, '', '', g FROM lt WHERE l_section IS NOT NULL
+UNION ALL SELECT cl, 'tr:locVolname', l_bvolname, '', '', g FROM lt WHERE l_bvolname IS NOT NULL
+UNION ALL SELECT cl, 'tr:locEndVolname', l_evolname, '', '', g FROM lt WHERE l_evolname IS NOT NULL
+UNION ALL SELECT cl, 'tr:locPageside', l_bpageside, '', '', g FROM lt WHERE l_bpageside IS NOT NULL
+UNION ALL SELECT cl, 'tr:locEndPageside', l_epageside, '', '', g FROM lt WHERE l_epageside IS NOT NULL
+UNION ALL SELECT cl, 'tr:locVolnum', CAST(l_bvolnum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_bvolnum IS NOT NULL
+UNION ALL SELECT cl, 'tr:locEndVolnum', CAST(l_evolnum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_evolnum IS NOT NULL
+UNION ALL SELECT cl, 'tr:locPagenum', CAST(l_bpagenum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_bpagenum IS NOT NULL
+UNION ALL SELECT cl, 'tr:locEndPagenum', CAST(l_epagenum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_epagenum IS NOT NULL
+UNION ALL SELECT cl, 'tr:locLinenum', CAST(l_blinenum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_blinenum IS NOT NULL
+UNION ALL SELECT cl, 'tr:locEndLinenum', CAST(l_elinenum AS VARCHAR), '', 'xsd:integer', g FROM lt WHERE l_elinenum IS NOT NULL"""
+
 SEL_LOCATIONS = """
 SELECT conv_id, turn_idx, kind, loc_valid AS valid,
   NULLIF(fs['section'],'') AS section, bvolname, evolname,
@@ -327,6 +361,13 @@ SELECT event_type,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2""",
+        "rel_events_asof": """
+WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(o.o_orderkey AS DOUBLE) AS o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
         "rel_orders_by_nation": """
 SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
@@ -337,15 +378,17 @@ GROUP BY n.n_name""",
 
 
 def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
-    w = with_block(sf_dir_or_tag)
+    w = with_block(sf_dir_or_tag) + "," + _LT
     full_union = "\nUNION ALL ".join(
-        [SEL_STRUCTURAL, SEL_CONV, SEL_MENTIONS, SEL_ENTITIES, SEL_QUARANTINE])
+        [SEL_STRUCTURAL, SEL_CONV, SEL_MENTIONS, SEL_ENTITIES, SEL_QUARANTINE,
+         SEL_LOCNODES])
     return {
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,
         "kg_mentions": w + SEL_MENTIONS,
         "kg_entities": w + SEL_ENTITIES,
         "kg_quarantine": w + SEL_QUARANTINE,
+        "kg_location_nodes": w + SEL_LOCNODES,
         "kg_locations": w + SEL_LOCATIONS,
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,

@@ -27,7 +27,12 @@ from ..stages.convgroup import (
     add_conv_bucket,
     conv_bucket_triples,
 )
-from ..stages.extract import explode_mentions, extract_features, structural_triples
+from ..stages.extract import (
+    explode_mentions,
+    extract_features,
+    location_triples,
+    structural_triples,
+)
 from ..stages.linking import (
     EntityEmitter,
     MentionLinker,
@@ -94,6 +99,13 @@ def conv_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     return _conv_stage(features_ds(sf_dir), cfg)
 
 
+def location_nodes_ds(sf_dir: str):
+    """ContentLocation facet nodes + typed edges (M12 analog) — no shuffle."""
+    return features_ds(sf_dir).map_batches(location_triples,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True)
+
+
 def _broadcast_lookups(sf_dir: str):
     import ray
 
@@ -127,6 +139,7 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
     _, _, props_ref = _broadcast_lookups(sf_dir)
     ents = (linked_mentions_ds(sf_dir, concurrency)
             .map_batches(entity_rows, batch_format="pyarrow")
+            .repartition(8)  # post-combiner stream is tiny; shrink the sort
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas"))
     out = ents.map_batches(EntityEmitter, batch_format="pyarrow",
@@ -171,6 +184,8 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     structural = feats.map_batches(structural_triples, batch_format="pyarrow",
                                    zero_copy_batch=True)
+    locnodes = feats.map_batches(location_triples, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     conv = _conv_stage(feats, cfg)
 
     gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
@@ -183,13 +198,14 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     linked = _checkpoint(linked, f"{root}/linked")
     ments = linked.map_batches(mention_triples, batch_format="pyarrow")
     ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
+            .repartition(8)  # post-combiner stream is tiny; shrink the sort
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas")
             .map_batches(EntityEmitter, batch_format="pyarrow",
                          fn_constructor_kwargs={"props_ref": props_ref},
                          concurrency=(1, min(4, concurrency))))
-    return {"structural": structural, "conv": conv, "mentions": ments,
-            "entities": ents, "ckpt_root": root}
+    return {"structural": structural, "locnodes": locnodes, "conv": conv,
+            "mentions": ments, "entities": ents, "ckpt_root": root}
 
 
 def quarantine_ds(sf_dir: str, concurrency: int = 8):
@@ -208,4 +224,5 @@ def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Full graph: structural ∪ conv-window ∪ mentions ∪ entities (plus the
     quarantine graph, separated only by its graph name)."""
     b = kg_bundle(sf_dir, cfg, concurrency=concurrency)
-    return b["structural"].union(b["conv"], b["mentions"], b["entities"])
+    return b["structural"].union(b["locnodes"], b["conv"], b["mentions"],
+                                 b["entities"])

@@ -128,6 +128,50 @@ def events_window_ds(sf_dir: str):
                        Sum("one", alias_name="n_events")))
 
 
+def events_asof_ds(sf_dir: str, n_buckets: int = 16):
+    """As-of join (J7 analog, ≈ the ordered image-list/pagination merge of
+    migrate-bvm.py:286-356): each event picks the latest order of the same
+    customer at or before its timestamp.
+
+    Shape: hash-bucket events by key → per-bucket pd.merge_asof against the
+    (small, broadcast) orders side, pre-deduplicated per (key, time) so the
+    pick is unambiguous on both engines. For a large right side the identical
+    code runs with orders pre-bucketed on the same key hash."""
+    import ray
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    orders = (pq.read_table(os.path.join(resolve_sf_dir(sf_dir), "orders.parquet"),
+                            columns=["o_custkey", "o_orderdate", "o_orderkey"])
+              .to_pandas()
+              .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+              .max()
+              .sort_values("o_orderdate", kind="stable"))
+    ref = ray.put(orders)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"])
+        b = (uid % np.int64(n_buckets)).astype(np.int32)
+        return t.append_column("kbucket", pa.array(b, pa.int32()))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref)
+        keys = df["user_id"].unique()
+        right = right[right["o_custkey"].isin(keys)]
+        left = df.sort_values("ts", kind="stable")
+        out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                            left_by="user_id", right_by="o_custkey",
+                            direction="backward")
+        out["o_orderkey"] = out["o_orderkey"].astype("float64")
+        return out[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]]
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("kbucket")
+            .map_groups(join_bucket, batch_format="pandas"))
+
+
 def orders_by_nation_ds(sf_dir: str):
     """Two-hop broadcast join orders→customer→nation, then grouped count."""
     import ray

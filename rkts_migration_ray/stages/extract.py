@@ -202,6 +202,71 @@ def structural_triples(feats: pa.Table) -> pa.Table:
     return pa.concat_tables(blocks).combine_chunks()
 
 
+def location_triples(feats: pa.Table) -> pa.Table:
+    """Valid location markers → ContentLocation facet nodes + typed edges.
+
+    ≈ add_location_simple/add_location (utils.php:412-544): one minted CL node
+    per (conv, loc string) — bnode_url facet 'CL' (utils.php:415) — carrying
+    begin/end volume/page/line properties. Identical loc strings in one conv
+    mint the same node (content-addressed), exactly like the reference."""
+    from ..config import (
+        DT_INT,
+        P_CONTENT_LOC,
+        P_LOC_END_LINENUM,
+        P_LOC_END_PAGENUM,
+        P_LOC_END_PAGESIDE,
+        P_LOC_END_VOLNUM,
+        P_LOC_END_VOLNAME,
+        P_LOC_LINENUM,
+        P_LOC_PAGENUM,
+        P_LOC_PAGESIDE,
+        P_LOC_SECTION,
+        P_LOC_VOLNAME,
+        P_LOC_VOLNUM,
+        T_CONTENT_LOCATION,
+    )
+    from ..functions.minting import mint_node_array
+
+    feats = feats.combine_chunks()
+    ok = pc.and_(pc.is_valid(_chunk(feats, "loc_kind")), _chunk(feats, "loc_valid"))
+    mask = pa.array(np.asarray(ok))
+    t = feats.filter(mask)
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], pa.string())
+                         for c in ("subj", "pred", "obj", "obj_lang", "obj_dt", "graph")})
+    conv = _chunk(t, "conv_id")
+    turn = turn_uri_array(conv, _chunk(t, "turn_idx"))
+    graph = pc.binary_join_element_wise(pa.scalar("G:"), conv, "")
+    cl = mint_node_array("CL", conv, _chunk(t, "loc_body"))
+    n = t.num_rows
+    e = _const("", n)
+    blocks = [
+        _triple_block(cl, P_TYPE, T_CONTENT_LOCATION, e, e, graph),
+        _triple_block(turn, P_CONTENT_LOC, cl, e, e, graph),
+    ]
+    str_props = [("loc_section", P_LOC_SECTION), ("loc_bvolname", P_LOC_VOLNAME),
+                 ("loc_evolname", P_LOC_END_VOLNAME),
+                 ("loc_bpageside", P_LOC_PAGESIDE),
+                 ("loc_epageside", P_LOC_END_PAGESIDE)]
+    int_props = [("loc_bvolnum", P_LOC_VOLNUM), ("loc_evolnum", P_LOC_END_VOLNUM),
+                 ("loc_bpagenum", P_LOC_PAGENUM), ("loc_epagenum", P_LOC_END_PAGENUM),
+                 ("loc_blinenum", P_LOC_LINENUM), ("loc_elinenum", P_LOC_END_LINENUM)]
+    for col, pred in str_props:
+        v = _chunk(t, col)
+        m = pa.array(np.asarray(pc.is_valid(v)))
+        if pc.any(m).as_py():
+            blocks.append(_triple_block(cl.filter(m), pred, v.filter(m),
+                                        "", "", graph.filter(m)))
+    for col, pred in int_props:
+        v = _chunk(t, col)
+        m = pa.array(np.asarray(pc.is_valid(v)))
+        if pc.any(m).as_py():
+            blocks.append(_triple_block(
+                cl.filter(m), pred, pc.cast(v.filter(m), pa.string()),
+                "", DT_INT, graph.filter(m)))
+    return pa.concat_tables(blocks).combine_chunks()
+
+
 def explode_mentions(feats: pa.Table) -> pa.Table:
     """(conv_id, turn_idx, alias) rows; per-turn duplicate aliases collapsed
     (a turn lives wholly inside one batch row, so in-batch dedup is exact)."""

@@ -1,0 +1,60 @@
+"""Aux sources + pagination arithmetic (S2/S6/S7/S11, M13/M18, ST3)."""
+
+import gzip
+import json
+
+import pytest
+
+from rkts_migration_ray.functions import pagination as pg
+from rkts_migration_ray.sources import aux_readers
+
+
+def test_folio_arithmetic():
+    # folio 1a is image 1 (one_a=1); 1b is 2; 2a is 3 …
+    assert pg.folio_side_to_pagenum(1, "a") == 1
+    assert pg.folio_side_to_pagenum(1, "b") == 2
+    assert pg.folio_side_to_pagenum(2, "a") == 3
+    # first-folio override: volume film starts at folio 3
+    assert pg.folio_side_to_pagenum(3, "a", first_folio=3) == 1
+    with pytest.raises(ValueError):
+        pg.folio_side_to_pagenum(2, "a", first_folio=3)
+
+
+def test_pagination_compare():
+    assert pg.compare_pagination("107a", "107b") < 0
+    assert pg.compare_pagination("107b", "108a") < 0
+    assert pg.compare_pagination("107a", "107xa") < 0   # dup-mark sorts after
+    assert pg.compare_pagination("9b", "10a") < 0       # numeric, not lexical
+    assert pg.compare_pagination("garbage", "10a") == 0
+
+
+def test_pagination_cache_lru1():
+    loads = []
+    cache = pg.PaginationCache(lambda name: loads.append(name) or name.upper())
+    assert cache.get("v1") == "V1"
+    assert cache.get("v1") == "V1"
+    assert cache.get("v2") == "V2"
+    assert cache.get("v1") == "V1"
+    assert loads == ["v1", "v2", "v1"] and cache.misses == 3
+
+
+def test_read_json_gz(tmp_path):
+    p = tmp_path / "x.json.gz"
+    with gzip.open(p, "wt") as f:
+        json.dump({"2": "b", "10": "c", "1": "a"}, f)
+    d = aux_readers.read_json_gz(str(p))
+    assert aux_readers.sorted_json_keys(d) == ["1", "2", "10"]
+
+
+def test_glob_denylist(tmp_path):
+    for name in ("a.json", "b.json", "skipme.json"):
+        (tmp_path / name).write_text("{}")
+    got = aux_readers.glob_with_denylist(str(tmp_path / "*.json"), ["skip"])
+    assert [g.split("/")[-1] for g in got] == ["a.json", "b.json"]
+
+
+def test_yaml_config(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"target": "rkts", "n_subj_buckets": 32, "junk": 1}))
+    cfg = aux_readers.load_yaml_config(str(p))
+    assert cfg.target == "rkts" and cfg.n_subj_buckets == 32

@@ -1,0 +1,110 @@
+"""Training-data operator tests (dedup / similarity / text analysis)."""
+
+import numpy as np
+import pytest
+
+from rkts_migration_ray.functions import text as T
+
+
+def test_minhash_properties():
+    a, b = T.minhash_params()
+    toks1 = "the quick brown fox jumps over the lazy dog again and again".split()
+    toks2 = "the quick brown fox jumps over the lazy cat again and again".split()
+    s1 = T.minhash_signature(T.shingle_hashes(toks1), a, b)
+    s2 = T.minhash_signature(T.shingle_hashes(toks1), a, b)
+    assert np.array_equal(s1, s2)  # deterministic
+    s3 = T.minhash_signature(T.shingle_hashes(toks2), a, b)
+    agree = float((s1 == s3).mean())
+    # similar docs share most minimums; unrelated docs share almost none
+    s4 = T.minhash_signature(T.shingle_hashes("x y z w v u t s r q p o n".split()), a, b)
+    assert agree > float((s1 == s4).mean())
+
+
+def test_simhash_similarity_structure():
+    h1 = T.simhash64("alpha beta gamma delta epsilon zeta".split())
+    h2 = T.simhash64("alpha beta gamma delta epsilon zeta".split())
+    assert h1 == h2
+    h3 = T.simhash64("alpha beta gamma delta epsilon eta".split())
+    h4 = T.simhash64("one two three four five six".split())
+    near = bin(h1 ^ h3).count("1")
+    far = bin(h1 ^ h4).count("1")
+    assert near < far  # hamming distance tracks similarity
+
+
+def test_rolling_fingerprints_int64_safe():
+    fps = T.rolling_fingerprints("a b c d e f g h i j k l".split())
+    assert fps == sorted(fps)
+    assert all(0 <= v < 2 ** 63 for v in fps)
+
+
+def test_dedup_exact_finds_duplicates(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfdup"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same text", "same text", "unique", "same text"]),
+    }), str(d / "documents.parquet"))
+    out = docs.dedup_exact_ds(str(d)).to_pandas().sort_values("keep_doc_id")
+    assert len(out) == 2
+    dup = out[out["n_dups"] == 3].iloc[0]
+    assert dup["keep_doc_id"] == 1
+
+
+def test_knn_brute_matches_numpy(sf_tag):
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.knn_brute_ds(sf_tag).to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"])
+    En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for q in range(docs.KNN_N_QUERIES):
+        sims = En @ En[q]
+        order = [i for i in np.argsort(-sims, kind="stable") if ids[i] != q]
+        want = [int(ids[i]) for i in order[:docs.KNN_K]]
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["neighbor_id"]) == want
+        assert list(g["rank"]) == list(range(1, docs.KNN_K + 1))
+
+
+def test_knn_lsh_subset_of_reasonable(sf_tag):
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.knn_lsh_ds(sf_tag).to_pandas()
+    # approximate: every returned neighbor must be a real vector, ranks dense
+    assert (got["rank"] >= 1).all()
+    assert got.groupby("query_id")["rank"].apply(
+        lambda s: list(s.sort_values()) == list(range(1, len(s) + 1))).all()
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "text_stats", "text_langid",
+                                  "doc_fingerprint", "knn_brute",
+                                  "rel_pricing_summary", "rel_events_window"])
+def test_docs_rel_oracle_parity(sf_tag, name):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from rkts_migration_ray import oracles
+    from rkts_migration_ray.pipelines.docs import resolve_sf_dir
+
+    con = duckdb.connect()
+    sf_dir = resolve_sf_dir(sf_tag)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    ray_df = e.queries()[name](sf_tag).to_pandas()
+    sql_df = con.sql(oracles.doc_rel_oracle_sql()[name]).df()
+    a = ray_df[sorted(ray_df.columns)].sort_values(
+        sorted(ray_df.columns), kind="stable").reset_index(drop=True)
+    b = sql_df[sorted(sql_df.columns)].sort_values(
+        sorted(sql_df.columns), kind="stable").reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
