@@ -66,8 +66,9 @@ def run_bench(num_cpus: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     ds = kg.kg_triples_ds(tag, concurrency=conc)
-    manifest = materialize.write_graph(ds, out_dir, n_buckets=64, resume=False,
-                                       source=fixtures.transcripts_path(tag))
+    manifest = materialize.write_graph_sharded(
+        ds, out_dir, n_buckets=64, resume=False,
+        source=fixtures.transcripts_path(tag))
     headline = time.perf_counter() - t0
     n_triples = int(manifest["rows"].sum())
     timings["kg_triples_materialize"] = round(headline, 3)

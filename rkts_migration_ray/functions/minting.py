@@ -66,6 +66,30 @@ def normalize_catalogue_index(index: str, edition_prefix: str = "") -> str:
     return index
 
 
+URI_TEMPLATES = {
+    # ≈ the %GID/%EID/%SNUM/%CID/%VNUM URL templates of rkts.yaml:2-30,
+    # substituted by the id_to_url_* family (utils.php:68-177)
+    "conv": "C:%CONV",
+    "turn": "U:%CONV/%TURN",
+    "tool": "TOOL:%TOOL",
+    "entity": "ENT:%EID",
+    "graph": "G:%CONV",
+}
+
+
+def mint_from_template(template_key: str, **subs: str) -> str:
+    """Template URI minting (M8): '%NAME' placeholders substituted from
+    kwargs (turn is zero-padded like id_to_str, utils.php:26-37)."""
+    out = URI_TEMPLATES[template_key]
+    for k, v in subs.items():
+        if k == "turn" and not isinstance(v, str):
+            v = f"{int(v):05d}"
+        out = out.replace("%" + k.upper(), str(v))
+    if "%" in out:
+        raise ValueError(f"unsubstituted placeholder in {out!r}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vectorized versions (hot path, Arrow in / Arrow out)
 # ---------------------------------------------------------------------------

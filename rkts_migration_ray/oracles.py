@@ -266,6 +266,15 @@ SELECT conv_id, turn_idx, kind, loc_valid AS valid,
   TRY_CAST(NULLIF(ep['linenum'],'') AS BIGINT) AS elinenum
 FROM w2 WHERE kind IS NOT NULL"""
 
+SEL_ROLE_PIVOT = """
+SELECT conv_id,
+ CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+ CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+ CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+ CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+ CAST(count(*) AS BIGINT) AS n_total
+FROM t GROUP BY conv_id"""
+
 SEL_VALIDATE = """
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
@@ -390,6 +399,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_quarantine": w + SEL_QUARANTINE,
         "kg_location_nodes": w + SEL_LOCNODES,
         "kg_locations": w + SEL_LOCATIONS,
+        "kg_role_pivot": w + SEL_ROLE_PIVOT,
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,
     }

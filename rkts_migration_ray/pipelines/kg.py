@@ -99,6 +99,38 @@ def conv_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     return _conv_stage(features_ds(sf_dir), cfg)
 
 
+ROLES = ["user", "assistant", "tool", "system"]
+
+
+def role_pivot_ds(sf_dir: str):
+    """Grouped pivot (A6 analog, ≈ the correspondence pivot of
+    extractList.php:25-62): per conversation, turn counts spread across one
+    column per role. Bucketed shuffle + vectorized crosstab per bucket."""
+    import pandas as pd
+
+    from ..functions.arrowutils import from_pandas_clean
+    from ..stages.convgroup import add_conv_bucket
+
+    def pivot(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ct = pd.crosstab(df["conv_id"], df["role"])
+        out = pd.DataFrame({"conv_id": ct.index.to_numpy(dtype=object)})
+        for r in ROLES:
+            out["n_" + r] = (ct[r].to_numpy("int64") if r in ct.columns
+                             else 0)
+        out["n_total"] = sum(out["n_" + r] for r in ROLES)
+        schema = pa.schema([("conv_id", pa.string())]
+                           + [("n_" + r, pa.int64()) for r in ROLES]
+                           + [("n_total", pa.int64())])
+        return from_pandas_clean(out, schema=schema)
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id", "role"])
+            .map_batches(add_conv_bucket, batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(pivot, batch_format="pandas"))
+
+
 def location_nodes_ds(sf_dir: str):
     """ContentLocation facet nodes + typed edges (M12 analog) — no shuffle."""
     return features_ds(sf_dir).map_batches(location_triples,

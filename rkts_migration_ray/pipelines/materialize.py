@@ -44,12 +44,17 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
     """Write a triple Dataset → out_dir/bucket=K/part.parquet + manifests.
 
     Returns the (small) manifest summary DataFrame."""
-    import ray
-
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
 
-    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    import ray
+
+    # coalesce before the bucket shuffle: the sort's driver-side metadata and
+    # scheduling cost grow with input block count (upstream unions produce
+    # hundreds of small blocks and streaming repartition splits but never
+    # merges), while too FEW blocks produce multi-GB blocks that stall the
+    # memory budgeter. 8×CPU keeps blocks ~100-400MB across tested scales.
+    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 8)
     ds = triples_ds.repartition(n_blocks).map_batches(
         lambda t: add_bucket(t, n_buckets), batch_format="pyarrow")
     if done:
@@ -95,3 +100,116 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
     })
     return (pd.concat([written, skipped], ignore_index=True)
             .sort_values("bucket").reset_index(drop=True))
+
+
+def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
+                        resume: bool = True, source: str = "") -> pd.DataFrame:
+    """Shuffle-FREE bucket-partitioned write (the scale path).
+
+    Each map task splits its block by subject-hash bucket and writes one
+    content-addressed fragment file per (block, bucket):
+    ``bucket=K/frag-<checksum16>.parquet``. Only tiny per-fragment metadata
+    (bucket, rows, checksum, file) flows back to the driver, which XOR-merges
+    checksums (commutative) and commits one manifest per bucket — files not
+    listed in a committed manifest are stale garbage from interrupted runs
+    and are deleted at commit. Readers must read manifest-listed files only.
+
+    Compared to write_graph (sort-based groupby): zero all-to-all, linear
+    scaling, write amplification 1×; the cost is ~blocks×buckets small files,
+    compacted on demand by compact_bucket() (per-bucket, embarrassingly
+    parallel, no shuffle).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = mf.committed_buckets(out_dir) if resume else {}
+    done_set = frozenset(done)
+
+    def write_frags(t: pa.Table) -> pa.Table:
+        t = add_bucket(t, n_buckets)
+        out = {"bucket": [], "rows": [], "checksum": [], "file": []}
+        buckets = t["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        sb = sorted_t["bucket"].to_numpy()
+        edges = np.concatenate([[0], np.nonzero(np.diff(sb))[0] + 1, [len(sb)]])
+        for i in range(len(edges) - 1):
+            lo, hi = int(edges[i]), int(edges[i + 1])
+            b = int(sb[lo])
+            if b in done_set:
+                continue
+            frag = sorted_t.slice(lo, hi - lo).select(TRIPLE_COLUMNS)
+            csum = mf.content_checksum(frag, TRIPLE_COLUMNS)
+            bdir = os.path.join(out_dir, f"bucket={b:05d}")
+            os.makedirs(bdir, exist_ok=True)
+            fname = f"frag-{csum}.parquet"
+            final = os.path.join(bdir, fname)
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(frag, tmp)
+            os.rename(tmp, final)
+            out["bucket"].append(b)
+            out["rows"].append(hi - lo)
+            out["checksum"].append(csum)
+            out["file"].append(os.path.join(f"bucket={b:05d}", fname))
+        return pa.table({"bucket": pa.array(out["bucket"], pa.int32()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "checksum": pa.array(out["checksum"], pa.string()),
+                         "file": pa.array(out["file"], pa.string())})
+
+    frag_meta = (triples_ds.map_batches(write_frags, batch_format="pyarrow")
+                 .to_pandas())
+    rows_out = []
+    for b, g in frag_meta.groupby("bucket"):
+        acc = 0
+        for c in g["checksum"]:
+            acc ^= int(c, 16)
+        files = sorted(g["file"])
+        meta = {"bucket": int(b), "file": files[0], "files": files,
+                "rows": int(g["rows"].sum()), "checksum": f"{acc:016x}",
+                "source": source}
+        # stale fragments from interrupted runs: anything not in the manifest
+        bdir = os.path.join(out_dir, f"bucket={int(b):05d}")
+        keep = {os.path.basename(f) for f in files}
+        for name in os.listdir(bdir):
+            if name.startswith("frag-") and name not in keep:
+                os.remove(os.path.join(bdir, name))
+        mf.write_manifest(out_dir, int(b), meta)
+        rows_out.append({"bucket": int(b), "rows": meta["rows"],
+                         "checksum": meta["checksum"], "skipped": False})
+    for b, m in done.items():
+        rows_out.append({"bucket": b, "rows": m["rows"],
+                         "checksum": m["checksum"], "skipped": True})
+    return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
+
+
+def read_graph(out_dir: str):
+    """Read a committed graph back as a Dataset — manifest-listed files only
+    (fragments not in a committed manifest are stale and must be ignored)."""
+    import ray.data as rd
+
+    done = mf.committed_buckets(out_dir)
+    paths = []
+    for meta in done.values():
+        paths.extend(os.path.join(out_dir, f)
+                     for f in meta.get("files", [meta["file"]]))
+    return rd.read_parquet(sorted(paths))
+
+
+def compact_bucket(out_dir: str, bucket: int) -> None:
+    """Optional compaction: merge a committed bucket's fragments into one
+    file and re-commit (content checksum unchanged — order-insensitive)."""
+    done = mf.committed_buckets(out_dir)
+    meta = done[bucket]
+    bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
+    files = meta.get("files", [meta["file"]])
+    table = pa.concat_tables([pq.read_table(os.path.join(out_dir, f))
+                              for f in files])
+    final = os.path.join(bdir, "part.parquet")
+    tmp = final + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
+    new_meta = dict(meta, file=os.path.join(f"bucket={bucket:05d}", "part.parquet"),
+                    files=[os.path.join(f"bucket={bucket:05d}", "part.parquet")])
+    mf.write_manifest(out_dir, bucket, new_meta)
+    for f in files:
+        p = os.path.join(out_dir, f)
+        if os.path.basename(p) != "part.parquet" and os.path.exists(p):
+            os.remove(p)

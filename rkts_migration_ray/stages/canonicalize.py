@@ -47,6 +47,28 @@ def distinct_on(ds, key: str, salt: int = 1):
     return out.groupby(key).map_groups(head1, batch_format="pandas")
 
 
+def broadcast_semi_join(ds, column: str, keyset, prefixes: tuple[str, ...] = ("",)):
+    """Semi-join against a broadcast key set with prefix tolerance.
+
+    ≈ the loc `set`-filter (utils.php:583-592): a child is kept when
+    set == eid OR 'M'+set == eid OR 'MW'+set == eid. Here: a row survives
+    when any prefix+value is in the broadcast set. The set ships once via
+    ray.put; the filter is a vectorized isin per batch (no shuffle)."""
+    import ray
+
+    ref = ray.put(frozenset(keyset))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        mask = None
+        for p in prefixes:
+            m = (p + df[column].astype(str)).isin(ks)
+            mask = m if mask is None else (mask | m)
+        return df[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def add_triple_key(df: pd.DataFrame) -> pd.DataFrame:
     """Content key for triple-level exact dedup (sha-free: concat is enough
     for grouping; the groupby key never leaves the job)."""

@@ -1,0 +1,65 @@
+"""Shuffle-free sharded graph writer: identity with the shuffle writer,
+resume, stale-fragment cleanup, compaction, manifest-scoped read-back."""
+
+import os
+import shutil
+
+import pandas as pd
+
+from rkts_migration_ray.pipelines import kg, materialize
+from rkts_migration_ray.state import manifest as mf
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def test_sharded_matches_shuffle_writer(sf_tag, tmp_path):
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ma = materialize.write_graph(kg.structural_ds(sf_tag, True), a_dir,
+                                 n_buckets=8, resume=False)
+    mb = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), b_dir,
+                                         n_buckets=8, resume=False)
+    assert int(ma["rows"].sum()) == int(mb["rows"].sum())
+    # same per-bucket checksums (order-insensitive, writer-independent)
+    assert dict(zip(ma["bucket"], ma["checksum"])) == dict(zip(mb["bucket"], mb["checksum"]))
+    da = norm(materialize.read_graph(a_dir).to_pandas())
+    db = norm(materialize.read_graph(b_dir).to_pandas())
+    pd.testing.assert_frame_equal(da, db)
+
+
+def test_sharded_resume_and_stale_cleanup(sf_tag, tmp_path):
+    out = str(tmp_path / "g")
+    m1 = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), out,
+                                         n_buckets=8, resume=False)
+    total = int(m1["rows"].sum())
+    sums = dict(zip(m1["bucket"], m1["checksum"]))
+    # simulate a partial failure: drop two buckets' manifests + plant a stale frag
+    for b in (1, 4):
+        os.remove(mf.manifest_path(out, b))
+    stale = os.path.join(out, "bucket=00001", "frag-deadbeefdeadbeef.parquet")
+    open(stale, "wb").write(b"junk")
+    m2 = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), out,
+                                         n_buckets=8, resume=True)
+    assert int(m2["rows"].sum()) == total
+    assert dict(zip(m2["bucket"], m2["checksum"])) == sums
+    assert set(m2[m2["skipped"]]["bucket"]) == set(m1["bucket"]) - {1, 4}
+    assert not os.path.exists(stale)  # stale fragment removed at commit
+    df = materialize.read_graph(out).to_pandas()
+    assert len(df) == total
+
+
+def test_compact_bucket(sf_tag, tmp_path):
+    out = str(tmp_path / "g")
+    m1 = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), out,
+                                         n_buckets=4, resume=False)
+    before = norm(materialize.read_graph(out).to_pandas())
+    for b in m1["bucket"]:
+        materialize.compact_bucket(out, int(b))
+    done = mf.committed_buckets(out)
+    assert all(len(m["files"]) == 1 for m in done.values())
+    assert dict(zip(m1["bucket"], m1["checksum"])) == {
+        b: m["checksum"] for b, m in done.items()}
+    after = norm(materialize.read_graph(out).to_pandas())
+    pd.testing.assert_frame_equal(before, after)
