@@ -199,14 +199,16 @@ def _checkpoint(ds, path: str):
 
 def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
               concurrency: int = 8, ckpt_root: str | None = None,
-              checkpoint_features: bool = False) -> dict:
-    """All triple streams; the linked-mentions stage is always checkpointed
-    (it feeds two branches through an actor pool — recomputing it would spin
-    a second pool). The feature extraction is recomputed per branch by
-    default: it is stateless, fully parallel, and cheaper than the
-    write-barrier + re-read of a features checkpoint (measured at sf0.1);
-    pass checkpoint_features=True to trade recompute for the barrier (e.g.
-    when extraction dominates, or to persist the stage for resume)."""
+              checkpoint_features: bool = False,
+              checkpoint_linked: bool = False) -> dict:
+    """All triple streams, checkpoint-free by default.
+
+    Shared subtrees (extraction; explode+link) are recomputed per consuming
+    branch: they are stateless+deterministic, fully parallel, and measurably
+    cheaper than a write-barrier + re-read (a checkpoint serializes the DAG
+    and adds an extra executor round). Set checkpoint_features /
+    checkpoint_linked to trade recompute for persisted stage outputs (useful
+    when extraction dominates or for coarse resume of the feature stage)."""
     import tempfile
 
     root = ckpt_root or tempfile.mkdtemp(prefix="graft_ckpt_")
@@ -227,7 +229,8 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                            fn_constructor_kwargs={"gaz_ref": gaz_ref,
                                                   "alias_ref": alias_ref},
                            concurrency=(1, concurrency)))
-    linked = _checkpoint(linked, f"{root}/linked")
+    if checkpoint_linked:
+        linked = _checkpoint(linked, f"{root}/linked")
     ments = linked.map_batches(mention_triples, batch_format="pyarrow")
     ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
             .repartition(8)  # post-combiner stream is tiny; shrink the sort
