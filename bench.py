@@ -65,9 +65,9 @@ def run_bench(num_cpus: int) -> dict:
     out_dir = f"/tmp/graft_bench_out/{tag}-{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = kg.kg_triples_ds(tag, concurrency=conc)
-    manifest = materialize.write_graph_sharded(
-        ds, out_dir, n_buckets=64, resume=False,
+    streams = kg.kg_bundle(tag, concurrency=conc, checkpoint_linked=True)
+    manifest = materialize.write_graph_streams(
+        streams, out_dir, n_buckets=64, resume=False,
         source=fixtures.transcripts_path(tag))
     headline = time.perf_counter() - t0
     n_triples = int(manifest["rows"].sum())

@@ -184,6 +184,16 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
     return out
 
 
+def _entity_emit_fn(props_ref):
+    """Stateless-task wrapper around EntityEmitter (ray.get of the broadcast
+    props dict is ~ms per task; plasma caches the object per node)."""
+
+    def emit(batch):
+        return EntityEmitter(props_ref=props_ref)(batch)
+
+    return emit
+
+
 def _checkpoint(ds, path: str):
     """Materialize a stage boundary as Parquet and re-read it.
 
@@ -232,13 +242,15 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     if checkpoint_linked:
         linked = _checkpoint(linked, f"{root}/linked")
     ments = linked.map_batches(mention_triples, batch_format="pyarrow")
+    # EntityEmitter runs as STATELESS tasks here (props dict is small; a
+    # third actor pool in one execution starves low-CPU schedules — observed
+    # executor wedge at num_cpus=8). The actor-pool variant stays available
+    # via entity_triples_ds for gazetteer-scale state.
     ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
             .repartition(8)  # post-combiner stream is tiny; shrink the sort
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas")
-            .map_batches(EntityEmitter, batch_format="pyarrow",
-                         fn_constructor_kwargs={"props_ref": props_ref},
-                         concurrency=(1, min(4, concurrency))))
+            .map_batches(_entity_emit_fn(props_ref), batch_format="pyarrow"))
     return {"structural": structural, "locnodes": locnodes, "conv": conv,
             "mentions": ments, "entities": ents, "ckpt_root": root}
 
@@ -256,8 +268,12 @@ def quarantine_ds(sf_dir: str, concurrency: int = 8):
 
 def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                   concurrency: int = 8):
-    """Full graph: structural ∪ conv-window ∪ mentions ∪ entities (plus the
-    quarantine graph, separated only by its graph name)."""
-    b = kg_bundle(sf_dir, cfg, concurrency=concurrency)
+    """Full graph: structural ∪ locations ∪ conv-window ∪ mentions ∪
+    entities (plus the quarantine graph, separated only by its graph name).
+
+    The linked-mentions stage is checkpointed so exactly ONE linker actor
+    pool exists per execution — two pools plus the grouped stages wedge the
+    scheduler at low CPU counts (observed at num_cpus=8)."""
+    b = kg_bundle(sf_dir, cfg, concurrency=concurrency, checkpoint_linked=True)
     return b["structural"].union(b["locnodes"], b["conv"], b["mentions"],
                                  b["entities"])

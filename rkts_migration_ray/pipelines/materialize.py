@@ -102,6 +102,97 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
             .sort_values("bucket").reset_index(drop=True))
 
 
+def write_fragments(triples_ds, out_dir: str, n_buckets: int,
+                    stream_tag: str, skip_buckets=frozenset()) -> pd.DataFrame:
+    """Map-only fragment write for ONE triple stream (no shuffle, no union).
+
+    Returns the small per-fragment metadata frame; commit_manifests() merges
+    the frames of all streams into per-bucket manifests. Running each stream
+    as its own simple execution avoids the multi-branch union DAGs that wedge
+    the streaming executor at low CPU counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    done_set = frozenset(skip_buckets)
+
+    def write_frags(t: pa.Table) -> pa.Table:
+        t = add_bucket(t, n_buckets)
+        out = {"bucket": [], "rows": [], "checksum": [], "file": []}
+        buckets = t["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        sb = sorted_t["bucket"].to_numpy()
+        edges = np.concatenate([[0], np.nonzero(np.diff(sb))[0] + 1, [len(sb)]])
+        for i in range(len(edges) - 1):
+            lo, hi = int(edges[i]), int(edges[i + 1])
+            b = int(sb[lo])
+            if b in done_set:
+                continue
+            frag = sorted_t.slice(lo, hi - lo).select(TRIPLE_COLUMNS)
+            csum = mf.content_checksum(frag, TRIPLE_COLUMNS)
+            bdir = os.path.join(out_dir, f"bucket={b:05d}")
+            os.makedirs(bdir, exist_ok=True)
+            fname = f"frag-{stream_tag}-{csum}.parquet"
+            final = os.path.join(bdir, fname)
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(frag, tmp)
+            os.rename(tmp, final)
+            out["bucket"].append(b)
+            out["rows"].append(hi - lo)
+            out["checksum"].append(csum)
+            out["file"].append(os.path.join(f"bucket={b:05d}", fname))
+        return pa.table({"bucket": pa.array(out["bucket"], pa.int32()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "checksum": pa.array(out["checksum"], pa.string()),
+                         "file": pa.array(out["file"], pa.string())})
+
+    return (triples_ds.map_batches(write_frags, batch_format="pyarrow")
+            .to_pandas())
+
+
+def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
+                     done: dict, source: str = "") -> pd.DataFrame:
+    """Merge fragment metadata of all streams → one manifest per bucket
+    (XOR-combined checksum, commutative) + stale-fragment cleanup."""
+    frag_meta = (pd.concat(frag_metas, ignore_index=True) if frag_metas
+                 else pd.DataFrame(columns=["bucket", "rows", "checksum", "file"]))
+    rows_out = []
+    for b, g in frag_meta.groupby("bucket"):
+        acc = 0
+        for c in g["checksum"]:
+            acc ^= int(c, 16)
+        files = sorted(g["file"])
+        meta = {"bucket": int(b), "file": files[0], "files": files,
+                "rows": int(g["rows"].sum()), "checksum": f"{acc:016x}",
+                "source": source}
+        bdir = os.path.join(out_dir, f"bucket={int(b):05d}")
+        keep = {os.path.basename(f) for f in files}
+        for name in os.listdir(bdir):
+            if name.startswith("frag-") and name not in keep:
+                os.remove(os.path.join(bdir, name))
+        mf.write_manifest(out_dir, int(b), meta)
+        rows_out.append({"bucket": int(b), "rows": meta["rows"],
+                         "checksum": meta["checksum"], "skipped": False})
+    for b, m in done.items():
+        rows_out.append({"bucket": b, "rows": m["rows"],
+                         "checksum": m["checksum"], "skipped": True})
+    return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
+
+
+def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
+                        resume: bool = True, source: str = "") -> pd.DataFrame:
+    """Materialize a dict of triple streams (kg.kg_bundle output) stream-by-
+    stream: each stream is one simple map-only execution; manifests commit
+    once at the end. This is the headline write path."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = mf.committed_buckets(out_dir) if resume else {}
+    metas = []
+    for tag, ds in streams.items():
+        if tag == "ckpt_root":
+            continue
+        metas.append(write_fragments(ds, out_dir, n_buckets, tag,
+                                     skip_buckets=frozenset(done)))
+    return commit_manifests(out_dir, metas, done, source)
+
+
 def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
                         resume: bool = True, source: str = "") -> pd.DataFrame:
     """Shuffle-FREE bucket-partitioned write (the scale path).

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure kernel layer."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rkts_migration_ray.functions import minting, normalize
+
+ascii_text = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                     max_size=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(ascii_text, max_size=20))
+def test_add_shad_vectorized_equals_scalar(xs):
+    got = normalize.add_shad_array(pa.array(xs, pa.string())).to_pylist()
+    assert got == [normalize.add_shad(x) for x in xs]
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text)
+def test_add_shad_idempotent_prefix(s):
+    # add_shad only ever appends '/' or ' /' — never mutates the input prefix
+    out = normalize.add_shad(s)
+    assert out.startswith(s)
+    assert out[len(s):] in ("", "/", " /")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789abcdefghij", min_size=0, max_size=12))
+def test_pad_id_roundtrip(s):
+    out = minting.pad_id(s)
+    # zero-padded numeric prefix + untouched suffix; strips to the original int
+    n = 0
+    while n < len(s) and s[n].isdigit():
+        n += 1
+    assert out.endswith(s[n:])
+    assert int(out[:max(4, n)] or 0) == int(s[:n] or 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(ascii_text, ascii_text)
+def test_minting_is_injective_in_content(a, b):
+    ma = minting.mint_hash6("local", a)
+    mb = minting.mint_hash6("local", b)
+    if a == b:
+        assert ma == mb
+    assert len(ma) == 6 and ma == ma.upper()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(ascii_text, ascii_text), max_size=10))
+def test_mint_node_array_matches_scalar(pairs):
+    local = pa.array([p[0] or "x" for p in pairs], pa.string())
+    content = pa.array([p[1] for p in pairs], pa.string())
+    got = minting.mint_node_array("TT", local, content).to_pylist()
+    want = [minting.mint_node("TT", lo or "x", co) for (lo, co) in pairs]
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(ascii_text, max_size=15))
+def test_title_dedup_key_case_sep_insensitive(xs):
+    keys = normalize.title_dedup_key(pa.array(xs, pa.string())).to_pylist()
+    for x, k in zip(xs, keys):
+        variant = x.upper().replace(" ", "-")
+        k2 = normalize.title_dedup_key(pa.array([variant], pa.string()))[0].as_py()
+        assert k2 == k
