@@ -106,9 +106,14 @@ def main() -> None:
         fixtures.ensure_fixture(scaling_tag)  # generate once, outside timing
         os.environ["GRAFT_SF_DIR"] = f"/root/testdata/{scaling_tag}"
         os.environ["GRAFT_HEADLINE_ONLY"] = "1"
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
         lo_cpus, hi_cpus = 8, 32
-        lo = run_fresh(lo_cpus)
-        hi = run_fresh(hi_cpus)
+        # best-of-N per level: single-run wall time has ±10% machine noise,
+        # which the 4x ratio amplifies; min is the standard de-noiser
+        lo_runs = [run_fresh(lo_cpus) for _ in range(trials)]
+        hi_runs = [run_fresh(hi_cpus) for _ in range(trials)]
+        lo = min(lo_runs, key=lambda r: r["value"])
+        hi = min(hi_runs, key=lambda r: r["value"])
         tput_lo = lo["triples_per_sec"]
         tput_hi = hi["triples_per_sec"]
         eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
@@ -122,6 +127,8 @@ def main() -> None:
             "throughput_lo": tput_lo,
             "throughput_hi": tput_hi,
             "cpus": [lo_cpus, hi_cpus],
+            "trials": {f"sec_{lo_cpus}": [r["value"] for r in lo_runs],
+                       f"sec_{hi_cpus}": [r["value"] for r in hi_runs]},
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
