@@ -33,8 +33,10 @@ def run_bench(num_cpus: int) -> dict:
     tag = fixtures.tag_of(sf_dir)
     fixtures.ensure_fixture(tag)
 
+    obj_store = int(float(os.environ.get("RAY_GRAFT_OBJ_STORE_GB", "60")) * 1e9)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=obj_store)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
