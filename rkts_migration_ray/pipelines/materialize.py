@@ -177,19 +177,34 @@ def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
     return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
 
 
+MAP_ONLY_STREAMS = ("structural", "locnodes", "mentions")
+
+
 def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
                         resume: bool = True, source: str = "") -> pd.DataFrame:
-    """Materialize a dict of triple streams (kg.kg_bundle output) stream-by-
-    stream: each stream is one simple map-only execution; manifests commit
-    once at the end. This is the headline write path."""
+    """Materialize a dict of triple streams (kg.kg_bundle output); manifests
+    commit once at the end. This is the headline write path.
+
+    Pure MAP-ONLY streams (no sort, no actor pool downstream) are safe to
+    union into a single execution — each saved execution is ~2-3s of fixed
+    executor overhead, which dominates the high-CPU wall time. Streams with
+    shuffles (conv windows, entity merge) each run as their own simple
+    execution: mixing sorts + actor pools + union in one DAG wedges the
+    streaming executor at low CPU counts (observed repeatedly at 8 CPUs)."""
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
+    skip = frozenset(done)
     metas = []
+    maponly = [streams[t] for t in MAP_ONLY_STREAMS if t in streams]
+    if maponly:
+        merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
+        metas.append(write_fragments(merged, out_dir, n_buckets, "maponly",
+                                     skip_buckets=skip))
     for tag, ds in streams.items():
-        if tag == "ckpt_root":
+        if tag in MAP_ONLY_STREAMS or tag == "ckpt_root":
             continue
         metas.append(write_fragments(ds, out_dir, n_buckets, tag,
-                                     skip_buckets=frozenset(done)))
+                                     skip_buckets=skip))
     return commit_manifests(out_dir, metas, done, source)
 
 
