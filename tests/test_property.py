@@ -1,7 +1,7 @@
 """Property-based tests (hypothesis) for the pure kernel layer."""
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from rkts_migration_ray.functions import minting, normalize
@@ -28,14 +28,21 @@ def test_add_shad_idempotent_prefix(s):
 
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet="0123456789abcdefghij", min_size=0, max_size=12))
+@example("00000a")  # regression: %04d collapses '00000' to '0000'
 def test_pad_id_roundtrip(s):
     out = minting.pad_id(s)
-    # zero-padded numeric prefix + untouched suffix; strips to the original int
+    # zero-padded numeric prefix + untouched suffix; strips to the original int.
+    # The padded digit prefix of `out` is whatever precedes the (unchanged)
+    # non-digit suffix — its length may be shorter than the input digit run
+    # when the input had excess leading zeros ('00000a' -> '0000a').
     n = 0
     while n < len(s) and s[n].isdigit():
         n += 1
-    assert out.endswith(s[n:])
-    assert int(out[:max(4, n)] or 0) == int(s[:n] or 0)
+    suffix = s[n:]
+    assert out.endswith(suffix)
+    digit_prefix = out[: len(out) - len(suffix)]
+    assert digit_prefix.isdigit() or digit_prefix == ""
+    assert int(digit_prefix or 0) == int(s[:n] or 0)
 
 
 @settings(max_examples=100, deadline=None)
