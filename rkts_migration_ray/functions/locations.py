@@ -33,18 +33,27 @@ PATTERN_LOC_SIMPLE = (
     r"^(?P<bvolnum>\d+)\.(?P<bpagenum>\d+)\?, ?- ?(?P<evolnum>\d+)\.(?P<epagenum>\d+)$"
 )
 
-# allowed_vol_letters (utils.php:562) — the validation whitelist; kept as a
-# frozenset; the fixture generator draws valid letters from a subset and
-# injects out-of-list letters to exercise the quarantine path.
-ALLOWED_VOL_LETTERS = frozenset(
-    "ka kha ga nga ca cha ja nya ta tha da na pa pha ba ma a wa za zha 'a dza "
-    "tsha tsa ya ra sha ha aM aH e waM sa la shrI ki khi gi ngi ci chi ji nyi "
-    "ti thi di ni pi phi bi mi tsi tshi dzu wi zhi zi 'i yi ri li shi si i ku "
-    "khu gu ngu cu chu ju nyu tu thu du nu pu phu bu mu tsu tshu hi wu zhu 'u "
-    "ru lu shu su hu u ke ge nge ce che je te de pe phe tshe dze we zhe ze ye "
-    "re le she se he ko ngo co jo nyo to tho no po zu yu A khe nye the ne tse "
-    "'e kho go cho do pho bo mo oM wam".split()
-)
+# allowed_vol_letters (utils.php:562) — the validation whitelist, VERBATIM
+# from the reference (141 entries incl. the empty string); round-1 advice
+# caught a transcription drift ('dzi' missing, spurious 'wam'). The fixture
+# generator draws valid letters from a subset and injects out-of-list letters
+# to exercise the quarantine path; tests/test_locations.py re-diffs this set
+# against the reference list.
+ALLOWED_VOL_LETTERS = frozenset([
+    "ka", "kha", "ga", "nga", "ca", "cha", "ja", "nya", "ta", "tha", "da",
+    "na", "pa", "pha", "ba", "ma", "a", "wa", "za", "zha", "'a", "dza",
+    "tsha", "tsa", "ya", "ra", "sha", "ha", "aM", "aH", "e", "waM", "sa",
+    "la", "shrI", "ki", "khi", "gi", "ngi", "ci", "chi", "ji", "nyi", "ti",
+    "thi", "di", "ni", "pi", "phi", "bi", "mi", "tsi", "tshi", "dzi", "wi",
+    "zhi", "zi", "'i", "yi", "ri", "li", "shi", "si", "i", "ku", "khu", "gu",
+    "ngu", "cu", "chu", "ju", "nyu", "tu", "thu", "du", "nu", "pu", "phu",
+    "bu", "mu", "tsu", "tshu", "hi", "dzu", "wu", "zhu", "'u", "ru", "lu",
+    "shu", "su", "hu", "u", "ke", "ge", "nge", "ce", "che", "je", "te", "de",
+    "pe", "phe", "tshe", "dze", "we", "zhe", "ze", "ye", "re", "le", "she",
+    "se", "he", "ko", "ngo", "co", "jo", "nyo", "to", "tho", "no", "po",
+    "zu", "yu", "A", "khe", "nye", "the", "ne", "tse", "'e", "kho", "go",
+    "cho", "do", "pho", "bo", "mo", "", "oM",
+])
 
 LOC_FIELDS = [
     ("section", pa.string()),

@@ -16,7 +16,12 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-PG_RE = re.compile(r"^(?P<folio>\d+)(?P<dup>x?)(?P<side>[ab]?)$")
+# verbatim reference grammar (migrate-bvm.py:14): folio is 'x' (wildcard) or
+# digits; duplicate mark is a run of apostrophes; side letter is MANDATORY;
+# optional uncertainty '?' and detail '(dN)' suffixes don't affect ordering.
+PG_RE = re.compile(
+    r"^(?P<folionum>x|\d+)(?P<duplind>'*)(?P<side>[ab])"
+    r"(?P<certaintyind>\??)(?P<detailind>\(d\d*\))?")
 
 
 def folio_side_to_pagenum(folio: int, side: str, one_a: int = 1,
@@ -30,23 +35,38 @@ def folio_side_to_pagenum(folio: int, side: str, one_a: int = 1,
     return 2 * (eff - 1) + one_a + (1 if side == "b" else 0)
 
 
-def parse_pagination_token(tok: str) -> tuple[int, int, int] | None:
-    """'107a' → (107, 0, 0); '107xb' → (107, 1, 1); None if unparsable."""
+def parse_pagination_token(tok: str) -> tuple[int | None, str, str] | None:
+    """'107a' → (107, '', 'a'); "107''b?" → (107, "''", 'b');
+    'xa' → (None, '', 'a') (wildcard folio); None if unparsable."""
     m = PG_RE.match(tok)
     if not m:
         return None
-    return (int(m.group("folio")), 1 if m.group("dup") else 0,
-            0 if m.group("side") in ("", "a") else 1)
+    f = m.group("folionum")
+    return (None if f == "x" else int(f), m.group("duplind"), m.group("side"))
+
+
+def _strcmp(a: str, b: str) -> int:
+    return (a > b) - (a < b)
 
 
 def compare_pagination(a: str, b: str) -> int:
-    """comparepg semantics (migrate-bvm.py:58-76): lexicographic on
-    (folio, dup-mark, side); unparsable tokens compare equal (0) so they
-    don't poison monotonicity validation."""
+    """comparepg semantics (migrate-bvm.py:58-76): equal strings → 0;
+    unparsable tokens or a wildcard 'x' folio on either side compare equal
+    (so they don't poison monotonicity validation); else folio int, then
+    apostrophe duplicate-mark strcmp, then side strcmp."""
+    if a == b:
+        return 0
     ta, tb = parse_pagination_token(a), parse_pagination_token(b)
     if ta is None or tb is None:
         return 0
-    return (ta > tb) - (ta < tb)
+    if ta[0] is None or tb[0] is None:
+        return 0
+    if ta[0] != tb[0]:
+        return ta[0] - tb[0]
+    d = _strcmp(ta[1], tb[1])
+    if d != 0:
+        return d
+    return _strcmp(ta[2], tb[2])
 
 
 class PaginationCache:

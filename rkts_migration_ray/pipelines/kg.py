@@ -26,9 +26,9 @@ from ..stages.convgroup import (
     CONV_GROUP_COLUMNS,
     add_conv_bucket,
     conv_bucket_triples,
+    conv_buckets,
 )
 from ..stages.extract import (
-    explode_mentions,
     extract_features,
     location_triples,
     structural_triples,
@@ -37,11 +37,18 @@ from ..stages.linking import (
     EntityEmitter,
     MentionLinker,
     dedup_entities,
+    entity_buckets,
     entity_rows,
     mention_triples,
 )
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _ncpu() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
 def features_ds(sf_dir: str, columns: list[str] | None = None):
@@ -86,9 +93,12 @@ def structural_ds(sf_dir: str, include_quarantine: bool = False):
 
 
 def _conv_stage(feats, cfg: PipelineConfig):
-    """Shuffle #1 (key: conv-hash bucket) + vectorized per-conv windows."""
+    """Shuffle #1 (key: conv-hash bucket) + vectorized per-conv windows.
+    Fan-out resolved ONCE on the driver (scales with cluster CPUs)."""
     return (feats.select_columns(CONV_GROUP_COLUMNS)
-            .map_batches(add_conv_bucket, batch_format="pyarrow")
+            .map_batches(add_conv_bucket,
+                         fn_kwargs={"n_buckets": conv_buckets()},
+                         batch_format="pyarrow")
             .groupby("conv_bucket")
             .map_groups(lambda df: conv_bucket_triples(
                 df, one_title_per_lang=cfg.one_title_per_lang),
@@ -126,7 +136,9 @@ def role_pivot_ds(sf_dir: str):
         return from_pandas_clean(out, schema=schema)
 
     return (readers.read_transcripts(sf_dir, columns=["conv_id", "role"])
-            .map_batches(add_conv_bucket, batch_format="pyarrow")
+            .map_batches(add_conv_bucket,
+                         fn_kwargs={"n_buckets": conv_buckets()},
+                         batch_format="pyarrow")
             .groupby("conv_bucket")
             .map_groups(pivot, batch_format="pandas"))
 
@@ -148,14 +160,16 @@ def _broadcast_lookups(sf_dir: str):
 
 
 def linked_mentions_ds(sf_dir: str, concurrency: int = 8):
+    """Fused explode+link (exact per-turn dedup inside the actor call — a
+    turn's mention rows never straddle a batch boundary)."""
     gaz_ref, alias_ref, _ = _broadcast_lookups(sf_dir)
-    ments = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text", "role",
+    feats = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text", "role",
                                           "tool", "ts"])
-             .select_columns(["conv_id", "turn_idx", "mentions"])
-             .map_batches(explode_mentions, batch_format="pyarrow"))
-    return ments.map_batches(
+             .select_columns(["conv_id", "turn_idx", "mentions"]))
+    return feats.map_batches(
         MentionLinker, batch_format="pyarrow",
-        fn_constructor_kwargs={"gaz_ref": gaz_ref, "alias_ref": alias_ref},
+        fn_constructor_kwargs={"gaz_ref": gaz_ref, "alias_ref": alias_ref,
+                               "explode": True},
         concurrency=(1, concurrency))
 
 
@@ -170,8 +184,11 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
     enrichment edges from the broadcast props map (J3/J4 + ST5→groupby)."""
     _, _, props_ref = _broadcast_lookups(sf_dir)
     ents = (linked_mentions_ds(sf_dir, concurrency)
-            .map_batches(entity_rows, batch_format="pyarrow")
-            .repartition(8)  # post-combiner stream is tiny; shrink the sort
+            .map_batches(entity_rows,
+                         fn_kwargs={"n_buckets": entity_buckets()},
+                         batch_format="pyarrow")
+            # post-combiner stream is tiny; shrink the sort (scales with CPUs)
+            .repartition(max(8, _ncpu() // 4))
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas"))
     out = ents.map_batches(EntityEmitter, batch_format="pyarrow",
@@ -192,6 +209,24 @@ def _entity_emit_fn(props_ref):
         return EntityEmitter(props_ref=props_ref)(batch)
 
     return emit
+
+
+_CKPT_ROOT: str | None = None
+
+
+def _session_ckpt_root() -> str:
+    """Lazily create ONE checkpoint scratch dir per driver process; each
+    kg_bundle call gets a fresh subdirectory, all removed at exit."""
+    global _CKPT_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _CKPT_ROOT is None or not os.path.isdir(_CKPT_ROOT):
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="graft_ckpt_")
+        atexit.register(shutil.rmtree, _CKPT_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(dir=_CKPT_ROOT)
 
 
 def _checkpoint(ds, path: str):
@@ -219,9 +254,12 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     and adds an extra executor round). Set checkpoint_features /
     checkpoint_linked to trade recompute for persisted stage outputs (useful
     when extraction dominates or for coarse resume of the feature stage)."""
-    import tempfile
-
-    root = ckpt_root or tempfile.mkdtemp(prefix="graft_ckpt_")
+    root = None
+    if checkpoint_features or checkpoint_linked:
+        # one process-wide checkpoint root, removed at interpreter exit —
+        # round-1 advice: an unconditional mkdtemp per invocation leaked a
+        # parquet copy of the linked stage to /tmp on every entry() call
+        root = ckpt_root or _session_ckpt_root()
     feats = features_ds(sf_dir)
     if checkpoint_features:
         feats = _checkpoint(feats, f"{root}/features")
@@ -234,10 +272,10 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
     linked = (feats.select_columns(["conv_id", "turn_idx", "mentions"])
-              .map_batches(explode_mentions, batch_format="pyarrow")
               .map_batches(MentionLinker, batch_format="pyarrow",
                            fn_constructor_kwargs={"gaz_ref": gaz_ref,
-                                                  "alias_ref": alias_ref},
+                                                  "alias_ref": alias_ref,
+                                                  "explode": True},
                            concurrency=(1, concurrency)))
     if checkpoint_linked:
         linked = _checkpoint(linked, f"{root}/linked")
@@ -246,8 +284,11 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     # third actor pool in one execution starves low-CPU schedules — observed
     # executor wedge at num_cpus=8). The actor-pool variant stays available
     # via entity_triples_ds for gazetteer-scale state.
-    ents = (linked.map_batches(entity_rows, batch_format="pyarrow")
-            .repartition(8)  # post-combiner stream is tiny; shrink the sort
+    ents = (linked.map_batches(entity_rows,
+                               fn_kwargs={"n_buckets": entity_buckets()},
+                               batch_format="pyarrow")
+            # post-combiner stream is tiny; shrink the sort (scales with CPUs)
+            .repartition(max(8, _ncpu() // 4))
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas")
             .map_batches(_entity_emit_fn(props_ref), batch_format="pyarrow"))

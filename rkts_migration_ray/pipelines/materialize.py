@@ -21,7 +21,6 @@ grows with input block count).
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -29,14 +28,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import TRIPLE_COLUMNS
+from ..functions.arrowutils import hash_bucket
 from ..state import manifest as mf
 
 
 def add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
-    subj = batch["subj"].to_pylist()
-    buckets = np.fromiter((zlib.crc32(s.encode()) % n_buckets for s in subj),
-                          dtype=np.int32, count=len(subj))
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    return batch.append_column("bucket", hash_bucket(batch["subj"], n_buckets))
 
 
 def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,

@@ -24,8 +24,6 @@ conv_id, turn_idx), never block-arrival order.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,7 +45,7 @@ from ..config import (
     T_SECTION,
     TRIPLE_COLUMNS,
 )
-from ..functions.arrowutils import from_pandas_clean
+from ..functions.arrowutils import from_pandas_clean, hash_bucket, scale_buckets
 from ..functions.minting import mint_hash6
 
 CONV_GROUP_COLUMNS = [
@@ -55,14 +53,17 @@ CONV_GROUP_COLUMNS = [
     "title_bcp", "title_label", "title_key",
 ]
 
-N_CONV_BUCKETS = 256  # shuffle-key fanout; ≥ cluster parallelism, ≪ #convs
+N_CONV_BUCKETS = 256  # local floor; conv_buckets() scales with cluster CPUs
 
 
-def add_conv_bucket(batch: pa.Table, n_buckets: int = N_CONV_BUCKETS) -> pa.Table:
-    convs = batch["conv_id"].to_pylist()
-    b = np.fromiter((zlib.crc32(c.encode()) % n_buckets for c in convs),
-                    dtype=np.int32, count=len(convs))
-    return batch.append_column("conv_bucket", pa.array(b, pa.int32()))
+def conv_buckets() -> int:
+    """Conv shuffle fan-out: ≥ cluster parallelism, ≪ #convs."""
+    return scale_buckets(floor=N_CONV_BUCKETS, per_cpu=8)
+
+
+def add_conv_bucket(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
+    n = n_buckets if n_buckets is not None else conv_buckets()
+    return batch.append_column("conv_bucket", hash_bucket(batch["conv_id"], n))
 
 
 def _mint_series(facet: str, local: pd.Series, content: pd.Series) -> pd.Series:

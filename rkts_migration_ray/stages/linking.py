@@ -33,6 +33,12 @@ from ..config import (
 
 GRAPH_QUARANTINE = "G:quarantine"
 
+LINKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("alias", pa.string()),
+    ("entity_uri", pa.string()), ("final_id", pa.string()),
+    ("curated", pa.bool_()),
+])
+
 
 def _mint_entity_uris(aliases: pd.Series) -> pd.Series:
     """Minted miss path: 'N:EN<sha6>_<alias>' (bnode_url, utils.php:7-15).
@@ -44,16 +50,32 @@ def _mint_entity_uris(aliases: pd.Series) -> pd.Series:
 
 
 class MentionLinker:
-    """Actor-pool stage: (conv_id, turn_idx, alias) → + entity_uri/final_id/curated."""
+    """Actor-pool stage: (conv_id, turn_idx, alias) → + entity_uri/final_id/curated.
 
-    def __init__(self, gaz_ref=None, alias_ref=None, gaz=None, alias_closure=None):
+    With ``explode=True`` the batch is the raw feature rows (one row per turn,
+    ``mentions`` list column): explode → link → exact per-turn dedup of
+    (conv_id, turn_idx, entity_uri) happen inside ONE call, so two aliases of
+    a turn resolving to one entity can never survive as duplicate rows — even
+    when Ray re-batches or splits blocks between operators (round-1 advice:
+    the previous per-batch drop_duplicates in mention_triples was only exact
+    if a turn's exploded rows never straddled a block boundary)."""
+
+    def __init__(self, gaz_ref=None, alias_ref=None, gaz=None, alias_closure=None,
+                 explode: bool = False):
         import ray
 
         self.gaz = gaz if gaz is not None else ray.get(gaz_ref)
         self.closure = alias_closure if alias_closure is not None else ray.get(alias_ref)
+        self.explode = explode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.explode:
+            from .extract import explode_mentions
+
+            batch = explode_mentions(batch)
         df = batch.to_pandas()
+        if len(df) == 0:
+            return LINKED_SCHEMA.empty_table()
         canon = df["alias"].map(self.gaz)
         final = canon.map(self.closure).fillna(canon)
         curated = canon.notna()
@@ -63,7 +85,10 @@ class MentionLinker:
         uri[~curated] = minted
         out = df.assign(entity_uri=uri, final_id=final.where(curated, None),
                         curated=curated)
-        return from_pandas_clean(out)
+        if self.explode:
+            # exact: every row of a turn is inside this batch (see class doc)
+            out = out.drop_duplicates(["conv_id", "turn_idx", "entity_uri"])
+        return from_pandas_clean(out[LINKED_SCHEMA.names], schema=LINKED_SCHEMA)
 
 
 def mention_triples(batch: pa.Table) -> pa.Table:
@@ -78,22 +103,28 @@ def mention_triples(batch: pa.Table) -> pa.Table:
     return from_pandas_clean(out[TRIPLE_COLUMNS])
 
 
-N_ENTITY_BUCKETS = 64
+N_ENTITY_BUCKETS = 64  # local floor; entity_buckets() scales with cluster CPUs
+
+
+def entity_buckets() -> int:
+    from ..functions.arrowutils import scale_buckets
+
+    return scale_buckets(floor=N_ENTITY_BUCKETS, per_cpu=2)
 
 
 def entity_rows(batch: pa.Table, n_buckets: int = N_ENTITY_BUCKETS) -> pa.Table:
     """Partial dedup: distinct (entity_uri, curated, final_id, alias) per batch.
     This is the combiner before the canonical-merge groupby — head entities
     (≈ P7326 skew) collapse to ≤1 row per batch here, bounding group sizes.
-    'ebucket' (crc32(uri) % n) is the shuffle key: the merge groups whole hash
+    'ebucket' (hash(uri) % n) is the shuffle key: the merge groups whole hash
     buckets, not individual entities (per-group Python overhead amortized)."""
-    import zlib
+    from ..functions.arrowutils import hash_bucket
 
     df = batch.to_pandas()
     df["alias"] = df["alias"].where(~df["curated"], None)
     cols = df[["entity_uri", "curated", "final_id", "alias"]].drop_duplicates("entity_uri")
-    cols = cols.assign(ebucket=cols["entity_uri"].map(
-        lambda u: zlib.crc32(u.encode()) % n_buckets).astype("int32"))
+    eb = hash_bucket(pa.array(cols["entity_uri"], pa.string()), n_buckets)
+    cols = cols.assign(ebucket=eb.to_numpy(zero_copy_only=False))
     return from_pandas_clean(cols)
 
 

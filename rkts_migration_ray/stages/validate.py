@@ -18,13 +18,10 @@ the conv stage: hash-bucketed conv groups, vectorized aggregation inside.
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.arrowutils import from_pandas_clean
+from ..functions.arrowutils import from_pandas_clean, hash_bucket, scale_buckets
 
 VALIDATE_COLUMNS = ["conv_id", "n_turns", "n_distinct", "max_idx", "dense", "ts_monotone"]
 
@@ -35,10 +32,7 @@ VALIDATE_SCHEMA = pa.schema([
 
 
 def _add_bucket(batch: pa.Table, n_buckets: int = 256) -> pa.Table:
-    convs = batch["conv_id"].to_pylist()
-    b = np.fromiter((zlib.crc32(c.encode()) % n_buckets for c in convs),
-                    dtype=np.int32, count=len(convs))
-    return batch.append_column("conv_bucket", pa.array(b, pa.int32()))
+    return batch.append_column("conv_bucket", hash_bucket(batch["conv_id"], n_buckets))
 
 
 def validate_bucket(df: pd.DataFrame) -> pa.Table:
@@ -69,7 +63,9 @@ def validate_bucket(df: pd.DataFrame) -> pa.Table:
 def validate_transcripts(ds):
     """Bucketed groupby(conv_id) validation — same shuffle shape as the
     conv-window stage; each group holds whole conversations."""
-    return (ds.map_batches(_add_bucket, batch_format="pyarrow")
+    nb = scale_buckets(floor=256, per_cpu=8)  # resolved once, on the driver
+    return (ds.map_batches(_add_bucket, fn_kwargs={"n_buckets": nb},
+                           batch_format="pyarrow")
             .groupby("conv_bucket")
             .map_groups(validate_bucket, batch_format="pandas"))
 

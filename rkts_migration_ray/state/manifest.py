@@ -47,8 +47,30 @@ def write_manifest(out_dir: str, bucket: int, meta: dict) -> None:
     os.rename(tmp, p)
 
 
+def _bucket_verifies(out_dir: str, meta: dict) -> bool:
+    """EVERY fragment listed in the manifest must exist and the Parquet
+    footers' total row count must match the recorded count — a truncated or
+    partially deleted fragment set must NOT be treated as committed (it would
+    be silently skipped on resume, losing rows). Footer reads are metadata-only
+    (no data pages), so this stays cheap even for thousands of buckets."""
+    files = meta.get("files", [meta["file"]])
+    total = 0
+    for f in files:
+        p = os.path.join(out_dir, f)
+        if not os.path.exists(p):
+            return False
+        try:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            return False  # truncated/corrupt footer
+    return total == int(meta["rows"])
+
+
 def committed_buckets(out_dir: str) -> dict[int, dict]:
-    """Buckets whose manifest exists AND whose data file matches it."""
+    """Buckets whose manifest exists AND whose every data file verifies
+    (existence + footer row counts vs the recorded lineage)."""
     out: dict[int, dict] = {}
     if not os.path.isdir(out_dir):
         return out
@@ -58,7 +80,7 @@ def committed_buckets(out_dir: str) -> dict[int, dict]:
         try:
             with open(os.path.join(out_dir, name)) as f:
                 meta = json.load(f)
-            if os.path.exists(os.path.join(out_dir, meta["file"])):
+            if _bucket_verifies(out_dir, meta):
                 out[int(meta["bucket"])] = meta
         except (json.JSONDecodeError, KeyError, ValueError):
             continue

@@ -21,11 +21,18 @@ def test_folio_arithmetic():
 
 
 def test_pagination_compare():
+    # comparepg semantics, migrate-bvm.py:14,58-76
     assert pg.compare_pagination("107a", "107b") < 0
     assert pg.compare_pagination("107b", "108a") < 0
-    assert pg.compare_pagination("107a", "107xa") < 0   # dup-mark sorts after
-    assert pg.compare_pagination("9b", "10a") < 0       # numeric, not lexical
+    assert pg.compare_pagination("107a", "107'a") < 0    # apostrophe dup-mark
+    assert pg.compare_pagination("107'a", "107''a") < 0  # more marks sort later
+    assert pg.compare_pagination("9b", "10a") < 0        # numeric, not lexical
     assert pg.compare_pagination("garbage", "10a") == 0
+    assert pg.compare_pagination("xa", "10a") == 0       # wildcard folio
+    assert pg.compare_pagination("10a", "xb") == 0
+    assert pg.compare_pagination("107a?", "107a") == 0   # '?' ignored
+    assert pg.compare_pagination("107a(d2)", "107a") == 0  # '(dN)' ignored
+    assert pg.parse_pagination_token("12x") is None      # side is mandatory
 
 
 def test_pagination_cache_lru1():

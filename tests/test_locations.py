@@ -32,10 +32,34 @@ def test_doc_test_single_point():
 
 
 def test_doc_test_wam():
-    # get_text_loc("gzugs, wam 245a4-247a7 (vol. 102)") — utils.php:751
+    # get_text_loc("gzugs, wam 245a4-247a7 (vol. 102)") — utils.php:751.
+    # 'wam' is NOT in allowed_vol_letters (only 'waM' is, utils.php:562), so
+    # the reference's own doc-test line reports invalid_volname — mirrored
+    # here as the badvol flag.
     m = parse_one_full("gzugs, wam 245a4-247a7 (vol. 102)")
     assert m["valid"] and m["bvolname"] == "wam"
+    assert m["badvol"] == "wam"
     assert m["epagenum"] == 247 and m["evolname"] is None
+    m2 = parse_one_full("gzugs, waM 245a4-247a7 (vol. 102)")
+    assert m2["valid"] and m2["badvol"] is None
+
+
+def test_allowed_vol_letters_matches_reference():
+    """Diff ALLOWED_VOL_LETTERS against the verbatim reference list
+    (utils.php:562) when the reference tree is present."""
+    import os
+    import re
+
+    path = "/root/reference/utils.php"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference tree not available")
+    with open(path) as f:
+        php = f.read()
+    m = re.search(r"\$allowed_vol_letters = \[(.*?)\];", php, re.S)
+    ref = set(re.findall(r'"([^"]*)"', m.group(1)))
+    assert locations.ALLOWED_VOL_LETTERS == ref
 
 
 def test_invalid_volname_flag():
