@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_pivot": kg.role_pivot_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
+        "kg_ntriples": kg.ntriples_lines_ds,
         # --- training-data ops: dedup --------------------------------------
         "dedup_exact": docs.dedup_exact_ds,
         "dedup_charset_pairs": docs.charset_pairs_ds,

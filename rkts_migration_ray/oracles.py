@@ -386,12 +386,45 @@ GROUP BY n.n_name""",
     }
 
 
+def _nt_esc(col: str) -> str:
+    """N-Triples escape chain (Nquads.php:52-124) for the characters that can
+    occur in engine data: backslash FIRST, then quote, tab, LF, CR. (The
+    \\uXXXX branch for other control chars is covered by the Python golden
+    tests; fixture data never contains them, so the SQL twin stays exact.)"""
+    e = f"replace({col}, chr(92), chr(92)||chr(92))"
+    e = f"replace({e}, chr(34), chr(92)||chr(34))"
+    e = f"replace({e}, chr(9), chr(92)||'t')"
+    e = f"replace({e}, chr(10), chr(92)||'n')"
+    e = f"replace({e}, chr(13), chr(92)||'r')"
+    return e
+
+
+def _ntriples_select(full_union: str) -> str:
+    """Assemble the same N-Triples lines as functions/ntriples.lines_table:
+    object is a resource <uri> for the OBJ_URI_PREDS predicates, else a
+    literal with @lang / ^^<dt> suffix."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f"""SELECT '<'||{_nt_esc('subj')}||'> <'||{_nt_esc('pred')}||'> '||
+ CASE WHEN pred IN ({preds}) THEN '<'||{_nt_esc('obj')}||'>'
+      ELSE '"'||{_nt_esc('obj')}||'"'||
+        CASE WHEN obj_lang <> '' THEN '@'||{_nt_esc('obj_lang')}
+             WHEN obj_dt <> '' THEN '^^<'||{_nt_esc('obj_dt')}||'>'
+             ELSE '' END
+ END||' .' AS line
+FROM (
+{full_union}
+) nt_all"""
+
+
 def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     w = with_block(sf_dir_or_tag) + "," + _LT
     full_union = "\nUNION ALL ".join(
         [SEL_STRUCTURAL, SEL_CONV, SEL_MENTIONS, SEL_ENTITIES, SEL_QUARANTINE,
          SEL_LOCNODES])
     return {
+        "kg_ntriples": w + _ntriples_select(full_union),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,
         "kg_mentions": w + SEL_MENTIONS,

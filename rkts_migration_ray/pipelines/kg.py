@@ -318,3 +318,15 @@ def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     b = kg_bundle(sf_dir, cfg, concurrency=concurrency, checkpoint_linked=True)
     return b["structural"].union(b["locnodes"], b["conv"], b["mentions"],
                                  b["entities"])
+
+
+def ntriples_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      concurrency: int = 8):
+    """Full graph serialized to N-Triples lines (W2 analog: the global.nt
+    stream of utils.php:833-840, escaping per Nquads.php:52-124). Map-only on
+    top of kg_triples_ds; the text SINK (per-bucket .nt fragments + manifests)
+    is materialize.write_graph_ntriples."""
+    from ..functions.ntriples import lines_table
+
+    return kg_triples_ds(sf_dir, cfg, concurrency).map_batches(
+        lines_table, batch_format="pyarrow", zero_copy_batch=True)

@@ -148,7 +148,8 @@ def write_fragments(triples_ds, out_dir: str, n_buckets: int,
 def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
                      done: dict, source: str = "") -> pd.DataFrame:
     """Merge fragment metadata of all streams → one manifest per bucket
-    (XOR-combined checksum, commutative) + stale-fragment cleanup."""
+    (XOR-combined checksum, commutative) + stale-fragment cleanup. A 'bytes'
+    column (text sinks) is recorded as per-file 'sizes' for resume verify."""
     frag_meta = (pd.concat(frag_metas, ignore_index=True) if frag_metas
                  else pd.DataFrame(columns=["bucket", "rows", "checksum", "file"]))
     rows_out = []
@@ -156,10 +157,13 @@ def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
         acc = 0
         for c in g["checksum"]:
             acc ^= int(c, 16)
-        files = sorted(g["file"])
+        g = g.sort_values("file")
+        files = list(g["file"])
         meta = {"bucket": int(b), "file": files[0], "files": files,
                 "rows": int(g["rows"].sum()), "checksum": f"{acc:016x}",
                 "source": source}
+        if "bytes" in g.columns and g["bytes"].notna().all():
+            meta["sizes"] = [int(x) for x in g["bytes"]]
         bdir = os.path.join(out_dir, f"bucket={int(b):05d}")
         keep = {os.path.basename(f) for f in files}
         for name in os.listdir(bdir):
@@ -171,7 +175,84 @@ def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
     for b, m in done.items():
         rows_out.append({"bucket": b, "rows": m["rows"],
                          "checksum": m["checksum"], "skipped": True})
+    if not rows_out:  # nothing written, nothing previously committed
+        return pd.DataFrame(columns=["bucket", "rows", "checksum", "skipped"])
     return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
+
+
+def write_ntriples_fragments(triples_ds, out_dir: str, n_buckets: int,
+                             stream_tag: str,
+                             skip_buckets=frozenset()) -> pd.DataFrame:
+    """Map-only N-Triples TEXT fragment write — the W2 analog sink
+    (global.nt, utils.php:833-840) re-expressed as per-bucket ``.nt``
+    fragments under the same manifest/commit scheme as the Parquet writer.
+    Checksums are computed over the TRIPLE rows (order-insensitive XOR), so
+    a bucket's .nt manifest checksum equals its Parquet twin's."""
+    from ..functions.ntriples import lines_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_set = frozenset(skip_buckets)
+
+    def write_frags(t: pa.Table) -> pa.Table:
+        t = add_bucket(t, n_buckets)
+        out = {"bucket": [], "rows": [], "checksum": [], "file": [], "bytes": []}
+        buckets = t["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        sb = sorted_t["bucket"].to_numpy()
+        edges = np.concatenate([[0], np.nonzero(np.diff(sb))[0] + 1, [len(sb)]])
+        for i in range(len(edges) - 1):
+            lo, hi = int(edges[i]), int(edges[i + 1])
+            b = int(sb[lo])
+            if b in done_set:
+                continue
+            frag = sorted_t.slice(lo, hi - lo).select(TRIPLE_COLUMNS)
+            csum = mf.content_checksum(frag, TRIPLE_COLUMNS)
+            lines = lines_table(frag)["line"]
+            payload = ("\n".join(lines.to_pylist()) + "\n").encode()
+            bdir = os.path.join(out_dir, f"bucket={b:05d}")
+            os.makedirs(bdir, exist_ok=True)
+            fname = f"frag-{stream_tag}-{csum}.nt"
+            final = os.path.join(bdir, fname)
+            tmp = final + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.rename(tmp, final)
+            out["bucket"].append(b)
+            out["rows"].append(hi - lo)
+            out["checksum"].append(csum)
+            out["file"].append(os.path.join(f"bucket={b:05d}", fname))
+            out["bytes"].append(len(payload))
+        return pa.table({"bucket": pa.array(out["bucket"], pa.int32()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "checksum": pa.array(out["checksum"], pa.string()),
+                         "file": pa.array(out["file"], pa.string()),
+                         "bytes": pa.array(out["bytes"], pa.int64())})
+
+    return (triples_ds.map_batches(write_frags, batch_format="pyarrow")
+            .to_pandas())
+
+
+def write_graph_ntriples(streams: dict, out_dir: str, n_buckets: int = 64,
+                         resume: bool = True, source: str = "") -> pd.DataFrame:
+    """Materialize the kg_bundle streams as bucket-partitioned N-Triples text
+    (the reference's real output format) with the same manifest/resume
+    machinery as write_graph_streams."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = mf.committed_buckets(out_dir) if resume else {}
+    skip = frozenset(done)
+    metas = []
+    maponly = [streams[t] for t in MAP_ONLY_STREAMS if t in streams]
+    if maponly:
+        merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
+        metas.append(write_ntriples_fragments(merged, out_dir, n_buckets,
+                                              "maponly", skip_buckets=skip))
+    for tag, ds in streams.items():
+        if tag in MAP_ONLY_STREAMS or tag == "ckpt_root":
+            continue
+        metas.append(write_ntriples_fragments(ds, out_dir, n_buckets, tag,
+                                              skip_buckets=skip))
+    return commit_manifests(out_dir, metas, done, source)
 
 
 MAP_ONLY_STREAMS = ("structural", "locnodes", "mentions")
@@ -280,6 +361,8 @@ def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
     for b, m in done.items():
         rows_out.append({"bucket": b, "rows": m["rows"],
                          "checksum": m["checksum"], "skipped": True})
+    if not rows_out:  # nothing written, nothing previously committed
+        return pd.DataFrame(columns=["bucket", "rows", "checksum", "skipped"])
     return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
 
 

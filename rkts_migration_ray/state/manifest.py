@@ -48,12 +48,20 @@ def write_manifest(out_dir: str, bucket: int, meta: dict) -> None:
 
 
 def _bucket_verifies(out_dir: str, meta: dict) -> bool:
-    """EVERY fragment listed in the manifest must exist and the Parquet
-    footers' total row count must match the recorded count — a truncated or
-    partially deleted fragment set must NOT be treated as committed (it would
-    be silently skipped on resume, losing rows). Footer reads are metadata-only
-    (no data pages), so this stays cheap even for thousands of buckets."""
+    """EVERY fragment listed in the manifest must exist and verify — a
+    truncated or partially deleted fragment set must NOT be treated as
+    committed (it would be silently skipped on resume, losing rows).
+    Parquet fragments verify by footer row counts (metadata-only read, no
+    data pages — cheap even for thousands of buckets); text fragments (.nt)
+    verify by the recorded per-file byte sizes."""
     files = meta.get("files", [meta["file"]])
+    sizes = meta.get("sizes")
+    if sizes is not None:
+        if len(sizes) != len(files):
+            return False
+        return all(os.path.exists(os.path.join(out_dir, f))
+                   and os.path.getsize(os.path.join(out_dir, f)) == int(s)
+                   for f, s in zip(files, sizes))
     total = 0
     for f in files:
         p = os.path.join(out_dir, f)
