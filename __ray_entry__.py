@@ -21,7 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 from rkts_migration_ray import fixtures, oracles
-from rkts_migration_ray.pipelines import docs, kg, relational
+from rkts_migration_ray.pipelines import bvm, docs, kg, relational
 from rkts_migration_ray.sources import readers
 from rkts_migration_ray.stages import multimodal
 from rkts_migration_ray.stages.validate import validate_transcripts
@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
         "kg_ntriples": kg.ntriples_lines_ds,
+        # --- BVM reconciliation (migrate-bvm.py:189-356) --------------------
+        "bvm_manifests": bvm.bvm_manifests_ds,
+        "bvm_quarantine": bvm.bvm_quarantine_ds,
         # --- training-data ops: dedup --------------------------------------
         "dedup_exact": docs.dedup_exact_ds,
         "dedup_charset_pairs": docs.charset_pairs_ds,
@@ -90,5 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     out = oracles.kg_oracle_sql("sf0.01")
+    out.update(oracles.bvm_oracle_sql("sf0.01"))
     out.update(oracles.doc_rel_oracle_sql())
     return out

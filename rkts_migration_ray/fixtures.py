@@ -36,6 +36,10 @@ import pyarrow.parquet as pq
 
 SEED = 42
 FIXTURE_ROOT = "/tmp/graft_fixtures"
+# bump when new tables are added; ensure_fixture regenerates stale dirs.
+# Existing tables are bit-stable across versions: new tables draw from their
+# OWN seeded generator streams, never the primary one.
+FIXTURE_VERSION = 2
 
 N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -101,8 +105,15 @@ def ensure_fixture(sf_dir_or_tag: str) -> str:
     Atomic: writes into a tmp dir then renames, so concurrent processes (the
     driver's oracle run vs the Ray run; bench at two CPU levels) are safe."""
     final = fixture_dir(sf_dir_or_tag)
-    if os.path.exists(os.path.join(final, "_DONE")):
-        return final
+    done_path = os.path.join(final, "_DONE")
+    if os.path.exists(done_path):
+        try:
+            with open(done_path) as f:
+                if json.load(f).get("version") == FIXTURE_VERSION:
+                    return final
+        except (json.JSONDecodeError, OSError):
+            pass
+        shutil.rmtree(final, ignore_errors=True)  # stale version: regenerate
     tag = tag_of(sf_dir_or_tag)
     tmp = final + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -313,6 +324,120 @@ def _generate(tag: str, out_dir: str) -> dict:
                              "object_id": pa.array(p_obj, pa.string())}),
                    os.path.join(out_dir, "entity_props.parquet"))
 
+    n_pag, n_img = _generate_bvm(tag, out_dir)
+
     return {"tag": tag, "n_turns": int(n), "n_convs": int(n_conv),
             "n_gazetteer": len(g_alias), "n_alias_map": len(am_from),
-            "n_entity_props": len(p_ent), "seed": SEED}
+            "n_entity_props": len(p_ent), "n_pagination": n_pag,
+            "n_image_list": n_img, "seed": SEED, "version": FIXTURE_VERSION}
+
+
+def _generate_bvm(tag: str, out_dir: str) -> tuple[int, int]:
+    """Pagination records + image lists (≈ the rKTs pagination JSONs and
+    il-cache image lists consumed by migrate-bvm.py). Anomalies are injected
+    deterministically to exercise every reconciliation/validation branch:
+    leading unused images (hidden+T0005 while i<3), mid-stream unused images
+    (insertafter), trailing unused, 'missing' files (T0020), '(dN)' details
+    (T0016), apostrophe duplicate folios, per-psection pagination restarts
+    (order-violation noise, exactly like the reference's real data),
+    invalid/duplicate tokens, wrong-imagegroup / reused / unknown file refs.
+
+    Drawn from an independent generator stream so the primary tables stay
+    bit-identical across fixture versions."""
+    rng = np.random.default_rng(SEED + 1009)
+    n_vols = max(8, n_turns_of(tag) // 1000)
+
+    p_vol, p_idx, p_pg, p_ps, p_file = [], [], [], [], []
+    i_vol, i_pos, i_fname = [], [], []
+
+    for v in range(n_vols):
+        simple = rng.random() < 0.08
+        vol = (f"IGS{v:05d}" if simple else f"IG{v:05d}")
+        folios = int(rng.integers(20, 50))
+        n_ps = 1 if simple or rng.random() < 0.75 else int(rng.integers(2, 4))
+        lead = int(rng.choice([0, 1, 2, 4], p=[0.55, 0.2, 0.15, 0.1]))
+        img_num = 0
+        fnames: list[str] = []
+
+        def next_img():
+            nonlocal img_num
+            img_num += 1
+            f = f"{vol}{img_num:04d}.jpg"
+            fnames.append(f)
+            return f
+
+        for _ in range(lead):
+            next_img()
+
+        idx = 0
+        prev_pg = None
+        prev_fname = None
+        did_wrong_group = rng.random() >= 0.10
+        did_used_twice = rng.random() >= 0.10
+        did_not_in_list = rng.random() >= 0.05
+        per_ps = max(3, folios // n_ps)
+        for ps_i in range(n_ps):
+            ps = f"ps{ps_i + 1}" if n_ps > 1 else ""
+            for f_no in range(1, per_ps + 1):
+                dup_folio = (not simple) and rng.random() < 0.005
+                sides = ["a", "b"] + (["'a", "'b"] if dup_folio else [])
+                for side in sides:
+                    idx += 1
+                    if simple:
+                        pg = "x?" if rng.random() < 0.01 else str(idx)
+                    else:
+                        pg = f"{f_no}{side}"
+                        r = rng.random()
+                        if r < 0.005:
+                            pg = "??"          # invalid token
+                        elif r < 0.010 and prev_pg is not None:
+                            pg = prev_pg       # duplicate + order violation
+                        elif r < 0.020:
+                            pg = pg + "(d2)"   # detail → T0016
+                        elif r < 0.040:
+                            pg = pg + "?"      # uncertainty (no effect)
+                    r2 = rng.random()
+                    if r2 < 0.02:
+                        file_val = "missing"   # → T0020
+                    elif r2 < 0.03:
+                        file_val = None        # no 'file' key
+                    elif not did_not_in_list and r2 < 0.05:
+                        did_not_in_list = True
+                        file_val = f"bdr:{vol}::{vol}9999.jpg"
+                    elif not did_used_twice and r2 < 0.07 and prev_fname:
+                        did_used_twice = True
+                        file_val = f"bdr:{vol}::{prev_fname}"
+                    else:
+                        if rng.random() < 0.02:
+                            next_img()         # unused image → insertafter
+                        f = next_img()
+                        if not did_wrong_group and r2 < 0.09:
+                            did_wrong_group = True
+                            file_val = f"bdr:IGX{v:05d}::{f}"
+                        else:
+                            file_val = f"bdr:{vol}::{f}"
+                            prev_fname = f
+                    p_vol.append(vol); p_idx.append(idx)
+                    p_pg.append(pg); p_ps.append(ps); p_file.append(file_val)
+                    prev_pg = pg
+        for _ in range(int(rng.choice([0, 0, 0, 1, 2, 3]))):
+            next_img()                         # trailing unused
+        i_vol.extend([vol] * len(fnames))
+        i_pos.extend(range(len(fnames)))
+        i_fname.extend(fnames)
+
+    pag_perm = rng.permutation(len(p_vol))
+    img_perm = rng.permutation(len(i_vol))
+    pq.write_table(pa.table({
+        "vol_id": pa.array(np.asarray(p_vol, dtype=object)[pag_perm], pa.string()),
+        "idx": pa.array(np.asarray(p_idx)[pag_perm], pa.int32()),
+        "pagination": pa.array(np.asarray(p_pg, dtype=object)[pag_perm], pa.string()),
+        "psection": pa.array(np.asarray(p_ps, dtype=object)[pag_perm], pa.string()),
+        "file": pa.array(np.asarray(p_file, dtype=object)[pag_perm], pa.string()),
+    }), os.path.join(out_dir, "pagination.parquet"))
+    pq.write_table(pa.table({
+        "vol_id": pa.array(np.asarray(i_vol, dtype=object)[img_perm], pa.string()),
+        "pos": pa.array(np.asarray(i_pos)[img_perm], pa.int32()),
+        "filename": pa.array(np.asarray(i_fname, dtype=object)[img_perm], pa.string()),
+    }), os.path.join(out_dir, "image_list.parquet"))
+    return len(p_vol), len(i_vol)

@@ -386,6 +386,131 @@ GROUP BY n.n_name""",
     }
 
 
+# verbatim PG_RE grammar (migrate-bvm.py:14) as a DuckDB regex; the
+# apostrophe duplicate-mark must be doubled inside a SQL string literal
+PGRE_SQL = (r"^(?P<folionum>x|\d+)(?P<duplind>'*)(?P<side>[ab])"
+            r"(?P<certaintyind>\??)(?P<detailind>\(d\d*\))?").replace("'", "''")
+
+
+def bvm_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
+    """SQL twins of the BVM reconciliation (stages/bvm.py ↔
+    migrate-bvm.py:189-356). The finalimages corner (:308-311) requires
+    duplicate filenames inside one image list — never present in the
+    fixtures (unit-tested in Python instead), so the SQL omits that branch.
+    """
+    pag = fixtures.aux_path(sf_dir_or_tag, "pagination")
+    il = fixtures.aux_path(sf_dir_or_tag, "image_list")
+    base = f"""WITH pag AS (SELECT vol_id, idx, pagination, psection, file
+  FROM read_parquet('{pag}')),
+il AS (SELECT vol_id, pos, filename FROM read_parquet('{il}')),
+p1 AS (SELECT *,
+  starts_with(vol_id, 'IGS') AS simple,
+  CASE WHEN file IS NULL OR contains(file,'missing') OR strpos(file,'::')=0
+       THEN NULL ELSE substr(file, strpos(file,'::')+2) END AS fname,
+  CASE WHEN file IS NULL OR contains(file,'missing') OR strpos(file,'::')=0
+       THEN NULL ELSE substr(file, 5, strpos(file,'::')-5) END AS igname
+  FROM pag),
+vols AS (SELECT vol_id, count(DISTINCT psection) > 1 AS multi
+  FROM pag GROUP BY vol_id),
+valid_use AS (SELECT p.vol_id, p.idx, p.fname FROM p1 p
+  JOIN il i ON i.vol_id = p.vol_id AND i.filename = p.fname
+  WHERE p.igname = p.vol_id),
+seen AS (SELECT DISTINCT vol_id, fname FROM valid_use),
+il2 AS (SELECT i.*, (s.fname IS NOT NULL) AS is_seen FROM il i
+  LEFT JOIN seen s ON s.vol_id = i.vol_id AND s.fname = i.filename),
+il3 AS (SELECT *, last_value(CASE WHEN is_seen THEN filename END IGNORE NULLS)
+  OVER (PARTITION BY vol_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastseen
+  FROM il2)"""
+    manifests = base + """,
+pagemit AS (SELECT p1.*, v.multi,
+  row_number() OVER (PARTITION BY p1.vol_id ORDER BY idx) AS rn
+  FROM p1 JOIN vols v USING (vol_id)),
+lead_rows AS (SELECT vol_id, filename, pos,
+  (pos < 3) AS hidden, CASE WHEN pos < 3 THEN 'T0005' ELSE '' END AS tags
+  FROM il3 WHERE NOT is_seen AND lastseen IS NULL),
+inserts AS (SELECT vol_id, pos, filename, lastseen AS anchor
+  FROM il3 WHERE NOT is_seen AND lastseen IS NOT NULL),
+emitted AS (
+  SELECT vol_id, filename, CAST(NULL AS VARCHAR) AS pagination,
+   CAST(NULL AS VARCHAR) AS psection, CAST(NULL AS VARCHAR) AS imggroup,
+   hidden, tags, 0 AS phase, 0 AS rn, 0 AS sub, pos AS subpos
+  FROM lead_rows
+  UNION ALL
+  SELECT vol_id, fname AS filename, pagination,
+   CASE WHEN multi AND psection <> '' THEN psection END AS psection,
+   CASE WHEN fname IS NOT NULL AND igname <> vol_id THEN igname END AS imggroup,
+   FALSE AS hidden,
+   concat_ws(',',
+     CASE WHEN contains(pagination, 'd') THEN 'T0016' END,
+     CASE WHEN file IS NOT NULL AND contains(file, 'missing') THEN 'T0020' END
+   ) AS tags,
+   1 AS phase, rn, 0 AS sub, 0 AS subpos
+  FROM pagemit
+  UNION ALL
+  SELECT e.vol_id, i.filename, NULL, NULL, NULL, TRUE AS hidden, '' AS tags,
+   1 AS phase, e.rn, 1 AS sub, i.pos AS subpos
+  FROM pagemit e JOIN inserts i
+    ON i.vol_id = e.vol_id AND i.anchor = e.fname)
+SELECT vol_id,
+ CAST(row_number() OVER (PARTITION BY vol_id
+      ORDER BY phase, rn, sub, subpos) - 1 AS BIGINT) AS seq,
+ filename, pagination, psection, imggroup, hidden, tags
+FROM emitted"""
+    quarantine = base + f""",
+q1 AS (SELECT p1.*,
+  lag(pagination) OVER (PARTITION BY vol_id ORDER BY idx) AS lastpg,
+  CASE WHEN simple THEN regexp_matches(pagination, '^\\d+$')
+       ELSE regexp_matches(pagination, '{PGRE_SQL}') END AS ok,
+  regexp_extract(pagination, '{PGRE_SQL}',
+    ['folionum','duplind','side','certaintyind','detailind']) AS cur,
+  count(*) OVER (PARTITION BY vol_id, psection, pagination ORDER BY idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_same
+  FROM p1),
+q2 AS (SELECT q1.*,
+  lag(ok) OVER (PARTITION BY vol_id ORDER BY idx) AS last_ok,
+  lag(cur) OVER (PARTITION BY vol_id ORDER BY idx) AS lst
+  FROM q1),
+q3 AS (SELECT *,
+  -- comparepg(lastpg, pagination) < 0, i.e. strictly increasing
+  (NOT simple AND ok AND last_ok
+   AND lst['folionum'] <> 'x' AND cur['folionum'] <> 'x'
+   AND (TRY_CAST(lst['folionum'] AS BIGINT) < TRY_CAST(cur['folionum'] AS BIGINT)
+        OR (TRY_CAST(lst['folionum'] AS BIGINT) = TRY_CAST(cur['folionum'] AS BIGINT)
+            AND (lst['duplind'] < cur['duplind']
+                 OR (lst['duplind'] = cur['duplind']
+                     AND lst['side'] < cur['side']))))) AS strictly_less
+  FROM q2),
+in_list AS (SELECT p.vol_id, p.idx, p.fname, p.file, p.igname,
+  (i.filename IS NOT NULL) AS listed,
+  CASE WHEN i.filename IS NOT NULL AND p.igname = p.vol_id THEN
+    row_number() OVER (PARTITION BY p.vol_id,
+      CASE WHEN i.filename IS NOT NULL AND p.igname = p.vol_id
+           THEN p.fname END ORDER BY p.idx) END AS use_rank
+  FROM p1 p LEFT JOIN il i ON i.vol_id = p.vol_id AND i.filename = p.fname
+  WHERE p.fname IS NOT NULL)
+SELECT vol_id, CAST(idx AS BIGINT) AS idx, 'invalid_pg' AS rule,
+       pagination AS detail
+FROM q3 WHERE NOT ok
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'pg_order',
+       pagination || ' before ' || lastpg
+FROM q3 WHERE NOT simple AND ok AND lastpg IS NOT NULL AND NOT strictly_less
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'pg_duplicate', pagination
+FROM q3 WHERE prior_same >= 1
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'wrong_imggroup', file
+FROM in_list WHERE igname <> vol_id
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'file_not_in_list', fname
+FROM in_list WHERE igname = vol_id AND NOT listed
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'file_used_twice', fname
+FROM in_list WHERE use_rank > 1"""
+    return {"bvm_manifests": manifests, "bvm_quarantine": quarantine}
+
+
 def _nt_esc(col: str) -> str:
     """N-Triples escape chain (Nquads.php:52-124) for the characters that can
     occur in engine data: backslash FIRST, then quote, tab, LF, CR. (The

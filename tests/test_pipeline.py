@@ -60,7 +60,8 @@ def test_permutation_invariance(sf_tag, tmp_path):
     pq.write_table(perm, os.path.join(alt_dir, "transcripts", "part-0000.parquet"))
     for aux in ("gazetteer", "alias_map", "entity_props"):
         shutil.copy(fixtures.aux_path(sf_tag, aux), fixtures.aux_path(alt_tag, aux))
-    open(os.path.join(alt_dir, "_DONE"), "w").write("{}")
+    open(os.path.join(alt_dir, "_DONE"), "w").write(
+        '{"version": %d}' % fixtures.FIXTURE_VERSION)
     try:
         a = norm(kg.conv_triples_ds(sf_tag).to_pandas())
         b = norm(kg.conv_triples_ds(alt_tag).to_pandas())
