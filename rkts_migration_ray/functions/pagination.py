@@ -69,6 +69,69 @@ def compare_pagination(a: str, b: str) -> int:
     return _strcmp(ta[2], tb[2])
 
 
+def build_volume_index(pag_rows: list[dict], img_filenames: list[str]) -> dict:
+    """get_json_full (utils.php:280-349): per-volume pagination → image-number
+    index. 'missing' entries attach to the NEXT non-missing row's image
+    number (utils.php:313-338); trailing 'missing' entries flush to the last
+    assigned number (:341-347); a file reference not in the image list (or a
+    row without a usable file) maps to None (PHP null lookup); duplicate
+    pagination keys within a psection: last wins (assoc assignment).
+    Returns {"sections": {psection: {pg: imgnum|None}}, "zzlastimgnum": n,
+    "first_ps": first inserted psection}."""
+    fname_to_num = {f: i + 1 for i, f in enumerate(img_filenames)}
+    res: dict[str, dict] = {}
+    attach: list[tuple[str, str]] = []
+    imgnum = None
+    for r in pag_rows:
+        ps = r["psection"] if r.get("psection") is not None else "default"
+        pg = r["pagination"]
+        file_val = r.get("file")
+        if file_val == "missing":
+            attach.append((ps, pg))
+            continue
+        fname = None
+        if file_val is not None:
+            parts = file_val.split("::", 1)
+            fname = parts[1] if len(parts) > 1 else None
+        imgnum = fname_to_num.get(fname)
+        res.setdefault(ps, {})[pg] = imgnum
+        for aps, apg in attach:
+            res.setdefault(aps, {})[apg] = imgnum
+        attach = []
+    for aps, apg in attach:
+        res.setdefault(aps, {})[apg] = imgnum
+    return {"sections": res,
+            "zzlastimgnum": len(img_filenames) or None,
+            "first_ps": next(iter(res), None)}
+
+
+def resolve_image_number(folio: int, side: str | None, volnum: int,
+                         index: dict | None, onea_default: int = 1,
+                         overrides: dict | None = None):
+    """folio_side_to_pagenum (utils.php:351-404): side-less locations return
+    the folio unchanged (:353-358); volumes with a pagination index resolve
+    through it — psection 'default' falling back to the first section
+    (:370-377), '1a'→'1b' fallback (:379-383), last-image fallback (:384-387)
+    — otherwise the arithmetic path 2*(folio-1)+onea+side with per-volume
+    first-folio overrides (:389-403, rkts.yaml:269-322)."""
+    if side is None or side == "":
+        return folio
+    if index is not None:
+        secs = index["sections"]
+        ps = "default"
+        if ps not in secs:
+            ps = index["first_ps"]
+        pgs = secs.get(ps, {}) if ps is not None else {}
+        key = f"{folio}{side}"
+        if key not in pgs and key == "1a":
+            key = "1b"
+        if key not in pgs:
+            return index["zzlastimgnum"]
+        return pgs[key]
+    onea = (overrides or {}).get(volnum, onea_default)
+    return 2 * (folio - 1) + onea + (1 if side == "b" else 0)
+
+
 class PaginationCache:
     """LRU-1 per-actor side-file cache (ST3): `get(name)` re-loads only when
     the requested volume changes — exact analog of $lastjsonbname/$lastjson."""

@@ -543,6 +543,73 @@ FROM (
 ) nt_all"""
 
 
+def _img_numbers_select(sf_dir_or_tag: str) -> str:
+    """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
+    utils.php:280-404): volume index reconstruction (missing→next,
+    trailing→last, last-wins per pg) + the psection/1a→1b/last-image
+    fallback chain + the arithmetic path with mod-13 first-folio overrides."""
+    pag = fixtures.aux_path(sf_dir_or_tag, "pagination")
+    il = fixtures.aux_path(sf_dir_or_tag, "image_list")
+    return f""",
+pagx AS (SELECT vol_id, idx, pagination, psection,
+  COALESCE(file = 'missing', FALSE) AS is_missing,
+  CASE WHEN file IS NULL OR file = 'missing' OR strpos(file,'::')=0 THEN NULL
+       ELSE substr(file, strpos(file,'::')+2) END AS fname
+  FROM read_parquet('{pag}')),
+ilx AS (SELECT vol_id, pos + 1 AS imgnum, filename FROM read_parquet('{il}')),
+pn AS (SELECT p.*, i.imgnum AS inum FROM pagx p
+  LEFT JOIN ilx i ON i.vol_id = p.vol_id AND i.filename = p.fname),
+pn2 AS (SELECT *,
+  CASE WHEN is_missing THEN
+    COALESCE(
+      min(CASE WHEN NOT is_missing THEN idx END) OVER
+        (PARTITION BY vol_id ORDER BY idx
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+      max(CASE WHEN NOT is_missing THEN idx END) OVER (PARTITION BY vol_id))
+  ELSE idx END AS target_idx
+  FROM pn),
+entries AS (SELECT a.vol_id, a.idx, a.psection AS ps, a.pagination AS pg,
+  b.inum AS inum_eff
+  FROM pn2 a LEFT JOIN pn b ON b.vol_id = a.vol_id AND b.idx = a.target_idx),
+pm AS (SELECT * FROM (SELECT *, row_number() OVER
+  (PARTITION BY vol_id, ps, pg ORDER BY idx DESC) AS rrn FROM entries)
+  WHERE rrn = 1),
+volset AS (SELECT DISTINCT vol_id FROM pagx),
+firstps AS (SELECT vol_id, arg_min(psection, idx) AS first_ps
+  FROM pagx WHERE NOT is_missing GROUP BY vol_id),
+zz AS (SELECT vol_id, count(*) AS zzlast FROM ilx GROUP BY vol_id),
+lr AS (SELECT conv_id, turn_idx,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(fs['bvolnum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['bvolnum'],'') AS BIGINT) END AS bvolnum,
+  CASE WHEN kind='full' THEN TRY_CAST(NULLIF(bp['pagenum'],'') AS BIGINT)
+       ELSE TRY_CAST(NULLIF(ss['bpagenum'],'') AS BIGINT) END AS folio,
+  CASE WHEN kind='full' THEN NULLIF(bp['side'],'') END AS side
+  FROM w2 WHERE kind IS NOT NULL AND loc_valid),
+lr2 AS (SELECT * FROM lr WHERE folio IS NOT NULL AND bvolnum IS NOT NULL),
+lr3 AS (SELECT l.*, 'IG' || lpad(CAST(l.bvolnum AS VARCHAR), 5, '0') AS vkey
+  FROM lr2 l)
+SELECT l.conv_id, l.turn_idx, l.bvolnum, l.folio, l.side,
+ CAST(CASE
+  WHEN l.side IS NULL THEN l.folio
+  WHEN vs.vol_id IS NOT NULL THEN
+    CASE WHEN m1.rrn IS NOT NULL THEN m1.inum_eff
+         WHEN CAST(l.folio AS VARCHAR) || l.side = '1a' AND m2.rrn IS NOT NULL
+           THEN m2.inum_eff
+         ELSE z.zzlast END
+  ELSE 2 * (l.folio - 1)
+       + CASE WHEN l.bvolnum % 13 = 0 THEN 3 ELSE 1 END
+       + CASE WHEN l.side = 'b' THEN 1 ELSE 0 END
+ END AS BIGINT) AS image_number
+FROM lr3 l
+LEFT JOIN volset vs ON vs.vol_id = l.vkey
+LEFT JOIN firstps f ON f.vol_id = l.vkey
+LEFT JOIN zz z ON z.vol_id = l.vkey
+LEFT JOIN pm m1 ON m1.vol_id = l.vkey AND m1.ps = f.first_ps
+  AND m1.pg = CAST(l.folio AS VARCHAR) || l.side
+LEFT JOIN pm m2 ON m2.vol_id = l.vkey AND m2.ps = f.first_ps AND m2.pg = '1b'
+  AND CAST(l.folio AS VARCHAR) || l.side = '1a'"""
+
+
 def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     w = with_block(sf_dir_or_tag) + "," + _LT
     full_union = "\nUNION ALL ".join(
@@ -550,6 +617,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
          SEL_LOCNODES])
     return {
         "kg_ntriples": w + _ntriples_select(full_union),
+        "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,
         "kg_mentions": w + SEL_MENTIONS,

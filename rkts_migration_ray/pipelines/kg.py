@@ -320,6 +320,40 @@ def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                  b["entities"])
 
 
+def image_numbers_ds(sf_dir: str, concurrency: int = 4):
+    """Folio→image-number resolution over the parsed locations stream
+    (utils.php:351-404 wired as an actor pool with the ST3 LRU-1 volume
+    cache; see stages/imgnum.py). Side-less (simple-dialect) rows return the
+    folio unchanged; volumes with pagination side files resolve through the
+    get_json_full index; the rest take the arithmetic path with first-folio
+    overrides."""
+    import pyarrow as pa
+
+    from .. import fixtures
+    from ..stages.imgnum import ImageNumberResolver
+
+    fixtures.ensure_fixture(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.fill_null(t["valid"], False),
+                    pc.and_(pc.is_valid(t["bpagenum"]),
+                            pc.is_valid(t["bvolnum"])))
+        t = t.filter(m)
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "bvolnum": t["bvolnum"], "folio": t["bpagenum"],
+            "side": t["bpageside"],
+        })
+
+    return (locations_ds(sf_dir)
+            .map_batches(prep, batch_format="pyarrow")
+            .map_batches(ImageNumberResolver, batch_format="pyarrow",
+                         fn_constructor_kwargs={
+                             "pag_path": fixtures.aux_path(sf_dir, "pagination"),
+                             "img_path": fixtures.aux_path(sf_dir, "image_list")},
+                         concurrency=(1, concurrency)))
+
+
 def ntriples_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                       concurrency: int = 8):
     """Full graph serialized to N-Triples lines (W2 analog: the global.nt
