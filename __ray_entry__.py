@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup --------------------------------------
         "dedup_exact": docs.dedup_exact_ds,
         "dedup_charset_pairs": docs.charset_pairs_ds,
+        "dedup_ngram_pairs": docs.ngram_pairs_ds,
+        "dedup_embed_pairs": docs.embed_pairs_ds,
         "dedup_minhash_pairs": docs.minhash_pairs_ds,      # rows-only
         "minhash_signatures": docs.minhash_signatures_ds,  # rows-only
         "dedup_simhash": docs.simhash_ds,                  # rows-only
@@ -86,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": relational.events_window_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,
+        "rel_lineitem_supplier": relational.lineitem_supplier_ds,
         # --- multimodal plumbing (stubbed codec) ----------------------------
         "mm_decode": _mm_decode,                           # rows-only
         "mm_media_stats": _mm_stats,                       # rows-only

@@ -305,6 +305,33 @@ def doc_rel_oracle_sql() -> dict[str, str]:
 SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY sha256(text)""",
+        "dedup_ngram_pairs": """
+WITH toks AS (SELECT doc_id, source,
+       regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+        t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM (SELECT doc_id, source, t,
+              unnest(generate_series(1, len(t) - 2)) AS i
+             FROM toks WHERE len(t) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        count(*) AS i
+       FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s
+        AND a.doc_id < b.doc_id
+       GROUP BY a.source, a.doc_id, b.doc_id)
+SELECT i.source, i.doc_a, i.doc_b,
+ round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.2""",
+        "dedup_embed_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+ round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""",
         "dedup_charset_pairs": """
 SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(jaccard(a.text, b.text), 6) AS jac
@@ -377,6 +404,13 @@ SELECT e.event_id, e.user_id, e.ts,
        CAST(o.o_orderkey AS DOUBLE) AS o_orderkey, o.o_orderdate
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "rel_lineitem_supplier": """
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+ CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))
+      AS BIGINT) AS revenue_c,
+ CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name""",
         "rel_orders_by_nation": """
 SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o

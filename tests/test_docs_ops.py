@@ -74,19 +74,71 @@ def test_knn_brute_matches_numpy(sf_tag):
         assert list(g["rank"]) == list(range(1, docs.KNN_K + 1))
 
 
-def test_knn_lsh_subset_of_reasonable(sf_tag):
+def test_knn_lsh_recall(sf_tag):
+    """Round-1 verdict fix #6 acceptance: recall vs knn_brute ≥ 0.9, via the
+    signature-partitioned index (no full-table scan, no driver load)."""
     from rkts_migration_ray.pipelines import docs
 
-    got = docs.knn_lsh_ds(sf_tag).to_pandas()
-    # approximate: every returned neighbor must be a real vector, ranks dense
+    brute = docs.knn_brute_ds(sf_tag).to_pandas()
+    got = docs.knn_lsh_ds(sf_tag)
+    import pandas as pd
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
     assert (got["rank"] >= 1).all()
     assert got.groupby("query_id")["rank"].apply(
         lambda s: list(s.sort_values()) == list(range(1, len(s) + 1))).all()
+    b = set(map(tuple, brute[["query_id", "neighbor_id"]].values.tolist()))
+    l = set(map(tuple, got[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(b & l) / len(b) >= 0.9
+
+
+def test_minhash_pairs_match_reference_banding(sf_tag):
+    """The refactored two-phase MinHash (bands-only shuffle → pair dedup →
+    one exact verify per pair) must produce exactly the pairs of a direct
+    single-process reference implementation of band-collide + exact-Jaccard."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.functions import text as T
+    from rkts_migration_ray.pipelines import docs
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    a, b = T.minhash_params(docs.N_HASHES)
+    r = docs.N_HASHES // docs.N_BANDS
+    buckets: dict = {}
+    shingles: dict = {}
+    for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sh = T.shingle_hashes(T.tokens_lower(x))
+        if len(sh) == 0:
+            continue
+        shingles[did] = set(sh.tolist())
+        sig = T.minhash_signature(sh, a, b)
+        for bi in range(docs.N_BANDS):
+            bh = hashlib.blake2b(sig[bi * r:(bi + 1) * r].tobytes(),
+                                 digest_size=8).hexdigest()
+            buckets.setdefault((bi, bh), []).append(did)
+    want = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sa, sb = shingles[ids[i]], shingles[ids[j]]
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.2:
+                    want.add((ids[i], ids[j], round(jac, 6)))
+    got = docs.minhash_pairs_ds(sf_tag)
+    import pandas as pd
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got_set = set(map(tuple, got[["doc_a", "doc_b", "jaccard"]].values.tolist()))
+    assert got_set == want
 
 
 @pytest.mark.parametrize("name", ["dedup_exact", "text_stats", "text_langid",
                                   "doc_fingerprint", "knn_brute",
-                                  "rel_pricing_summary", "rel_events_window"])
+                                  "dedup_ngram_pairs", "dedup_embed_pairs",
+                                  "rel_pricing_summary", "rel_events_window",
+                                  "rel_events_asof", "rel_lineitem_supplier"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd

@@ -66,6 +66,7 @@ def main() -> int:
 
         qs = e.queries()
         sqls = oracles.kg_oracle_sql(tag)
+        sqls.update(oracles.bvm_oracle_sql(tag))
         sqls.update(oracles.doc_rel_oracle_sql())
         only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         failures = []
