@@ -47,9 +47,12 @@ P_LOC_END_LINENUM = "tr:locEndLinenum"
 P_LOC_PAGESIDE = "tr:locPageside"
 P_LOC_END_PAGESIDE = "tr:locEndPageside"
 
+P_HAS_PART = "tr:hasPart"            # ≈ bdo:hasPart (editionxmltottl.php:235)
+
 T_CONV = "tr:Conversation"
 T_TURN = "tr:Turn"
 T_SECTION = "tr:Section"
+T_CHAPTER = "tr:Chapter"             # ≈ bdr:PartTypeChapter (editionxmltottl.php:230)
 T_ENTITY = "tr:Entity"
 T_CONTENT_LOCATION = "tr:ContentLocation"
 

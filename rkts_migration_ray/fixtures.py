@@ -39,7 +39,7 @@ FIXTURE_ROOT = "/tmp/graft_fixtures"
 # bump when new tables are added; ensure_fixture regenerates stale dirs.
 # Existing tables are bit-stable across versions: new tables draw from their
 # OWN seeded generator streams, never the primary one.
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -207,6 +207,14 @@ def _generate(tag: str, out_dir: str) -> dict:
 
     fill_idx = rng.integers(0, len(FILLER), size=(n, 6))
 
+    # chapter markers (editionxmltottl.php:219-255 analog) — independent
+    # stream so the primary draws (and all pre-v3 table bytes) are unchanged
+    rng_ch = np.random.default_rng(SEED + 31)
+    n_chap = rng_ch.choice([0, 1, 2], size=n, p=[0.90, 0.07, 0.03])
+    ch_widx = rng_ch.integers(0, len(TITLE_WORDS) - 3, size=(n, 2))
+    ch_len = rng_ch.integers(1, 4, size=(n, 2))
+    ch_style = rng_ch.random((n, 2))
+
     # --- assemble text (one-time generation cost; cached as parquet) ---------
     texts = np.empty(n, dtype=object)
     first_title_of_conv: dict[int, str] = {}
@@ -245,6 +253,16 @@ def _generate(tag: str, out_dir: str) -> dict:
                 parts.append("loc{%s, %s %d%s%d%s (vol. %d-%d)}"
                              % (sec_name[i], bv, bpage[i], bside[i], bline[i],
                                 rng_part, v1[i], v1[i] + vspan[i]))
+        for ci in range(n_chap[i]):
+            w0, ln = ch_widx[i, ci], ch_len[i, ci]
+            ctl = " ".join(TITLE_WORDS[w0:w0 + ln])
+            r = ch_style[i, ci]
+            if r < 0.5:
+                ctl = f"{ci + 1}. {ctl}"        # dot < 5 → prefix stripped
+            elif r < 0.6:
+                ctl = f"chapter {ci + 1}. {ctl}"  # dot ≥ 5 → kept whole
+            # else: no '. ' → PHP strpos-false quirk chops 2 leading chars
+            parts.append("chap{%s}" % ctl)
         parts.extend(FILLER[j] for j in fill_idx[i, 3:])
         for m in range(n_ment[i]):
             r = ment_kind[i, m]

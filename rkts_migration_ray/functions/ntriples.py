@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..config import (
     P_CONTENT_LOC,
     P_GENRE,
+    P_HAS_PART,
     P_HAS_TITLE,
     P_IN_SECTION,
     P_IS_ABOUT,
@@ -40,7 +41,7 @@ from ..config import (
 
 # predicates whose object is a resource URI; all others carry literals
 OBJ_URI_PREDS = frozenset({
-    P_TYPE, P_PART_OF, P_ROOT, P_TOOL, P_CONTENT_LOC, P_MENTIONS,
+    P_TYPE, P_PART_OF, P_HAS_PART, P_ROOT, P_TOOL, P_CONTENT_LOC, P_MENTIONS,
     P_HAS_TITLE, P_IN_SECTION, P_IS_ABOUT, P_GENRE,
 })
 

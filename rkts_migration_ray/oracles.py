@@ -58,6 +58,7 @@ def with_block(sf_dir_or_tag: str) -> str:
     am = fixtures.aux_path(sf_dir_or_tag, "alias_map")
     props = fixtures.aux_path(sf_dir_or_tag, "entity_props")
     label_expr = f"CASE WHEN bcp LIKE '%ewts' THEN {shad_sql('title')} ELSE title END"
+    shad_stripped = shad_sql("stripped")
     return f"""WITH RECURSIVE
 t AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM read_parquet('{tr}')),
 u AS (SELECT 'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
@@ -153,7 +154,31 @@ linked AS (SELECT m.conv_id, m.turn_idx, m.alias,
            LEFT JOIN closure_f c ON g.canonical_id = c.from_id),
 ents AS (SELECT DISTINCT entity_uri, curated, final_id,
           CASE WHEN NOT curated THEN alias END AS alias FROM linked),
-props AS (SELECT entity_id, prop, object_id FROM read_parquet('{props}'))
+props AS (SELECT entity_id, prop, object_id FROM read_parquet('{props}')),
+chl AS (SELECT conv_id, turn_idx,
+         regexp_extract_all(text, 'chap\\{{([^}}]*)\\}}', 1) AS l FROM t),
+ch1 AS (SELECT conv_id, turn_idx,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) AS cidx,
+         raw
+        FROM (SELECT conv_id, turn_idx, i, l[i] AS raw
+              FROM (SELECT conv_id, turn_idx, l,
+                     unnest(generate_series(1, len(l))) AS i
+                    FROM chl WHERE len(l) > 0))
+        WHERE raw <> ''),
+ch2 AS (SELECT conv_id, turn_idx, cidx,
+         CASE WHEN strpos(raw, '. ') = 0 THEN substr(raw, 3)
+              WHEN strpos(raw, '. ') < 6 THEN substr(raw, strpos(raw, '. ') + 2)
+              ELSE raw END AS stripped
+        FROM ch1),
+ch3 AS (SELECT conv_id, turn_idx, cidx, {shad_stripped} AS label FROM ch2),
+chu AS (SELECT c.conv_id, c.cidx, c.label, w.turn, w.g,
+         lpad(CAST(w.sec_ord AS VARCHAR),2,'0')||'.'
+           ||lpad(CAST(w.pos AS VARCHAR),4,'0')||'.'
+           ||lpad(CAST(c.cidx AS VARCHAR),2,'0') AS ctree
+        FROM ch3 c JOIN w2 w
+          ON w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx),
+chf AS (SELECT *, 'N:CH'||upper(substr(sha256(conv_id||ctree||'|'||label),1,6))
+          ||'_'||conv_id AS curi FROM chu)
 """
 
 
@@ -186,7 +211,13 @@ UNION ALL SELECT sec_uri, 'tr:sectionVolumes', vols, '', '', 'G:'||conv_id FROM 
 UNION ALL SELECT w2.turn, 'tr:inSection', s.sec_uri, '', '', w2.g
           FROM w2 JOIN secu s ON w2.conv_id = s.conv_id AND w2.sec_ord = s.sec_ord
 UNION ALL SELECT 'C:'||conv_id, 'tr:hasTitle', t_uri, '', '', 'G:'||conv_id FROM ttf
-UNION ALL SELECT t_uri, 'rdfs:label', label, bcp, '', 'G:'||conv_id FROM ttf"""
+UNION ALL SELECT t_uri, 'rdfs:label', label, bcp, '', 'G:'||conv_id FROM ttf
+UNION ALL SELECT curi, 'rdf:type', 'tr:Chapter', '', '', g FROM chf
+UNION ALL SELECT curi, 'tr:partOf', turn, '', '', g FROM chf
+UNION ALL SELECT curi, 'tr:partIndex', CAST(cidx AS VARCHAR), '', 'xsd:integer', g FROM chf
+UNION ALL SELECT curi, 'tr:partTreeIndex', ctree, '', '', g FROM chf
+UNION ALL SELECT curi, 'rdfs:label', label, 'bo-x-ewts', '', g FROM chf
+UNION ALL SELECT turn, 'tr:hasPart', curi, '', '', g FROM chf"""
 
 SEL_MENTIONS = """
 SELECT DISTINCT 'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS subj,

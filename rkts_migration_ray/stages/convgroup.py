@@ -32,15 +32,18 @@ from ..config import (
     DT_INT,
     P_BEGIN_LOC,
     P_END_LOC,
+    P_HAS_PART,
     P_HAS_TITLE,
     P_IN_SECTION,
     P_LABEL,
     P_PART_INDEX,
+    P_PART_OF,
     P_SECTION_NAME,
     P_SECTION_VOLS,
     P_TREE_INDEX,
     P_TURN_COUNT,
     P_TYPE,
+    T_CHAPTER,
     T_CONV,
     T_SECTION,
     TRIPLE_COLUMNS,
@@ -50,7 +53,7 @@ from ..functions.minting import mint_hash6
 
 CONV_GROUP_COLUMNS = [
     "conv_id", "turn_idx", "sec", "loc_valid", "loc_body", "loc_bvolname",
-    "title_bcp", "title_label", "title_key",
+    "title_bcp", "title_label", "title_key", "chap_label",
 ]
 
 N_CONV_BUCKETS = 256  # local floor; conv_buckets() scales with cluster CPUs
@@ -139,6 +142,27 @@ def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> p
         emit(with_v["sec_uri"], P_SECTION_VOLS, with_v["vols"], "", "", with_v["graph"])
         edges = insec.merge(secs[keys + ["sec_uri"]], on=keys)
         emit(edges["turn_uri"], P_IN_SECTION, edges["sec_uri"], "", "", edges["graph"])
+
+    # ---- chapters: 3rd hierarchy level SS.PPPP.CC ---------------------------
+    # (editionxmltottl.php:219-255: chapter node under its text part with
+    # partIndex = per-part chapter ordinal, partTreeIndex = parent.'%02d',
+    # hasPart edge from the part; label already normalized at extraction)
+    has_ch = df["chap_label"].map(len).astype(int) > 0
+    if has_ch.any():
+        cc = pd.DataFrame({
+            "conv_id": conv[has_ch], "turn_uri": turn_uris[has_ch],
+            "graph": graph[has_ch], "tree": tree[has_ch],
+            "label": df["chap_label"][has_ch],
+        }).explode("label").dropna(subset=["label"])
+        cc["cidx"] = cc.groupby(level=0).cumcount() + 1
+        ctree = cc["tree"] + "." + cc["cidx"].astype(str).str.zfill(2)
+        curi = _mint_series("CH", cc["conv_id"], ctree + "|" + cc["label"])
+        emit(curi, P_TYPE, T_CHAPTER, "", "", cc["graph"])
+        emit(curi, P_PART_OF, cc["turn_uri"], "", "", cc["graph"])
+        emit(curi, P_PART_INDEX, cc["cidx"].astype(str), "", DT_INT, cc["graph"])
+        emit(curi, P_TREE_INDEX, ctree, "", "", cc["graph"])
+        emit(curi, P_LABEL, cc["label"], "bo-x-ewts", "", cc["graph"])
+        emit(cc["turn_uri"], P_HAS_PART, curi, "", "", cc["graph"])
 
     # ---- titles (first occurrence per conv × lang × dedup-key) --------------
     has_titles = df["title_bcp"].map(len).astype(int) > 0

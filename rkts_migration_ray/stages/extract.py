@@ -41,6 +41,7 @@ from ..functions.minting import sha256_hex_array, turn_uri_array
 from ..functions.normalize import normalize_title_array, title_dedup_key
 
 SEC_PATTERN = r"sec\{(?P<sec>[^}]*)\}"
+CHAP_TAIL = r"^(?P<title>[^}]*)\}"
 LOC_PATTERN = r"loc\{(?P<body>[^}]*)\}"
 LOCS_PATTERN = r"locs\{(?P<body>[^}]*)\}"
 TITLE_TAIL = r"^(?P<k>\w+)\]\{(?P<title>[^}]*)\}"
@@ -111,6 +112,30 @@ def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
     title_label = _list_column(n, t_rows[keep], t_label.filter(keep_arr))
     title_key = _list_column(n, t_rows[keep], t_key.filter(keep_arr))
 
+    # chapters → list column of normalized labels (editionxmltottl.php:236-245:
+    # '. ' before position 5 strips the numbering prefix; a missing '. '
+    # triggers PHP's strpos-false quirk — false+2 == 2 — chopping the first
+    # two characters; then normalize_lit as bo-x-ewts, i.e. shad rules)
+    from ..functions.normalize import add_shad
+
+    def _chapter_label(raw: str) -> str:
+        dot = raw.find(". ")
+        if dot == -1:
+            raw = raw[2:]
+        elif dot < 5:
+            raw = raw[dot + 2:]
+        return add_shad(raw)
+
+    c_rows, c_ext = extract_all(text, "chap{", CHAP_TAIL)
+    c_raw = pc.struct_field(c_ext, "title")
+    # raw-empty titles are skipped WITHOUT consuming a chapter number
+    # (editionxmltottl.php:222-224: the empty check precedes chapnum += 1)
+    keep_c = np.asarray(pc.invert(pc.equal(c_raw, ""))).astype(bool)
+    c_label = pa.array([_chapter_label(x)
+                        for x in c_raw.filter(pa.array(keep_c)).to_pylist()],
+                       pa.string())
+    chap_label = _list_column(n, c_rows[keep_c], c_label)
+
     # mentions → list column (placeholders dropped per editionxmltottl.php:33-34)
     m_rows, m_ext = extract_all(text, "@[", MENTION_TAIL)
     m_alias = pc.struct_field(m_ext, "alias")
@@ -133,6 +158,7 @@ def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
         "title_bcp": title_bcp,
         "title_label": title_label,
         "title_key": title_key,
+        "chap_label": chap_label,
         "mentions": mentions,
     }
     for k in ("section", "bvolname", "evolname", "bvolnum", "evolnum",

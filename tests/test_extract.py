@@ -58,3 +58,45 @@ def test_explode_mentions_dedups_within_turn():
     m = extract.explode_mentions(extract.extract_features(b))
     assert sorted(m["alias"].to_pylist()) == ["x", "y"]
     assert m["conv_id"].to_pylist() == ["c9", "c9"]
+
+
+def test_chapter_labels_and_hierarchy():
+    """Chapter extraction quirks (editionxmltottl.php:236-245) + the 3-level
+    partTreeIndex SS.PPPP.CC emission (editionxmltottl.php:233-234)."""
+    import pandas as pd
+
+    from rkts_migration_ray.config import (
+        P_HAS_PART,
+        P_PART_INDEX,
+        P_PART_OF,
+        P_TREE_INDEX,
+        P_TYPE,
+        T_CHAPTER,
+    )
+    from rkts_migration_ray.stages.convgroup import (
+        CONV_GROUP_COLUMNS,
+        conv_group_triples,
+    )
+
+    b = make_batch([
+        "sec{mdo sde} chap{1. nga ro} chap{chapter 2. sgrub thab} chap{rgyud pa}",
+    ], convs=["c0"], idxs=[0])
+    f = extract.extract_features(b)
+    # '1. ' (dot<5) stripped; 'chapter 2. ' (dot>=5) kept whole; no '. ' at
+    # all -> PHP strpos-false quirk chops 2 chars ('rgyud pa' -> 'yud pa')
+    labels = f["chap_label"].to_pylist()[0]
+    assert labels[0] == "nga ro/"
+    assert labels[1].startswith("chapter 2. ")
+    assert labels[2] == "yud pa/"  # shad appended after the chop
+    df = f.select(CONV_GROUP_COLUMNS).to_pandas()
+    trips = conv_group_triples(df)
+    ch_types = trips[(trips["pred"] == P_TYPE) & (trips["obj"] == T_CHAPTER)]
+    assert len(ch_types) == 3
+    trees = trips[trips["pred"] == P_TREE_INDEX]
+    ch_trees = sorted(t for t in trees["obj"] if t.count(".") == 2)
+    assert ch_trees == ["01.0001.01", "01.0001.02", "01.0001.03"]
+    curi = ch_types["subj"].iloc[0]
+    assert trips[(trips["pred"] == P_PART_OF) & (trips["subj"] == curi)]["obj"].iloc[0] == "U:c0/00000"
+    assert (trips[trips["pred"] == P_HAS_PART]["subj"] == "U:c0/00000").all()
+    idxs = trips[(trips["pred"] == P_PART_INDEX) & (trips["subj"].str.startswith("N:CH"))]
+    assert sorted(idxs["obj"]) == ["1", "2", "3"]
