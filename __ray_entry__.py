@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
         "text_langid": docs.langid_ds,
+        "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
         # --- similarity search ----------------------------------------------
         "knn_brute": docs.knn_brute_ds,

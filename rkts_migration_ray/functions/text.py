@@ -57,6 +57,46 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return vals.min(axis=1)
 
 
+# Unicode-range language guesser — verbatim transposition of the reference's
+# NATIVERANGES/guessFromRange/guess_lt (migrate-bvm.py:18-53). Order matters
+# (first matching range wins; the duplicated Devanagari range at the end is
+# shadowed, exactly as in the reference); bounds are EXCLUSIVE on both ends.
+NATIVERANGES = (
+    ((0x0900, 0x097F), "sa-Deva"),
+    ((0x0F00, 0x0FFF), "bo"),
+    ((0x0400, 0x045F), "ru"),
+    ((0x2E80, 0x2EFF), "zh-Hani"),
+    ((0x3000, 0x303F), "zh-Hani"),
+    ((0x3200, 0x9FFF), "zh-Hani"),
+    ((0xF900, 0xFAFF), "zh-Hani"),
+    ((0x20000, 0x2CEAF), "zh-Hani"),
+    ((0x0900, 0x097F), "zh-Hani"),
+)
+
+IAST_DIACRITICS = "ṀṃṂāĀīĪūŪṛṚṝṜḷḶḹḸḥḤṅṄñÑṭṬḍḌṇṆśŚṣṢḻḺ"
+
+
+def guess_from_range(o: int) -> str | None:
+    for (lo, hi), lt in NATIVERANGES:
+        if lo < o < hi:
+            return lt
+    return None
+
+
+def guess_lt(s: str, default: str = "en") -> str:
+    """guess_lt (migrate-bvm.py:44-53): trailing shad → ewts; IAST
+    diacritics → sa-x-iast; else the first character's Unicode range.
+    (The reference raises on the empty string; here it returns ``default``.)"""
+    if not s:
+        return default
+    if s.endswith("/"):
+        return "bo-x-ewts"
+    if any(c in s for c in IAST_DIACRITICS):
+        return "sa-x-iast"
+    fromr = guess_from_range(ord(s[0]))
+    return fromr if fromr is not None else default
+
+
 def simhash64(toks: list[str]) -> int:
     """Classic 64-bit SimHash over token multiset."""
     if not toks:

@@ -330,6 +330,23 @@ _STOP_DE_SQL = "['der','die','das','und','ist','ein','nicht','mit']"
 _STOP_FR_SQL = "['le','la','et','les','des','un','une','est']"
 
 
+def _guess_lt_select() -> str:
+    """SQL twin of functions/text.guess_lt (migrate-bvm.py:18-53), generated
+    from the same NATIVERANGES constant so the two can never drift."""
+    from .functions.text import IAST_DIACRITICS, NATIVERANGES
+
+    arms = " ".join(f"WHEN u > {lo} AND u < {hi} THEN '{lt}'"
+                    for (lo, hi), lt in NATIVERANGES)
+    return f"""
+SELECT doc_id, CASE
+ WHEN text IS NULL OR text = '' THEN 'en'
+ WHEN text LIKE '%/' THEN 'bo-x-ewts'
+ WHEN regexp_matches(text, '[{IAST_DIACRITICS}]') THEN 'sa-x-iast'
+ ELSE COALESCE(CASE {arms} END, 'en')
+END AS lt_guess
+FROM (SELECT doc_id, text, unicode(text) AS u FROM documents)"""
+
+
 def doc_rel_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -381,6 +398,7 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "text_guess_lt": _guess_lt_select(),
         "text_langid": f"""
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
 h AS (SELECT doc_id,

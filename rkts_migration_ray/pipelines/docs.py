@@ -421,6 +421,20 @@ def langid_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(lid, batch_format="pyarrow")
 
 
+def guess_lt_ds(sf_dir: str):
+    """Reference language guesser (M17 full semantics — migrate-bvm.py:18-53
+    Unicode-range + diacritic + trailing-shad heuristics) per document; the
+    stopword cascade (langid_ds) stays as the engine's extended heuristic."""
+
+    def gl(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lt_guess": [T.guess_lt(x) for x in df["text"]]}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(gl, batch_format="pyarrow")
+
+
 _WS_RE = re.compile(r"\s+")
 
 

@@ -160,3 +160,18 @@ def test_docs_rel_oracle_parity(sf_tag, name):
         sorted(sql_df.columns), kind="stable").reset_index(drop=True)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_guess_lt_reference_branches():
+    """Branch goldens for the Unicode-range guesser (migrate-bvm.py:18-53)."""
+    assert T.guess_lt("bkra shis/") == "bo-x-ewts"       # trailing shad
+    assert T.guess_lt("saṃgha text") == "sa-x-iast"      # IAST diacritic
+    assert T.guess_lt("ཀ tibetan") == "bo"          # ཀ U+0F40
+    assert T.guess_lt("क deva") == "sa-Deva"        # क U+0915 (first range wins)
+    assert T.guess_lt("ж russian") == "ru"          # ж U+0436
+    assert T.guess_lt("中 cjk") == "zh-Hani"         # 中 U+4E2D
+    assert T.guess_lt("hello") == "en"                   # default
+    assert T.guess_lt("", default="xx") == "xx"          # guarded empty
+    # exclusive bounds: exactly at a range edge does NOT match
+    assert T.guess_from_range(0x0F00) is None
+    assert T.guess_from_range(0x0FFF) is None
