@@ -147,24 +147,39 @@ class EntityEmitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        subj, pred, obj, lang, dt, graph = [], [], [], [], [], []
+        frames: list[pd.DataFrame] = []
 
-        def emit(s, p, o, g=GRAPH_ENTITIES, la="", d=""):
-            subj.append(s); pred.append(p); obj.append(o)
-            lang.append(la); dt.append(d); graph.append(g)
+        def block(subj, pred, obj, graph=GRAPH_ENTITIES, lang=""):
+            frames.append(pd.DataFrame({
+                "subj": np.asarray(subj, dtype=object), "pred": pred,
+                "obj": np.asarray(obj, dtype=object),
+                "obj_lang": lang, "obj_dt": "", "graph": graph}))
 
-        for uri, curated, final, alias in zip(
-                df["entity_uri"], df["curated"], df["final_id"], df["alias"]):
-            emit(uri, P_TYPE, T_ENTITY)
-            if curated:
-                for prop, target in self.props.get(final, ()):
-                    if target == final:
-                        emit(uri, "q:" + RULE_SELF_LOOP, target, GRAPH_QUARANTINE)
-                    else:
-                        emit(uri, P_IS_ABOUT if prop == "ab" else P_GENRE,
-                             "ENT:" + target)
-            else:
-                emit(uri, P_LABEL, alias)
-        return from_pandas_clean(
-            pd.DataFrame({"subj": subj, "pred": pred, "obj": obj,
-                          "obj_lang": lang, "obj_dt": dt, "graph": graph})[TRIPLE_COLUMNS])
+        block(df["entity_uri"], P_TYPE, np.repeat(T_ENTITY, len(df)))
+        nc = df[~df["curated"]]
+        if len(nc):
+            block(nc["entity_uri"], P_LABEL, nc["alias"])
+        cu = df[df["curated"]]
+        if len(cu):
+            pr = (cu[["entity_uri", "final_id"]]
+                  .assign(pt=cu["final_id"].map(
+                      lambda f: self.props.get(f) or None))
+                  .dropna(subset=["pt"]).explode("pt"))
+            if len(pr):
+                pr = pr.assign(prop=[p[0] for p in pr["pt"]],
+                               target=[p[1] for p in pr["pt"]])
+                loop = pr["target"] == pr["final_id"]
+                good = pr[~loop]
+                if len(good):
+                    block(good["entity_uri"],
+                          np.where(good["prop"] == "ab", P_IS_ABOUT, P_GENRE),
+                          "ENT:" + good["target"])
+                bad = pr[loop]
+                if len(bad):
+                    block(bad["entity_uri"], "q:" + RULE_SELF_LOOP,
+                          bad["target"], graph=GRAPH_QUARANTINE)
+        out = pd.concat(frames, ignore_index=True)
+        for c in ("pred", "obj_lang", "obj_dt", "graph"):
+            out[c] = out[c].astype(object)
+        return from_pandas_clean(out[TRIPLE_COLUMNS], schema=pa.schema(
+            [(c, pa.string()) for c in TRIPLE_COLUMNS]))
