@@ -49,6 +49,21 @@ def _mm_stats(sf_dir: str) -> Any:
     return multimodal.media_stats_ds(path)
 
 
+def _mm_resize(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.resize_media_ds(path).drop_columns(["payload"])
+
+
+def _mm_frames(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.frame_sample_ds(path)
+
+
+def _mm_embed(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.embed_media_ds(path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (the reference's capability surface) ---------
@@ -93,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed codec) ----------------------------
         "mm_decode": _mm_decode,                           # rows-only
         "mm_media_stats": _mm_stats,                       # rows-only
+        "mm_resize": _mm_resize,                           # rows-only
+        "mm_frames": _mm_frames,                           # oracle (byte math)
+        "mm_embed": _mm_embed,                             # rows-only
     }
 
 
@@ -100,4 +118,6 @@ def oracle_sql() -> dict[str, str]:
     out = oracles.kg_oracle_sql("sf0.01")
     out.update(oracles.bvm_oracle_sql("sf0.01"))
     out.update(oracles.doc_rel_oracle_sql())
+    out.update(oracles.mm_oracle_sql(
+        multimodal.ensure_media_fixture(MEDIA_DIR)))
     return out

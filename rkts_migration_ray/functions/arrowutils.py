@@ -53,7 +53,18 @@ def hash_bucket(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
     subject, 8.7M rows at sf0.1 and 10^12-scale in production). Polars'
     xxhash-family kernel is deterministic across processes for a pinned
     polars version, which is all bucket assignment needs (buckets are a
-    partitioning detail; manifest checksums are bucket-independent)."""
+    partitioning detail; manifest checksums are bucket-independent).
+
+    Polars' global thread pool ignores Ray's per-task CPU accounting — on a
+    multi-core host a '1-CPU' map task would otherwise fan the hash across
+    every idle core, silently borrowing compute the cluster scheduler never
+    granted (and wrecking scaling measurements at low num_cpus). Cap it to
+    one thread before the first polars import in each worker process; the
+    kernel is memory-bound and single-thread throughput (~45 ms / 2M rows)
+    is already 100× the loop it replaced."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import polars as pl
 
     if isinstance(arr, pa.ChunkedArray):

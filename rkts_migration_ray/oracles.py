@@ -347,6 +347,23 @@ END AS lt_guess
 FROM (SELECT doc_id, text, unicode(text) AS u FROM documents)"""
 
 
+def mm_oracle_sql(media_path: str) -> dict[str, str]:
+    """Byte-math oracle for the frame sampler (stages/multimodal.py
+    FrameSampleStub): frame count/offsets derive from octet_length only, so
+    the explode plumbing is exactly SQL-checkable even with the codec
+    stubbed."""
+    return {"mm_frames": f"""
+WITH m AS (SELECT media_id, octet_length(payload) AS len
+           FROM read_parquet('{media_path}') WHERE kind = 'video'),
+f AS (SELECT media_id, len,
+       unnest(generate_series(0, greatest(len - 12, 0) // 256, 4)) AS fi
+      FROM m)
+SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+ CAST(12 + fi * 256 AS BIGINT) AS "offset",
+ CAST(least(256, len - (12 + fi * 256)) AS BIGINT) AS n_bytes
+FROM f"""}
+
+
 def doc_rel_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

@@ -259,7 +259,8 @@ MAP_ONLY_STREAMS = ("structural", "locnodes", "mentions")
 
 
 def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
-                        resume: bool = True, source: str = "") -> pd.DataFrame:
+                        resume: bool = True, source: str = "",
+                        overlap: bool = False) -> pd.DataFrame:
     """Materialize a dict of triple streams (kg.kg_bundle output); manifests
     commit once at the end. This is the headline write path.
 
@@ -268,21 +269,37 @@ def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
     executor overhead, which dominates the high-CPU wall time. Streams with
     shuffles (conv windows, entity merge) each run as their own simple
     execution: mixing sorts + actor pools + union in one DAG wedges the
-    streaming executor at low CPU counts (observed repeatedly at 8 CPUs)."""
+    streaming executor at low CPU counts (observed repeatedly at 8 CPUs).
+
+    ``overlap=True`` drives the per-stream executions from driver THREADS:
+    each execution is still its own simple DAG (no union wedge), but their
+    fixed executor startup/teardown overlaps instead of serializing — the
+    fixed-overhead term that caps scaling efficiency shrinks toward one
+    execution's worth. Fragment writes are path-disjoint (content-addressed
+    filenames carry the stream tag), and the manifest commit still happens
+    once, after every stream finishes."""
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
     skip = frozenset(done)
-    metas = []
+    jobs: list[tuple[str, object]] = []
     maponly = [streams[t] for t in MAP_ONLY_STREAMS if t in streams]
     if maponly:
         merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
-        metas.append(write_fragments(merged, out_dir, n_buckets, "maponly",
-                                     skip_buckets=skip))
+        jobs.append(("maponly", merged))
     for tag, ds in streams.items():
         if tag in MAP_ONLY_STREAMS or tag == "ckpt_root":
             continue
-        metas.append(write_fragments(ds, out_dir, n_buckets, tag,
-                                     skip_buckets=skip))
+        jobs.append((tag, ds))
+    if overlap and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = [ex.submit(write_fragments, ds, out_dir, n_buckets, tag,
+                              skip) for tag, ds in jobs]
+            metas = [f.result() for f in futs]
+    else:
+        metas = [write_fragments(ds, out_dir, n_buckets, tag, skip_buckets=skip)
+                 for tag, ds in jobs]
     return commit_manifests(out_dir, metas, done, source)
 
 

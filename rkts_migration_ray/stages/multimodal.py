@@ -96,6 +96,126 @@ def decode_media_ds(media_path: str, concurrency: int = 2, batch_size: int = 32)
                          batch_size=batch_size, concurrency=(1, concurrency)))
 
 
+class ResizeStub:
+    """Actor-pool resize stage: clamp width to ``target`` preserving aspect
+    ratio; the fake 'resize' rewrites the 12-byte header (a real pipeline
+    swaps the body transform for PIL/ffmpeg — the schema, actor signature
+    and binary-column flow are what this stage proves)."""
+
+    def __init__(self, target: int = 128, use_real_codec: bool = False):
+        self.target = target
+        self.use_real_codec = use_real_codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_payloads, ws, hs = [], [], []
+        for p in df["payload"]:
+            w, h = _decode_payload(p, self.use_real_codec)
+            if w <= 0:
+                out_payloads.append(p); ws.append(-1); hs.append(-1)
+                continue
+            nw = min(w, self.target)
+            nh = max(1, round(h * nw / w))
+            out_payloads.append(MAGIC + struct.pack(">II", nw, nh) + p[12:])
+            ws.append(nw); hs.append(nh)
+        return pa.table({
+            "media_id": pa.array(df["media_id"], pa.int64()),
+            "kind": pa.array(df["kind"], pa.string()),
+            "payload": pa.array(out_payloads, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+        })
+
+
+def resize_media_ds(media_path: str, target: int = 128,
+                    concurrency: int = 2, batch_size: int = 32):
+    import ray.data as rd
+
+    return (rd.read_parquet(media_path)
+            .map_batches(ResizeStub, batch_format="pyarrow",
+                         batch_size=batch_size,
+                         fn_constructor_kwargs={"target": target},
+                         concurrency=(1, concurrency)))
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+
+class FrameSampleStub:
+    """Flat-map frame sampler for video payloads: the body is treated as
+    FRAME_BYTES-sized frames; every FRAME_STRIDE-th frame is emitted as its
+    own row (one input row → k output rows — the explode shape a real
+    ffmpeg frame sampler needs). Frame count/offsets are pure byte math, so
+    a DuckDB oracle (octet_length arithmetic) verifies the plumbing."""
+
+    def __init__(self, stride: int = FRAME_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = {"media_id": [], "frame_idx": [], "offset": [], "n_bytes": []}
+        for mid, kind, p in zip(df["media_id"], df["kind"], df["payload"]):
+            if kind != "video":
+                continue
+            body = len(p) - 12
+            n_frames = max(body, 0) // FRAME_BYTES + 1
+            for fi in range(0, n_frames, self.stride):
+                off = 12 + fi * FRAME_BYTES
+                out["media_id"].append(int(mid))
+                out["frame_idx"].append(fi)
+                out["offset"].append(off)
+                out["n_bytes"].append(min(FRAME_BYTES, len(p) - off))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "offset": pa.array(out["offset"], pa.int64()),
+            "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+        })
+
+
+def frame_sample_ds(media_path: str, concurrency: int = 2, batch_size: int = 32):
+    import ray.data as rd
+
+    return (rd.read_parquet(media_path)
+            .map_batches(FrameSampleStub, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=(1, concurrency)))
+
+
+EMBED_DIM = 8
+
+
+class EmbedStub:
+    """Feature-extract stage: payload → fixed-dim float vector (deterministic
+    fake: sha256 bytes scaled to [0,1)); output is a list<float> column with
+    the same shape the similarity-search ops consume — a real model swap
+    changes only ``_features``."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+
+    def _features(self, payload: bytes) -> list[float]:
+        digest = hashlib.sha256(payload).digest()
+        return [digest[i] / 256.0 for i in range(self.dim)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "media_id": pa.array(df["media_id"], pa.int64()),
+            "kind": pa.array(df["kind"], pa.string()),
+            "embedding": pa.array([self._features(p) for p in df["payload"]],
+                                  pa.list_(pa.float64())),
+        })
+
+
+def embed_media_ds(media_path: str, concurrency: int = 2, batch_size: int = 32):
+    import ray.data as rd
+
+    return (rd.read_parquet(media_path)
+            .map_batches(EmbedStub, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=(1, concurrency)))
+
+
 def media_stats_ds(media_path: str):
     """Grouped size stats per kind over the decoded stream."""
     from ray.data.aggregate import Max, Min, Sum

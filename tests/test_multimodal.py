@@ -36,3 +36,48 @@ def test_media_stats(media_path):
     df = multimodal.media_stats_ds(media_path).to_pandas()
     assert set(df["kind"]) == set(multimodal.KINDS)
     assert int(df["n_media"].sum()) == 60
+
+
+def test_resize_clamps_and_preserves_aspect(media_path):
+    from rkts_migration_ray.stages import multimodal as mm
+
+    out = mm.resize_media_ds(media_path, target=128).to_pandas()
+    assert (out["width"] <= 128).all()
+    dec = mm.decode_media_ds(media_path).to_pandas().set_index("media_id")
+    for _, r in out.head(20).iterrows():
+        w, h = dec.loc[r["media_id"], ["width", "height"]]
+        nw = min(w, 128)
+        assert r["width"] == nw and r["height"] == max(1, round(h * nw / w))
+    # resized payload headers re-decode to the new dims
+    batch = mm.resize_media_ds(media_path).take_batch(10, batch_format="pyarrow")
+    re_dec = mm.DecodeStub()(batch).to_pandas()
+    got = batch.to_pandas()
+    assert list(re_dec["width"]) == list(got["width"])
+    assert list(re_dec["height"]) == list(got["height"])
+
+
+def test_frame_sample_shape(media_path):
+    from rkts_migration_ray.stages import multimodal as mm
+
+    frames = mm.frame_sample_ds(media_path).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] % mm.FRAME_STRIDE == 0).all()
+    assert (frames["offset"] == 12 + frames["frame_idx"] * mm.FRAME_BYTES).all()
+    assert (frames["n_bytes"] > 0).all() and (frames["n_bytes"] <= mm.FRAME_BYTES).all()
+    # one row per sampled frame per video (explode shape)
+    decoded = mm.decode_media_ds(media_path).to_pandas()
+    n_videos = (decoded["kind"] == "video").sum()
+    assert frames["media_id"].nunique() == n_videos
+
+
+def test_embed_deterministic_fixed_dim(media_path):
+    from rkts_migration_ray.stages import multimodal as mm
+
+    a = mm.embed_media_ds(media_path).to_pandas()
+    b = mm.embed_media_ds(media_path).to_pandas()
+    assert (a["embedding"].map(len) == mm.EMBED_DIM).all()
+    av = a.sort_values("media_id")["embedding"].map(tuple).tolist()
+    bv = b.sort_values("media_id")["embedding"].map(tuple).tolist()
+    assert av == bv
+    flat = [x for v in av for x in v]
+    assert all(0.0 <= x < 1.0 for x in flat)

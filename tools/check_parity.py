@@ -65,9 +65,13 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
         qs = e.queries()
+        from rkts_migration_ray.stages import multimodal
+
         sqls = oracles.kg_oracle_sql(tag)
         sqls.update(oracles.bvm_oracle_sql(tag))
         sqls.update(oracles.doc_rel_oracle_sql())
+        sqls.update(oracles.mm_oracle_sql(
+            multimodal.ensure_media_fixture("/tmp/graft_fixtures/media")))
         only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         failures = []
         for name, fn in qs.items():
