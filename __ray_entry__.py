@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ----------------------------------------------
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
+        "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
         # --- relational surface ---------------------------------------------
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,

