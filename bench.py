@@ -84,7 +84,7 @@ def run_bench(num_cpus: int) -> dict:
     manifest = materialize.write_graph_streams(
         streams, out_dir, n_buckets=64, resume=False,
         source=fixtures.transcripts_path(tag),
-        overlap=os.environ.get("GRAFT_OVERLAP", "0") == "1")
+        overlap=os.environ.get("GRAFT_OVERLAP", "1") == "1")
     headline = time.perf_counter() - t0
     n_triples = int(manifest["rows"].sum())
     timings["kg_triples_materialize"] = round(headline, 3)

@@ -260,7 +260,7 @@ MAP_ONLY_STREAMS = ("structural", "locnodes", "mentions")
 
 def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
                         resume: bool = True, source: str = "",
-                        overlap: bool = False) -> pd.DataFrame:
+                        overlap: bool = True) -> pd.DataFrame:
     """Materialize a dict of triple streams (kg.kg_bundle output); manifests
     commit once at the end. This is the headline write path.
 
@@ -271,7 +271,9 @@ def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
     execution: mixing sorts + actor pools + union in one DAG wedges the
     streaming executor at low CPU counts (observed repeatedly at 8 CPUs).
 
-    ``overlap=True`` drives the per-stream executions from driver THREADS:
+    ``overlap=True`` (the default; measured ~25% faster end-to-end at both
+    8 and 32 CPUs on sf0.1, identical output) drives the per-stream
+    executions from driver THREADS:
     each execution is still its own simple DAG (no union wedge), but their
     fixed executor startup/teardown overlaps instead of serializing — the
     fixed-overhead term that caps scaling efficiency shrinks toward one
