@@ -12,7 +12,8 @@ The driver calls ray.init() itself before importing this module; nothing here
   fixture parquet (generated idempotently at import so the oracle can run in
   any order relative to the Ray side); documents/embeddings/relational
   queries reference the driver's pre-registered views by name. Queries with
-  no oracle entry (minhash/simhash/LSH/multimodal) get the rows-only check.
+  no oracle entry (approximate LSH/IVF KNN, stubbed multimodal codec) get
+  the rows-only check.
 """
 
 from __future__ import annotations
@@ -87,9 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_charset_pairs": docs.charset_pairs_ds,
         "dedup_ngram_pairs": docs.ngram_pairs_ds,
         "dedup_embed_pairs": docs.embed_pairs_ds,
-        "dedup_minhash_pairs": docs.minhash_pairs_ds,      # rows-only
-        "minhash_signatures": docs.minhash_signatures_ds,  # rows-only
-        "dedup_simhash": docs.simhash_ds,                  # rows-only
+        "dedup_minhash_pairs": docs.minhash_pairs_ds,      # oracle (md5 MinHash)
+        "minhash_signatures": docs.minhash_signatures_ds,  # oracle (md5 MinHash)
+        "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
         "text_langid": docs.langid_ds,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
+        "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,
         "rel_lineitem_supplier": relational.lineitem_supplier_ds,

@@ -64,7 +64,11 @@ def run_bench(num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    conc = max(4, num_cpus // 2)
+    # autoscaling actor pools (1, conc): let the linker pool reach every CPU
+    # — at 32 CPUs a cpus//2 cap left half the node idle during the linked
+    # stage; the pool only scales up under backlog, so low CPU counts are
+    # unaffected
+    conc = max(4, num_cpus)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         timed("kg_structural", lambda: kg.structural_ds(tag, include_quarantine=True).count())
         timed("kg_conv_triples", lambda: kg.conv_triples_ds(tag).count())

@@ -1,7 +1,10 @@
 """Text-analysis primitives for the documents pipelines.
 
-Deterministic, seed-free (all hashing via blake2b/sha256 — stable across
+Deterministic, seed-free (all hashing via md5/blake2b/sha256 — stable across
 processes, the same property that makes minted URIs retry-safe, M7).
+word_hash64 is md5-based specifically so the DuckDB oracles can replicate it
+(``('0x' || substr(md5(w), 1, 16))::UBIGINT``), which upgrades the MinHash /
+SimHash queries from rows-only to exact-oracle parity.
 """
 
 from __future__ import annotations
@@ -23,8 +26,9 @@ def tokens_lower(text: str) -> list[str]:
 
 
 def word_hash64(word: str) -> int:
-    """Stable 64-bit word hash (blake2b digest_size=8, fixed key-free)."""
-    return int.from_bytes(hashlib.blake2b(word.encode(), digest_size=8).digest(), "big")
+    """Stable 64-bit word hash: big-endian first 8 bytes of md5 (SQL twin:
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``)."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
 
 
 def shingle_hashes(toks: list[str], k: int = 3) -> np.ndarray:

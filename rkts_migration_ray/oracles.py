@@ -364,8 +364,67 @@ SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
 FROM f"""}
 
 
+def _minhash_ctes() -> str:
+    """Shared CTEs replicating functions.text exactly: md5-based 64-bit
+    shingle hashes (word_hash64 twin) and the (a·x+b) mod 2³¹−1 MinHash,
+    with the seeded permutation params inlined as literals."""
+    from .functions.text import minhash_params
+
+    a, b = minhash_params(64)
+    prm = ",".join(f"({k},{int(a[k])},{int(b[k])})" for k in range(64))
+    return f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+shx AS (SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))::UBIGINT AS hv
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM tok WHERE len(t) >= 3)),
+prm(k, a, b) AS (VALUES {prm}),
+sigl AS (SELECT s.doc_id, p.k,
+          CAST(min((CAST(p.a AS UBIGINT) * (s.hv % 2147483647) + CAST(p.b AS UBIGINT))
+                   % 2147483647) AS BIGINT) AS v
+         FROM shx s CROSS JOIN prm p GROUP BY 1, 2)"""
+
+
 def doc_rel_oracle_sql() -> dict[str, str]:
     return {
+        "dedup_simhash": """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+wh AS (SELECT doc_id, c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
+bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (hv >> j) & 1 = 1 THEN c ELSE -c END) AS acc
+         FROM wh, (SELECT unnest(generate_series(0, 63)) AS j)
+         GROUP BY 1, 2),
+sh64 AS (SELECT doc_id,
+          sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END) AS v
+         FROM bits GROUP BY 1)
+SELECT t.doc_id, lower(lpad(hex(CAST(coalesce(s.v, 0) AS UBIGINT)), 16, '0')) AS simhash,
+ CAST(len(t.t) AS BIGINT) AS n_tokens
+FROM tk t LEFT JOIN sh64 s USING (doc_id)""",
+        "minhash_signatures": _minhash_ctes() + """
+SELECT t.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_shingles,
+ coalesce(s.sig_hex, repeat('7fffffff', 64)) AS sig_hex
+FROM tok t
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1) n USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(printf('%08x', v), '' ORDER BY k) AS sig_hex
+           FROM sigl GROUP BY 1) s USING (doc_id)""",
+        "dedup_minhash_pairs": _minhash_ctes() + """,
+cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigl a JOIN sigl b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.k // 4
+  HAVING count(*) = 4)),
+nsh AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
+                      JOIN shx b ON b.doc_id = c.doc_b AND b.hv = a.hv
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+ round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+             JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2""",
         "dedup_exact": """
 SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_dups
@@ -463,6 +522,18 @@ SELECT event_type,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2""",
+        "rel_events_sessions": """
+WITH m AS (SELECT user_id, event_id, ts,
+            CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS val_c,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS snum FROM m)
+SELECT user_id, CAST(snum - 1 AS BIGINT) AS session_idx,
+ min(ts) AS start_ts, max(ts) AS end_ts,
+ CAST(count(*) AS BIGINT) AS n_events, CAST(sum(val_c) AS BIGINT) AS sum_value_c
+FROM s GROUP BY user_id, snum""",
         "rel_events_asof": """
 WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
            FROM orders GROUP BY o_custkey, o_orderdate)

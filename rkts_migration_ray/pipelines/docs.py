@@ -218,7 +218,12 @@ N_BANDS = 16  # × 4 rows/band
 
 
 def minhash_signatures_ds(sf_dir: str):
-    """Per-doc MinHash signature (k=64 over 3-word shingles), deterministic."""
+    """Per-doc MinHash signature (k=64 over 3-word shingles), deterministic.
+
+    The signature is emitted as a fixed-width hex string (64 × %08x) so the
+    DuckDB oracle can assemble the identical value with string_agg over the
+    same (a·x+b) mod 2³¹−1 arithmetic — an exact-parity check of the whole
+    signature, not just row counts."""
     a, b = T.minhash_params(N_HASHES)
 
     def sig(t: pa.Table) -> pa.Table:
@@ -227,10 +232,11 @@ def minhash_signatures_ds(sf_dir: str):
         for x in df["text"]:
             sh = T.shingle_hashes(T.tokens_lower(x))
             nsh.append(len(sh))
-            sigs.append(T.minhash_signature(sh, a, b).astype("int64"))
+            sigs.append("".join(f"{int(v):08x}"
+                                for v in T.minhash_signature(sh, a, b)))
         return from_pandas_clean(pd.DataFrame({
             "doc_id": df["doc_id"], "n_shingles": pd.Series(nsh, dtype="int64"),
-            "signature": sigs}))
+            "sig_hex": pd.Series(sigs, dtype="object")}))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
 

@@ -128,6 +128,52 @@ def events_window_ds(sf_dir: str):
                        Sum("one", alias_name="n_events")))
 
 
+def events_sessions_ds(sf_dir: str, gap_minutes: int = 30,
+                       n_buckets: int | None = None):
+    """Session windows per user (gap > ``gap_minutes`` starts a new session)
+    — the sessionization shape of ST8's section state machine
+    (editionxmltottl.php:150-206) applied to event time.
+
+    Scale shape: events are hash-bucketed on user_id (every user's events
+    land in ONE bucket — sessionization needs only per-user order), then one
+    vectorized pandas pass per bucket: sort, lag-diff, break-flag cumsum.
+    No per-row Python, no global sort."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts": t["ts"], "val_c": _cents(t["value"]),
+        })
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = (new_user | (df["ts"].diff() > gap)).astype("int64")
+        sid = brk.cumsum()  # bucket-global session number
+        g = df.groupby(sid, sort=True)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first(),
+            "start_ts": g["ts"].first(),
+            "end_ts": g["ts"].last(),
+            "n_events": g["event_id"].count().astype("int64"),
+            "sum_value_c": g["val_c"].sum().astype("int64"),
+        }).reset_index(drop=True)
+        out["session_idx"] = out.groupby("user_id").cumcount().astype("int64")
+        return out[["user_id", "session_idx", "start_ts", "end_ts",
+                    "n_events", "sum_value_c"]]
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(sessions, batch_format="pandas"))
+
+
 def events_asof_ds(sf_dir: str, n_buckets: int | None = None):
     """As-of join (J7 analog, ≈ the ordered image-list/pagination merge of
     migrate-bvm.py:286-356): each event picks the latest order of the same

