@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
+        "text_vocab": docs.text_vocab_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
@@ -108,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_asof": relational.events_asof_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,
         "rel_lineitem_supplier": relational.lineitem_supplier_ds,
+        "rel_customers_no_orders": relational.customers_no_orders_ds,
+        "rel_order_ranks": relational.order_ranks_ds,
+        "rel_quantity_median": relational.quantity_median_ds,
         # --- multimodal plumbing (stubbed codec) ----------------------------
         "mm_decode": _mm_decode,                           # rows-only
         "mm_media_stats": _mm_stats,                       # rows-only

@@ -34,16 +34,20 @@ def run_bench(num_cpus: int) -> dict:
     fixtures.ensure_fixture(tag)
 
     obj_store = int(float(os.environ.get("RAY_GRAFT_OBJ_STORE_GB", "60")) * 1e9)
-    # polars (our hash kernel AND Ray's polars-backed sort) sizes its global
-    # thread pool from the HOST's core count, not Ray's num_cpus — at
-    # num_cpus=8 on a 32-core host it silently borrows idle cores and
-    # corrupts the scaling measurement. Cap it for honest CPU accounting
-    # (workers inherit via runtime_env).
-    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    # polars (our hash kernel AND Ray's polars-backed sort), Arrow's CPU
+    # thread pool (take/sort/parquet kernels — sized via OMP_NUM_THREADS),
+    # and OpenBLAS all size their pools from the HOST's core count, not
+    # Ray's num_cpus — at num_cpus=8 on a 32-core host every worker silently
+    # borrows idle cores and corrupts the scaling measurement. Cap them for
+    # honest 1-core-per-worker accounting (workers inherit via runtime_env).
+    caps = {"POLARS_MAX_THREADS": "1", "OMP_NUM_THREADS": "1",
+            "OPENBLAS_NUM_THREADS": "1"}
+    for k, v in caps.items():
+        os.environ.setdefault(k, v)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=obj_store,
-             runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}})
+             runtime_env={"env_vars": caps})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -51,10 +55,19 @@ def run_bench(num_cpus: int) -> dict:
 
     from rkts_migration_ray.pipelines import kg, materialize
 
-    # untimed warm-up read (page cache)
+    # untimed warm-up: page cache + Ray worker-process spawn/import (cold
+    # workers cost ~5 s per CPU level — the rule measures steady-state
+    # throughput, and a real cluster's workers are warm)
     import pyarrow.parquet as pq
 
-    n_turns = pq.read_table(fixtures.transcripts_path(tag)).num_rows
+    import ray.data as rd
+
+    n_turns = sum(pq.ParquetFile(os.path.join(fixtures.transcripts_path(tag), f))
+                  .metadata.num_rows
+                  for f in os.listdir(fixtures.transcripts_path(tag))
+                  if f.endswith(".parquet"))
+    (rd.range(10_000, override_num_blocks=num_cpus * 2)
+     .map_batches(lambda t: t, batch_format="pyarrow").count())
 
     timings: dict[str, float] = {}
 
@@ -84,7 +97,10 @@ def run_bench(num_cpus: int) -> dict:
     out_dir = f"/tmp/graft_bench_out/{tag}-{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    streams = kg.kg_bundle(tag, concurrency=conc, checkpoint_linked=ckpt)
+    # lazy: the linked write barrier resolves inside the mentions/entities
+    # writer threads, overlapping with the structloc/conv stream writes
+    streams = kg.kg_bundle(tag, concurrency=conc, checkpoint_linked=ckpt,
+                           lazy_checkpoint=True)
     manifest = materialize.write_graph_streams(
         streams, out_dir, n_buckets=64, resume=False,
         source=fixtures.transcripts_path(tag),

@@ -522,6 +522,31 @@ SELECT event_type,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2""",
+        "text_vocab": """
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100""",
+        "rel_customers_no_orders": """
+SELECT c_custkey, c_name,
+ CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')""",
+        "rel_order_ranks": """
+WITH r AS (SELECT o_custkey, o_orderkey,
+            CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+           FROM orders),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY price_c DESC, o_orderkey) AS rnk
+      FROM r)
+SELECT o_custkey, o_orderkey, price_c, CAST(rnk AS BIGINT) AS rnk
+FROM w WHERE rnk <= 3""",
+        "rel_quantity_median": """
+SELECT l_returnflag,
+ median(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS median_qty_c,
+ CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1""",
         "rel_events_sessions": """
 WITH m AS (SELECT user_id, event_id, ts,
             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS val_c,

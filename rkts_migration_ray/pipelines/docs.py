@@ -407,6 +407,32 @@ def text_stats_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+def text_vocab_ds(sf_dir: str, k: int = 100):
+    """Corpus vocabulary top-k: the canonical pre-aggregated wordcount.
+
+    Scale shape: each batch ships its PARTIAL (word, n) counts (bounded by
+    the batch's distinct vocabulary, not its token count), the groupby-sum
+    shuffle moves one row per (word, block), and only the tiny aggregated
+    vocab is sorted. Deterministic tiebreak (count desc, word asc)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(T.tokens_lower(x))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("word")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(k))
+
+
 def langid_ds(sf_dir: str):
     """Stopword-hit language-ID heuristic (en/de/fr cascade, deterministic)."""
     sets = {"en": set(T.STOP_EN), "de": set(T.STOP_DE), "fr": set(T.STOP_FR)}

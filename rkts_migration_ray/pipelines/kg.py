@@ -31,6 +31,7 @@ from ..stages.convgroup import (
 from ..stages.extract import (
     extract_features,
     location_triples,
+    structural_and_location_triples,
     structural_triples,
 )
 from ..stages.linking import (
@@ -159,6 +160,17 @@ def _broadcast_lookups(sf_dir: str):
     return gaz_ref, alias_ref, props_ref
 
 
+def _pool(concurrency: int) -> tuple[int, int]:
+    """Actor-pool sizing: autoscaling with a floor of half the cap.
+
+    Ramp-from-1 costs real wall time (measured 23.4 s vs 12.6 s for the sf1
+    linker at 32 CPUs — backlog-driven scale-up trails demand); a FULLY
+    fixed pool of num_cpus actors can starve co-scheduled stages (observed
+    executor wedge). Half-floor gets the fast ramp while leaving the
+    scheduler headroom."""
+    return (max(1, concurrency // 2), concurrency)
+
+
 def linked_mentions_ds(sf_dir: str, concurrency: int = 8):
     """Fused explode+link (exact per-turn dedup inside the actor call — a
     turn's mention rows never straddle a batch boundary)."""
@@ -170,7 +182,7 @@ def linked_mentions_ds(sf_dir: str, concurrency: int = 8):
         MentionLinker, batch_format="pyarrow",
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "alias_ref": alias_ref,
                                "explode": True},
-        concurrency=(1, concurrency))
+        concurrency=_pool(concurrency))
 
 
 def mention_triples_ds(sf_dir: str, concurrency: int = 8):
@@ -242,10 +254,28 @@ def _checkpoint(ds, path: str):
     return rd.read_parquet(path)
 
 
+def _once(fn):
+    """Thread-safe memoized thunk (threads of write_graph_streams race to
+    trigger the shared linked checkpoint; exactly one wins)."""
+    import threading
+
+    lock = threading.Lock()
+    box: list = []
+
+    def get():
+        with lock:
+            if not box:
+                box.append(fn())
+        return box[0]
+
+    return get
+
+
 def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
               concurrency: int = 8, ckpt_root: str | None = None,
               checkpoint_features: bool = False,
-              checkpoint_linked: bool = False) -> dict:
+              checkpoint_linked: bool = False,
+              lazy_checkpoint: bool = False) -> dict:
     """All triple streams, checkpoint-free by default.
 
     Shared subtrees (extraction; explode+link) are recomputed per consuming
@@ -253,7 +283,14 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     cheaper than a write-barrier + re-read (a checkpoint serializes the DAG
     and adds an extra executor round). Set checkpoint_features /
     checkpoint_linked to trade recompute for persisted stage outputs (useful
-    when extraction dominates or for coarse resume of the feature stage)."""
+    when extraction dominates or for coarse resume of the feature stage).
+
+    ``lazy_checkpoint=True`` (with checkpoint_linked) returns the mentions
+    and entities streams as CALLABLES: the linked-stage write barrier runs
+    only when the first consumer thread resolves its thunk, so the
+    independent streams (structloc, conv) overlap with it instead of the
+    whole bundle waiting ~T_link before any write starts — the barrier
+    leaves the critical path."""
     root = None
     if checkpoint_features or checkpoint_linked:
         # one process-wide checkpoint root, removed at interpreter exit —
@@ -264,10 +301,10 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     if checkpoint_features:
         feats = _checkpoint(feats, f"{root}/features")
 
-    structural = feats.map_batches(structural_triples, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    locnodes = feats.map_batches(location_triples, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    # fused structural+ContentLocation stream: ONE read+extract pass instead
+    # of two parallel branches each recomputing the subtree
+    structloc = feats.map_batches(structural_and_location_triples,
+                                  batch_format="pyarrow", zero_copy_batch=True)
     conv = _conv_stage(feats, cfg)
 
     gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
@@ -276,23 +313,35 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                            fn_constructor_kwargs={"gaz_ref": gaz_ref,
                                                   "alias_ref": alias_ref,
                                                   "explode": True},
-                           concurrency=(1, concurrency)))
-    if checkpoint_linked:
-        linked = _checkpoint(linked, f"{root}/linked")
-    ments = linked.map_batches(mention_triples, batch_format="pyarrow")
+                           concurrency=_pool(concurrency)))
+
+    def _ments(linked_ds):
+        return linked_ds.map_batches(mention_triples, batch_format="pyarrow")
+
     # EntityEmitter runs as STATELESS tasks here (props dict is small; a
     # third actor pool in one execution starves low-CPU schedules — observed
     # executor wedge at num_cpus=8). The actor-pool variant stays available
     # via entity_triples_ds for gazetteer-scale state.
-    ents = (linked.map_batches(entity_rows,
-                               fn_kwargs={"n_buckets": entity_buckets()},
-                               batch_format="pyarrow")
-            # post-combiner stream is tiny; shrink the sort (scales with CPUs)
-            .repartition(max(8, _ncpu() // 4))
-            .groupby("ebucket")
-            .map_groups(dedup_entities, batch_format="pandas")
-            .map_batches(_entity_emit_fn(props_ref), batch_format="pyarrow"))
-    return {"structural": structural, "locnodes": locnodes, "conv": conv,
+    def _ents(linked_ds):
+        return (linked_ds.map_batches(entity_rows,
+                                      fn_kwargs={"n_buckets": entity_buckets()},
+                                      batch_format="pyarrow")
+                # post-combiner stream is tiny; shrink the sort (scales w/ CPUs)
+                .repartition(max(8, _ncpu() // 4))
+                .groupby("ebucket")
+                .map_groups(dedup_entities, batch_format="pandas")
+                .map_batches(_entity_emit_fn(props_ref), batch_format="pyarrow"))
+
+    if checkpoint_linked and lazy_checkpoint:
+        linked_ckpt = _once(lambda: _checkpoint(linked, f"{root}/linked"))
+        ments: object = lambda: _ments(linked_ckpt())
+        ents: object = lambda: _ents(linked_ckpt())
+    else:
+        if checkpoint_linked:
+            linked = _checkpoint(linked, f"{root}/linked")
+        ments = _ments(linked)
+        ents = _ents(linked)
+    return {"structloc": structloc, "conv": conv,
             "mentions": ments, "entities": ents, "ckpt_root": root}
 
 
@@ -303,7 +352,7 @@ def quarantine_ds(sf_dir: str, concurrency: int = 8):
         return t.filter(pc.equal(t["graph"], "G:quarantine"))
 
     b = kg_bundle(sf_dir, concurrency=concurrency)
-    return (b["structural"].map_batches(only_q, batch_format="pyarrow")
+    return (b["structloc"].map_batches(only_q, batch_format="pyarrow")
             .union(b["entities"].map_batches(only_q, batch_format="pyarrow")))
 
 
@@ -316,8 +365,7 @@ def kg_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     pool exists per execution — two pools plus the grouped stages wedge the
     scheduler at low CPU counts (observed at num_cpus=8)."""
     b = kg_bundle(sf_dir, cfg, concurrency=concurrency, checkpoint_linked=True)
-    return b["structural"].union(b["locnodes"], b["conv"], b["mentions"],
-                                 b["entities"])
+    return b["structloc"].union(b["conv"], b["mentions"], b["entities"])
 
 
 def image_numbers_ds(sf_dir: str, concurrency: int = 4):

@@ -241,21 +241,34 @@ def write_graph_ntriples(streams: dict, out_dir: str, n_buckets: int = 64,
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
     skip = frozenset(done)
-    metas = []
-    maponly = [streams[t] for t in MAP_ONLY_STREAMS if t in streams]
-    if maponly:
-        merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
-        metas.append(write_ntriples_fragments(merged, out_dir, n_buckets,
-                                              "maponly", skip_buckets=skip))
-    for tag, ds in streams.items():
-        if tag in MAP_ONLY_STREAMS or tag == "ckpt_root":
-            continue
-        metas.append(write_ntriples_fragments(ds, out_dir, n_buckets, tag,
-                                              skip_buckets=skip))
+    metas = [write_ntriples_fragments(ds() if callable(ds) else ds,
+                                      out_dir, n_buckets, tag, skip_buckets=skip)
+             for tag, ds in _stream_jobs(streams)]
     return commit_manifests(out_dir, metas, done, source)
 
 
-MAP_ONLY_STREAMS = ("structural", "locnodes", "mentions")
+MAP_ONLY_STREAMS = ("structloc", "mentions")
+
+
+def _stream_jobs(streams: dict) -> list[tuple[str, object]]:
+    """kg_bundle streams → (tag, ds-or-thunk) write jobs.
+
+    Non-callable MAP_ONLY streams are unioned into one execution (each saved
+    execution is ~2-3s fixed executor overhead). Callable streams (lazy
+    checkpoint consumers) always run as their own job: resolving the thunk
+    inside the job's thread is what lets the independent streams overlap the
+    checkpoint barrier."""
+    jobs: list[tuple[str, object]] = []
+    maponly = [streams[t] for t in MAP_ONLY_STREAMS
+               if t in streams and not callable(streams[t])]
+    if maponly:
+        merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
+        jobs.append(("maponly", merged))
+    for tag, ds in streams.items():
+        if tag == "ckpt_root" or (tag in MAP_ONLY_STREAMS and not callable(ds)):
+            continue
+        jobs.append((tag, ds))
+    return jobs
 
 
 def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
@@ -283,25 +296,20 @@ def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
     skip = frozenset(done)
-    jobs: list[tuple[str, object]] = []
-    maponly = [streams[t] for t in MAP_ONLY_STREAMS if t in streams]
-    if maponly:
-        merged = maponly[0].union(*maponly[1:]) if len(maponly) > 1 else maponly[0]
-        jobs.append(("maponly", merged))
-    for tag, ds in streams.items():
-        if tag in MAP_ONLY_STREAMS or tag == "ckpt_root":
-            continue
-        jobs.append((tag, ds))
+    jobs = _stream_jobs(streams)
+
+    def write_one(tag, ds):
+        return write_fragments(ds() if callable(ds) else ds,
+                               out_dir, n_buckets, tag, skip_buckets=skip)
+
     if overlap and len(jobs) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futs = [ex.submit(write_fragments, ds, out_dir, n_buckets, tag,
-                              skip) for tag, ds in jobs]
+            futs = [ex.submit(write_one, tag, ds) for tag, ds in jobs]
             metas = [f.result() for f in futs]
     else:
-        metas = [write_fragments(ds, out_dir, n_buckets, tag, skip_buckets=skip)
-                 for tag, ds in jobs]
+        metas = [write_one(tag, ds) for tag, ds in jobs]
     return commit_manifests(out_dir, metas, done, source)
 
 

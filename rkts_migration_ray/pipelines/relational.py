@@ -317,6 +317,141 @@ def lineitem_supplier_ds(sf_dir: str, n_buckets: int | None = None):
             .map_groups(join_bucket, batch_format="pandas"))
 
 
+def customers_no_orders_ds(sf_dir: str, n_buckets: int | None = None,
+                           priority: str = "1-URGENT"):
+    """ANTI-join (customers with no ``priority`` order) as a hash-bucket
+    co-group — the join shape where broadcast fails when BOTH sides are
+    large. (Every fixture customer has ≥1 order, so the anti-join runs
+    against the filtered urgent-order subset to stay non-degenerate.)
+
+    Scale shape: the orders side is filtered at the read and reduced to
+    per-batch DISTINCT custkeys before the shuffle (ships one row per
+    distinct key per block, not one per order); each bucket resolves its
+    anti-join locally with a vectorized isin (exact: a bucket holds every
+    order of its customers)."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = (np.asarray(t["c_custkey"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "src": pa.array(np.zeros(n, np.int8)),
+            "custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "acctbal_c": _cents(t["c_acctbal"]),
+        })
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        keys = np.unique(np.asarray(t["o_custkey"]))  # per-batch combiner
+        b = (keys % np.int64(nb)).astype(np.int32)
+        n = len(keys)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "src": pa.array(np.ones(n, np.int8)),
+            "custkey": pa.array(keys),
+            "c_name": pa.nulls(n, pa.string()),
+            "acctbal_c": pa.nulls(n, pa.int64()),
+        })
+
+    def anti_bucket(df: pd.DataFrame) -> pa.Table:
+        cust = df[df["src"] == 0]
+        with_orders = df.loc[df["src"] == 1, "custkey"].unique()
+        out = cust.loc[~cust["custkey"].isin(with_orders),
+                       ["custkey", "c_name", "acctbal_c"]]
+        # explicit-schema Arrow output: an all-empty result (possible at tiny
+        # scale) must still carry the schema through the union of groups
+        return pa.table({
+            "c_custkey": pa.array(out["custkey"].to_numpy("int64")),
+            "c_name": pa.array(out["c_name"].to_numpy(dtype=object), pa.string()),
+            "acctbal_c": pa.array(out["acctbal_c"].to_numpy("int64")),
+        })
+
+    cust = (_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+            .map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True))
+    orders = (_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True))
+    return (cust.union(orders)
+            .groupby("kbucket")
+            .map_groups(anti_bucket, batch_format="pandas"))
+
+
+def order_ranks_ds(sf_dir: str, top_n: int = 3, n_buckets: int | None = None):
+    """Partitioned window rank (ROW_NUMBER analog): top ``top_n`` orders per
+    customer by price. Hash-bucketed on custkey; one vectorized pass per
+    bucket (sort + groupby cumcount) — no global sort, no per-row Python."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["o_custkey"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "price_c": _cents(t["o_totalprice"]),
+        })
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "price_c", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        df["rnk"] = df.groupby("o_custkey").cumcount().astype("int64") + 1
+        out = df[df["rnk"] <= top_n]
+        return out[["o_custkey", "o_orderkey", "price_c", "rnk"]].astype("int64")
+
+    return (_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(rank_bucket, batch_format="pandas"))
+
+
+def quantity_median_ds(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median without collecting groups: l_quantity has a
+    small integer-cents domain, so the median is computed from a distributed
+    VALUE HISTOGRAM — per-batch (flag, qty_c) partial counts, a tiny
+    groupby-sum shuffle, then a driver-side cumulative walk over ≤ a few
+    hundred rows. The generic shape for exact quantiles over any
+    bounded-cardinality domain at 100 TB (the full dataset never moves)."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"l_returnflag": np.asarray(t["l_returnflag"]),
+                           "qty_c": np.asarray(_cents(t["l_quantity"]))})
+        agg = df.groupby(["l_returnflag", "qty_c"], as_index=False).size()
+        return pa.table({
+            "l_returnflag": pa.array(agg["l_returnflag"]),
+            "qty_c": pa.array(agg["qty_c"].to_numpy("int64")),
+            "n": pa.array(agg["size"].to_numpy("int64")),
+        })
+
+    hist = (_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["l_returnflag", "qty_c"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # tiny: |flags| × |distinct qty_c| rows
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("qty_c")
+        counts = g["n"].to_numpy("int64")
+        vals = g["qty_c"].to_numpy("int64")
+        total = int(counts.sum())
+        cum = np.cumsum(counts)
+        if total % 2:
+            med = float(vals[np.searchsorted(cum, total // 2 + 1)])
+        else:
+            lo = vals[np.searchsorted(cum, total // 2)]
+            hi = vals[np.searchsorted(cum, total // 2 + 1)]
+            med = (float(lo) + float(hi)) / 2.0
+        rows.append({"l_returnflag": flag, "median_qty_c": med,
+                     "n_rows": total})
+    return (pd.DataFrame(rows).sort_values("l_returnflag")
+            .reset_index(drop=True))
+
+
 def orders_by_nation_ds(sf_dir: str):
     """Two-hop broadcast join orders→customer→nation, then grouped count."""
     import ray

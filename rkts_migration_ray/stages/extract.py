@@ -293,6 +293,17 @@ def location_triples(feats: pa.Table) -> pa.Table:
     return pa.concat_tables(blocks).combine_chunks()
 
 
+def structural_and_location_triples(feats: pa.Table) -> pa.Table:
+    """Fused map stage: structural + ContentLocation triples in ONE pass.
+
+    Both emitters are map-only over the same feats batch; fusing them halves
+    the number of read+extract subtree executions in the materialize path
+    (the two streams were separate Dataset branches, each recomputing
+    extract_features over the full corpus)."""
+    return pa.concat_tables([structural_triples(feats),
+                             location_triples(feats)])
+
+
 def explode_mentions(feats: pa.Table) -> pa.Table:
     """(conv_id, turn_idx, alias) rows; per-turn duplicate aliases collapsed
     (a turn lives wholly inside one batch row, so in-batch dedup is exact)."""

@@ -165,7 +165,9 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_pricing_summary", "rel_events_window",
                                   "rel_events_sessions", "rel_events_asof",
                                   "rel_lineitem_supplier", "dedup_simhash",
-                                  "minhash_signatures", "dedup_minhash_pairs"])
+                                  "minhash_signatures", "dedup_minhash_pairs",
+                                  "text_vocab", "rel_customers_no_orders",
+                                  "rel_order_ranks", "rel_quantity_median"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
