@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
+        # --- training-data ops: corpus curation -----------------------------
+        "text_clean": docs.text_clean_ds,
+        "doc_chunks": docs.doc_chunks_ds,
+        "sample_stratified": docs.sample_stratified_ds,
         # --- similarity search ----------------------------------------------
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)

@@ -579,6 +579,34 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        "text_clean": f"""
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+f AS (SELECT doc_id, toks,
+       list_filter(toks, x -> NOT list_contains({_STOP_EN_SQL}, x)) AS kept
+      FROM s)
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+ CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+FROM f""",
+        "doc_chunks": """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM w),
+g AS (SELECT doc_id, ws, nw, unnest(range(0, nw, 24)) AS start FROM n)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+ CAST(least(start + 32, nw) - start AS BIGINT) AS n_words,
+ array_to_string(ws[CAST(start + 1 AS BIGINT):CAST(least(start + 32, nw) AS BIGINT)],
+                 ' ') AS chunk_text
+FROM g""",
+        "sample_stratified": """
+WITH h AS (SELECT doc_id, lang,
+  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+       % 1000 AS BIGINT) AS bucket
+ FROM documents)
+SELECT doc_id, lang, bucket FROM h
+WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                         WHEN 'es' THEN 250 WHEN 'fr' THEN 100
+                         WHEN 'zh' THEN 100 ELSE 50 END""",
     }
 
 

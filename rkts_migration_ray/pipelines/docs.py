@@ -790,3 +790,94 @@ def knn_ivf_ds(sf_dir: str, n_list: int = IVF_N_LIST, n_probe: int = IVF_N_PROBE
                          concurrency=(1, 4))
             .groupby("query_id")
             .map_groups(_final_topk, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: cleaning, chunking, stratified sampling
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def text_clean_ds(sf_dir: str):
+    """Stopword-strip + whitespace-normalize each document (the standard
+    pre-training text-cleaning map). Pure per-batch map — embarrassingly
+    parallel, no shuffle; token extraction uses the same ``[a-z]+`` grammar
+    as text_stats so the DuckDB oracle reproduces the output exactly."""
+    stop = frozenset(T.STOP_EN)
+
+    def clean(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = [_WORD_RE.findall(x.lower()) for x in df["text"]]
+        kept = [[w for w in ts if w not in stop] for ts in toks]
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "clean_text": pd.Series([" ".join(k) for k in kept],
+                                    dtype="object"),
+            "n_removed": pd.Series([len(a) - len(b)
+                                    for a, b in zip(toks, kept)],
+                                   dtype="int64")}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow")
+
+
+CHUNK_SIZE = 32   # words per chunk
+CHUNK_STRIDE = 24  # => 8-word overlap between consecutive chunks
+
+
+def doc_chunks_ds(sf_dir: str,
+                  size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Split documents into overlapping fixed-width word windows (training
+    context chunking). flat explode inside map_batches — output rows stream
+    straight to the next stage, the corpus is never re-keyed or shuffled;
+    chunk_idx is derivable (start // stride) so the op is deterministic and
+    restart-safe per input block."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = {"doc_id": [], "chunk_idx": [], "n_words": [], "chunk_text": []}
+        for did, x in zip(df["doc_id"], df["text"]):
+            ws = _WORD_RE.findall(x.lower())
+            for ci, start in enumerate(range(0, len(ws), stride)):
+                ck = ws[start:start + size]
+                out["doc_id"].append(did)
+                out["chunk_idx"].append(ci)
+                out["n_words"].append(len(ck))
+                out["chunk_text"].append(" ".join(ck))
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "chunk_idx": pd.Series(out["chunk_idx"], dtype="int64"),
+            "n_words": pd.Series(out["n_words"], dtype="int64"),
+            "chunk_text": pd.Series(out["chunk_text"], dtype="object")}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
+# per-language keep rates for deterministic stratified downsampling
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+
+
+def sample_stratified_ds(sf_dir: str):
+    """Deterministic per-language downsampling (corpus mixing weights):
+    keep a doc iff md5(doc_id) mod 1000 < rate[lang]*1000. Hash-based (not
+    RNG) so the sample is reproducible across runs, resumable shards, and
+    cluster sizes — the property a 100-TB curation pipeline needs. Pure
+    filter map, no shuffle."""
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        buckets = pd.Series(
+            [int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) % 1000
+             for d in df["doc_id"]], index=df.index, dtype="int64")
+        thresh = df["lang"].map(
+            lambda lg: int(SAMPLE_RATES.get(lg, SAMPLE_DEFAULT_RATE) * 1000)
+        ).astype("int64")
+        mask = buckets < thresh
+        out = df.loc[mask, ["doc_id", "lang"]].copy()
+        out["bucket"] = buckets[mask]
+        return from_pandas_clean(out)
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow")

@@ -167,7 +167,9 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_lineitem_supplier", "dedup_simhash",
                                   "minhash_signatures", "dedup_minhash_pairs",
                                   "text_vocab", "rel_customers_no_orders",
-                                  "rel_order_ranks", "rel_quantity_median"])
+                                  "rel_order_ranks", "rel_quantity_median",
+                                  "text_clean", "doc_chunks",
+                                  "sample_stratified"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -205,3 +207,42 @@ def test_guess_lt_reference_branches():
     # exclusive bounds: exactly at a range edge does NOT match
     assert T.guess_from_range(0x0F00) is None
     assert T.guess_from_range(0x0FFF) is None
+
+
+def test_doc_chunks_overlap_invariants(sf_tag):
+    """Chunk windows tile the token stream: stride-spaced starts, size-capped
+    widths, and consecutive chunks overlap by size - stride words."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    df = docs.doc_chunks_ds(sf_tag).to_pandas()
+    assert (df["n_words"] <= docs.CHUNK_SIZE).all()
+    assert (df["n_words"] >= 1).all()
+    g = df.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id")
+    assert (g["chunk_idx"].apply(
+        lambda s: (s.to_numpy() == range(len(s))).all())).all()
+    # overlap check on one multi-chunk doc
+    multi = df.groupby("doc_id").size()
+    did = multi[multi > 1].index[0]
+    rows = df[df["doc_id"] == did].sort_values("chunk_idx")
+    w0 = rows.iloc[0]["chunk_text"].split()
+    w1 = rows.iloc[1]["chunk_text"].split()
+    assert w0[docs.CHUNK_STRIDE:] == w1[:len(w0) - docs.CHUNK_STRIDE]
+
+
+def test_sample_stratified_deterministic(sf_tag):
+    """Hash-based sampling is reproducible and rate-accurate per stratum."""
+    from rkts_migration_ray.pipelines import docs
+
+    a = docs.sample_stratified_ds(sf_tag).to_pandas()
+    b = docs.sample_stratified_ds(sf_tag).to_pandas()
+    key = ["doc_id"]
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # run-to-run stable
+    assert (a["bucket"] < 1000).all() and (a["bucket"] >= 0).all()
+    # kept fraction per lang tracks the configured rate (binomial tolerance)
+    full = docs._docs(docs.resolve_sf_dir(sf_tag), ["doc_id", "lang"]).to_pandas()
+    for lang, grp in full.groupby("lang"):
+        rate = docs.SAMPLE_RATES.get(lang, docs.SAMPLE_DEFAULT_RATE)
+        got = (a["lang"] == lang).sum() / len(grp)
+        assert abs(got - rate) < 0.2
