@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": docs.text_clean_ds,
         "doc_chunks": docs.doc_chunks_ds,
         "sample_stratified": docs.sample_stratified_ds,
+        "dedup_clusters": docs.dedup_clusters_ds,
+        "text_tfidf": docs.tfidf_top_term_ds,
         # --- similarity search ----------------------------------------------
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)

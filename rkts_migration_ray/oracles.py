@@ -607,6 +607,33 @@ SELECT doc_id, lang, bucket FROM h
 WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          WHEN 'es' THEN 250 WHEN 'fr' THEN 100
                          WHEN 'zh' THEN 100 ELSE 50 END""",
+        "dedup_clusters": """
+WITH RECURSIVE p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(jaccard(a.text, b.text), 6) >= 0.9),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node""",
+        "text_tfidf": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word,
+       CAST(tf.tf AS DOUBLE) * ln(n / CAST(df AS DOUBLE)) AS score
+      FROM tf JOIN dfreq USING (word) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rk FROM s)
+SELECT doc_id, word AS top_term, round(score, 6) AS tfidf FROM r WHERE rk = 1""",
     }
 
 

@@ -881,3 +881,150 @@ def sample_stratified_ds(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters_ds(sf_dir: str, max_iters: int = 16):
+    """Connected components over the near-dup pair graph (min-label
+    propagation) — the step that turns pairwise near-dup HITS into dedup
+    DECISIONS (keep one doc per component; A~B and B~C must collapse to one
+    cluster even though A and C never paired directly).
+
+    Distributed shape: every round is one tagged-union co-group — edges keyed
+    by src are co-grouped with the one label row per node, each edge forwards
+    its endpoint's current label to the other endpoint, and a groupby(node)
+    min-reduce produces the next labels. Payload is one int64 per edge per
+    round; rounds needed = graph diameter (near-dup components are shallow —
+    stars around a survivor — so this converges in a handful of rounds).
+    Convergence is detected with a driver-side scalar only: sum(label) is
+    strictly decreasing until fixpoint, so one tiny aggregate per round, no
+    full-result comparison. Each round materializes (bounded lineage — the
+    standard pattern for iterative algorithms on Ray Data).
+
+    Returns (doc_id, component) for every node in the pair graph."""
+    import ray.data as rd
+
+    pairs = charset_pairs_ds(sf_dir)
+
+    def symmetric(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return from_pandas_clean(pd.DataFrame({
+            "key": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True).astype("int64"),
+            "other": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True).astype("int64"),
+        }))
+
+    edges = pairs.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    # initial label = min(node, min(neighbors)) — one reduce, saves a round
+    def init_label(df: pd.DataFrame) -> pd.DataFrame:
+        node = int(df["key"].iloc[0])
+        return pd.DataFrame({"node": pd.Series([node], dtype="int64"),
+                             "lbl": pd.Series([min(node, int(df["other"].min()))],
+                                              dtype="int64")})
+
+    labels = (edges.groupby("key").map_groups(init_label, batch_format="pandas")
+              .materialize())
+    prev_sum = labels.sum("lbl")
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        # rows for one key: exactly one label row (other == -1 sentinel is
+        # NOT used; label rows carry lbl, edge rows carry other)
+        lbl = int(df.loc[df["tag"] == "l", "lbl"].iloc[0])
+        dsts = df.loc[df["tag"] == "e", "other"].astype("int64")
+        out_node = pd.concat([dsts, pd.Series([int(df["key"].iloc[0])])],
+                             ignore_index=True).astype("int64")
+        return pd.DataFrame({"node": out_node,
+                             "lbl": pd.Series([lbl] * len(out_node), dtype="int64")})
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda t: from_pandas_clean(pd.DataFrame({
+                "key": t.to_pandas()["node"].astype("int64"),
+                "other": pd.Series([-1] * len(t), dtype="int64"),
+                "lbl": t.to_pandas()["lbl"].astype("int64"),
+                "tag": pd.Series(["l"] * len(t), dtype="object")})),
+            batch_format="pyarrow")
+        tagged_edges = edges.map_batches(
+            lambda t: from_pandas_clean(pd.DataFrame({
+                "key": t.to_pandas()["key"].astype("int64"),
+                "other": t.to_pandas()["other"].astype("int64"),
+                "lbl": pd.Series([-1] * len(t), dtype="int64"),
+                "tag": pd.Series(["e"] * len(t), dtype="object")})),
+            batch_format="pyarrow")
+        labels = (tagged_labels.union(tagged_edges)
+                  .groupby("key").map_groups(propagate, batch_format="pandas")
+                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:  # monotone non-increasing → fixpoint
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: from_pandas_clean(pd.DataFrame({
+            "doc_id": t.to_pandas()["node"].astype("int64"),
+            "component": t.to_pandas()["lbl"].astype("int64")})),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: corpus-level term weighting
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_term_ds(sf_dir: str):
+    """Highest-TF-IDF term per document. Classic two-phase shape: per-batch
+    partial (doc, word, tf) counts; document frequency via a distinct-reduced
+    groupby(word) (one row per (word, batch) enters the shuffle, not one per
+    occurrence); scores computed inside a groupby(word) co-group of tf rows
+    with the word's df (no broadcast of the full vocabulary); final
+    groupby(doc) argmax. score = tf * ln(N/df) in shared double arithmetic so
+    the DuckDB oracle reproduces values exactly."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = {"doc_id": [], "word": [], "tf": []}
+        for did, x in zip(df["doc_id"], df["text"]):
+            c: dict[str, int] = {}
+            for w in _WORD_RE.findall(x.lower()):
+                c[w] = c.get(w, 0) + 1
+            rows["doc_id"].extend([did] * len(c))
+            rows["word"].extend(c.keys())
+            rows["tf"].extend(c.values())
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "word": pd.Series(rows["word"], dtype="object"),
+            "tf": pd.Series(rows["tf"], dtype="int64")}))
+
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_partial, batch_format="pyarrow")
+
+    def score_group(df: pd.DataFrame) -> pd.DataFrame:
+        # one word's tf rows; df (document frequency) = row count, since
+        # tf_partial emits exactly one row per (doc, word)
+        idf = math.log(float(n_docs) / float(len(df)))
+        out = df[["doc_id", "word"]].copy()
+        out["score"] = df["tf"].astype("float64") * idf
+        return out
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "word"],
+                            ascending=[False, True], kind="stable")
+        r = df.iloc[:1]
+        return pd.DataFrame({"doc_id": r["doc_id"].astype("int64"),
+                             "top_term": r["word"].astype("object"),
+                             "tfidf": np.round(r["score"].astype("float64"), 6)})
+
+    return (tf.groupby("word").map_groups(score_group, batch_format="pandas")
+            .groupby("doc_id").map_groups(top1, batch_format="pandas"))

@@ -169,7 +169,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_vocab", "rel_customers_no_orders",
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
-                                  "sample_stratified"])
+                                  "sample_stratified", "dedup_clusters",
+                                  "text_tfidf"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -246,3 +247,28 @@ def test_sample_stratified_deterministic(sf_tag):
         rate = docs.SAMPLE_RATES.get(lang, docs.SAMPLE_DEFAULT_RATE)
         got = (a["lang"] == lang).sum() / len(grp)
         assert abs(got - rate) < 0.2
+
+
+def test_dedup_clusters_transitive(tmp_path):
+    """A~B and B~C must land in ONE component even though A and C never
+    paired directly (the property pairwise output alone can't give you)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfcc"
+    d.mkdir()
+    # chain: 0~1 share chars, 1~2 share chars, 0 and 2 overlap less;
+    # 10/11 an independent pair; 20 isolated (no >=0.9 charset partner)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 10, 11, 20], pa.int64()),
+        "source": pa.array(["s"] * 6),
+        "text": pa.array(["abcdefgh", "abcdefgh", "abcdefgh",
+                          "qrstuvwx", "qrstuvwx", "zzz"]),
+    }), str(d / "documents.parquet"))
+    out = docs.dedup_clusters_ds(str(d)).to_pandas().sort_values("doc_id")
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[10] == comp[11] == 10
+    assert 20 not in comp  # isolated nodes are not in the pair graph
