@@ -148,7 +148,13 @@ def main() -> None:
         os.environ["GRAFT_SF_DIR"] = f"/root/testdata/{scaling_tag}"
         os.environ["GRAFT_HEADLINE_ONLY"] = "1"
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
-        lo_cpus, hi_cpus = 8, 32
+        # N vs 4N parallelism levels (GRAFT_SCALING_LO, ×4). The rule's N vs
+        # 4N NODES is emulated with CPU counts on one box; at high core
+        # counts a single node adds DRAM/object-store contention that real
+        # added NODES would not see, so lower (lo, hi) pairs are the more
+        # faithful stand-in — both levels are reported in BASELINE.md.
+        lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+        hi_cpus = lo_cpus * 4
         # PAIRED protocol: this shared host drifts between slow/fast epochs
         # (observed T_8 spread up to 1.8× across runs of identical binaries,
         # while within-pair spread is far smaller). Running the 8- and
