@@ -385,6 +385,23 @@ sigl AS (SELECT s.doc_id, p.k,
          FROM shx s CROSS JOIN prm p GROUP BY 1, 2)"""
 
 
+def _bpe_tokens_select() -> str:
+    """text_bpe_tokens oracle: the BPE-ish pre-tokenizer grammar shared with
+    pipelines.docs.BPE_SPLIT_RE (apostrophes doubled for the SQL literal);
+    whitespace runs are the pieces matching ^\\s+$ exactly."""
+    from .pipelines.docs import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''").replace("\\", "\\\\")
+    return f"""
+WITH m AS (SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS pieces
+           FROM documents)
+SELECT doc_id,
+ CAST(len(pieces) - len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$')))
+      AS BIGINT) AS n_bpe,
+ CAST(len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$'))) AS BIGINT) AS n_ws
+FROM m"""
+
+
 def doc_rel_oracle_sql() -> dict[str, str]:
     return {
         "dedup_simhash": """
@@ -634,6 +651,7 @@ s AS (SELECT tf.doc_id, tf.word,
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, word) AS rk FROM s)
 SELECT doc_id, word AS top_term, round(score, 6) AS tfidf FROM r WHERE rk = 1""",
+        "text_bpe_tokens": _bpe_tokens_select(),
     }
 
 

@@ -1028,3 +1028,33 @@ def tfidf_top_term_ds(sf_dir: str):
 
     return (tf.groupby("word").map_groups(score_group, batch_format="pandas")
             .groupby("doc_id").map_groups(top1, batch_format="pandas"))
+
+
+# GPT-2-style pre-tokenizer grammar, RE2-compatible (no lookahead) so the
+# DuckDB oracle reproduces the exact match sequence; validated match-for-
+# match between Python re and DuckDB regexp_extract_all on the fixture.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_token_stats_ds(sf_dir: str):
+    """BPE-ish token counting (the budget signal a training pipeline uses to
+    size context windows and price corpora): per doc, pre-tokenizer piece
+    count and whitespace-run count. Pure per-batch map, compiled regex reused
+    across the batch."""
+    pat = re.compile(BPE_SPLIT_RE)
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n_bpe, n_ws = [], []
+        for x in df["text"]:
+            pieces = pat.findall(x.lower())
+            ws = sum(1 for p in pieces if p.isspace())
+            n_ws.append(ws)
+            n_bpe.append(len(pieces) - ws)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bpe": pd.Series(n_bpe, dtype="int64"),
+            "n_ws": pd.Series(n_ws, dtype="int64")}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")

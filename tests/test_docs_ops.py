@@ -170,7 +170,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "text_tfidf"])
+                                  "text_tfidf", "text_bpe_tokens"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -272,3 +272,24 @@ def test_dedup_clusters_transitive(tmp_path):
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[10] == comp[11] == 10
     assert 20 not in comp  # isolated nodes are not in the pair graph
+
+
+def test_bpe_tokens_whitespace_runs(tmp_path):
+    """Doubled spaces / tabs / leading whitespace produce \\s+ pieces; the
+    fixture's single-spaced text never does — exercise the branch here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfbpe"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["it's  doubled\tspace 123", "plain words here"]),
+    }), str(d / "documents.parquet"))
+    out = (docs.bpe_token_stats_ds(str(d)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # "it" "'s" "  "(ws) "doubled" "\t"(ws) "space" " 123"
+    assert out.loc[1, "n_bpe"] == 5 and out.loc[1, "n_ws"] == 2
+    assert out.loc[2, "n_bpe"] == 3 and out.loc[2, "n_ws"] == 0
