@@ -42,7 +42,9 @@ def entry() -> Any:
 
 def _mm_decode(sf_dir: str) -> Any:
     path = multimodal.ensure_media_fixture(MEDIA_DIR)
-    return multimodal.decode_media_ds(path)
+    # sha column stays in the stage (unit-tested); the query surface drops it
+    # because this DuckDB build has no BLOB sha256 for the oracle twin
+    return multimodal.decode_media_ds(path).drop_columns(["payload_sha"])
 
 
 def _mm_stats(sf_dir: str) -> Any:
@@ -61,8 +63,10 @@ def _mm_frames(sf_dir: str) -> Any:
 
 
 def _mm_embed(sf_dir: str) -> Any:
+    # query surface flattens the list<float> to (media_id, dim_idx, value)
+    # scalar rows so the driver's value-hash compare is well-defined
     path = multimodal.ensure_media_fixture(MEDIA_DIR)
-    return multimodal.embed_media_ds(path)
+    return multimodal.embed_flat_ds(path)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -120,11 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_ranks": relational.order_ranks_ds,
         "rel_quantity_median": relational.quantity_median_ds,
         # --- multimodal plumbing (stubbed codec) ----------------------------
-        "mm_decode": _mm_decode,                           # rows-only
-        "mm_media_stats": _mm_stats,                       # rows-only
-        "mm_resize": _mm_resize,                           # rows-only
+        "mm_decode": _mm_decode,                           # oracle (byte math)
+        "mm_media_stats": _mm_stats,                       # oracle (byte math)
+        "mm_resize": _mm_resize,                           # oracle (byte math)
         "mm_frames": _mm_frames,                           # oracle (byte math)
-        "mm_embed": _mm_embed,                             # rows-only
+        "mm_embed": _mm_embed,                             # oracle (md5-of-hex)
     }
 
 

@@ -348,11 +348,50 @@ FROM (SELECT doc_id, text, unicode(text) AS u FROM documents)"""
 
 
 def mm_oracle_sql(media_path: str) -> dict[str, str]:
-    """Byte-math oracle for the frame sampler (stages/multimodal.py
-    FrameSampleStub): frame count/offsets derive from octet_length only, so
-    the explode plumbing is exactly SQL-checkable even with the codec
-    stubbed."""
-    return {"mm_frames": f"""
+    """Byte-math oracles for the stubbed multimodal stages
+    (stages/multimodal.py): the fixture header is MAGIC('GRFT') + u32 width +
+    u32 height big-endian, so decode / grouped stats / resize are exactly
+    SQL-checkable via hex-string arithmetic even with the codec stubbed;
+    frame count/offsets derive from octet_length only."""
+    decode_cte = f"""
+h AS (SELECT media_id, kind, hex(payload) AS hx,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      FROM read_parquet('{media_path}')),
+d AS (SELECT media_id, kind, n_bytes,
+ CASE WHEN n_bytes >= 12 AND substr(hx, 1, 8) = '47524654'
+      THEN CAST(CAST(('0x' || substr(hx, 9, 8)) AS UBIGINT) AS BIGINT)
+      ELSE -1 END AS width,
+ CASE WHEN n_bytes >= 12 AND substr(hx, 1, 8) = '47524654'
+      THEN CAST(CAST(('0x' || substr(hx, 17, 8)) AS UBIGINT) AS BIGINT)
+      ELSE -1 END AS height
+ FROM h)"""
+    return {"mm_decode": f"""
+WITH {decode_cte}
+SELECT media_id, kind, width, height, n_bytes FROM d""",
+            "mm_media_stats": f"""
+WITH {decode_cte}
+SELECT kind, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+ MIN(width) AS min_width, MAX(height) AS max_height,
+ CAST(count(*) AS BIGINT) AS n_media
+FROM d GROUP BY kind""",
+            "mm_resize": f"""
+WITH {decode_cte}
+SELECT media_id, kind,
+ CASE WHEN width <= 0 THEN CAST(-1 AS BIGINT)
+      ELSE least(width, 128) END AS width,
+ CASE WHEN width <= 0 THEN CAST(-1 AS BIGINT)
+      ELSE greatest(1, CAST(floor(height * least(width, 128) / width + 0.5)
+                            AS BIGINT)) END AS height
+FROM d""",
+            "mm_embed": f"""
+WITH m AS (SELECT media_id, kind, md5(hex(payload)) AS dg
+           FROM read_parquet('{media_path}')),
+g AS (SELECT media_id, kind, dg, unnest(range(1, 9)) AS dim_idx FROM m)
+SELECT media_id, kind, CAST(dim_idx AS BIGINT) AS dim_idx,
+ CAST(('0x' || substr(dg, CAST(dim_idx*2 - 1 AS BIGINT), 2)) AS UBIGINT)
+ / 256.0 AS value
+FROM g""",
+            "mm_frames": f"""
 WITH m AS (SELECT media_id, octet_length(payload) AS len
            FROM read_parquet('{media_path}') WHERE kind = 'video'),
 f AS (SELECT media_id, len,

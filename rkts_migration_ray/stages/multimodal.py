@@ -115,7 +115,9 @@ class ResizeStub:
                 out_payloads.append(p); ws.append(-1); hs.append(-1)
                 continue
             nw = min(w, self.target)
-            nh = max(1, round(h * nw / w))
+            # half-up rounding (floor(x+0.5)), NOT banker's round(): defined
+            # this way so the DuckDB byte-math oracle reproduces it exactly
+            nh = max(1, int(h * nw / w + 0.5))
             out_payloads.append(MAGIC + struct.pack(">II", nw, nh) + p[12:])
             ws.append(nw); hs.append(nh)
         return pa.table({
@@ -187,15 +189,16 @@ EMBED_DIM = 8
 
 class EmbedStub:
     """Feature-extract stage: payload → fixed-dim float vector (deterministic
-    fake: sha256 bytes scaled to [0,1)); output is a list<float> column with
-    the same shape the similarity-search ops consume — a real model swap
-    changes only ``_features``."""
+    fake: md5 over the uppercase hex of the payload, bytes scaled to [0,1) —
+    md5-of-hex so DuckDB, which lacks BLOB hashing, reproduces every value);
+    output is a list<float> column with the same shape the similarity-search
+    ops consume — a real model swap changes only ``_features``."""
 
     def __init__(self, dim: int = EMBED_DIM):
         self.dim = dim
 
     def _features(self, payload: bytes) -> list[float]:
-        digest = hashlib.sha256(payload).digest()
+        digest = hashlib.md5(payload.hex().upper().encode()).digest()
         return [digest[i] / 256.0 for i in range(self.dim)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -214,6 +217,28 @@ def embed_media_ds(media_path: str, concurrency: int = 2, batch_size: int = 32):
     return (rd.read_parquet(media_path)
             .map_batches(EmbedStub, batch_format="pyarrow",
                          batch_size=batch_size, concurrency=(1, concurrency)))
+
+
+def embed_flat_ds(media_path: str, dim: int = EMBED_DIM):
+    """Flattened embedding rows (media_id, kind, dim_idx, value) — the
+    scalar-valued query/oracle surface of embed_media_ds (list<float>
+    columns don't hash-compare portably across engines)."""
+
+    def flatten(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = len(df)
+        return from_pandas_clean(pd.DataFrame({
+            "media_id": np.repeat(df["media_id"].to_numpy("int64"), dim),
+            "kind": np.repeat(df["kind"].to_numpy(object), dim),
+            "dim_idx": np.tile(np.arange(1, dim + 1, dtype="int64"), n),
+            # byte/256 is an exact binary fraction — no rounding (a round-6
+            # would hit banker's-vs-half-away ties on the *50 decimal tails)
+            "value": (np.concatenate(
+                [np.asarray(e, dtype="float64") for e in df["embedding"]])
+                if n else np.array([], dtype="float64")),
+        }))
+
+    return embed_media_ds(media_path).map_batches(flatten, batch_format="pyarrow")
 
 
 def media_stats_ds(media_path: str):
