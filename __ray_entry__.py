@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
+        "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,

@@ -691,6 +691,16 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, word) AS rk FROM s)
 SELECT doc_id, word AS top_term, round(score, 6) AS tfidf FROM r WHERE rk = 1""",
         "text_bpe_tokens": _bpe_tokens_select(),
+        "rel_events_sliding": """
+WITH b AS (SELECT event_type,
+            CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS hb,
+            CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS val_c
+           FROM events),
+e AS (SELECT event_type, unnest([hb - 1, hb]) AS window_start, val_c FROM b)
+SELECT event_type, window_start,
+ CAST(SUM(val_c) AS BIGINT) AS sum_value_c,
+ CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2""",
     }
 
 

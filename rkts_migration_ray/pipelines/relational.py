@@ -464,24 +464,57 @@ def orders_by_nation_ds(sf_dir: str):
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(d, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
-                           cust["c_nationkey"].to_pylist()))
-    nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                           nation["n_name"].to_pylist()))
-    ref = ray.put((cust_nation, nation_name))
+    # compose the two hops ONCE on the driver into a numpy array indexed by
+    # custkey (keys are dense ints), so the per-batch lookup is one fancy-
+    # index — no per-row Python dict .map() in the full-orders hot path
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    ckeys = np.asarray(cust["c_custkey"])
+    lookup = np.empty(int(ckeys.max()) + 1, dtype=object)
+    lookup[ckeys] = [names[int(n)] for n in cust["c_nationkey"].to_pylist()]
+    ref = ray.put(lookup)
 
     class Hop:
         def __init__(self, ref):
-            self.cn, self.nn = ray.get(ref)
+            self.lookup = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            df["n_name"] = df["o_custkey"].map(self.cn).map(self.nn)
-            df["one"] = np.ones(len(df), dtype=np.int64)
-            return from_pandas_clean(df[["n_name", "one"]])
+            nn = self.lookup[np.asarray(t["o_custkey"])]
+            # in-batch partial count: one row per (n_name, batch) enters the
+            # shuffle instead of one per order
+            u, c = np.unique(nn.astype(str), return_counts=True)
+            return pa.table({"n_name": pa.array(u, pa.string()),
+                             "one": pa.array(c.astype(np.int64), pa.int64())})
 
     return (_table(sf_dir, "orders", ["o_custkey"])
             .map_batches(Hop, batch_format="pyarrow",
                          fn_constructor_kwargs={"ref": ref}, concurrency=(1, 2))
             .groupby("n_name")
             .aggregate(Sum("one", alias_name="n_orders")))
+
+
+def events_sliding_ds(sf_dir: str):
+    """Hopping event-time windows (size 2 h, hop 1 h): each event contributes
+    to the two windows covering it — the window-assignment explode happens
+    inside map_batches (×2 rows, concat of Arrow-derived arrays, no Python
+    loop), then the same partial-friendly groupby-sum as the tumbling case."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        hb = np.asarray(pc.cast(pc.floor(pc.divide(
+            pc.cast(epoch, pa.float64()), 3_600_000_000.0)), pa.int64()))
+        et = np.asarray(t["event_type"], dtype=object)
+        val = np.asarray(_cents(t["value"]))
+        return pa.table({
+            "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+            "window_start": pa.array(np.concatenate([hb - 1, hb]), pa.int64()),
+            "val_c": pa.array(np.concatenate([val, val]), pa.int64()),
+            "one": pa.array(np.ones(2 * t.num_rows, dtype=np.int64)),
+        })
+
+    return (_table(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(Sum("val_c", alias_name="sum_value_c"),
+                       Sum("one", alias_name="n_events")))

@@ -170,7 +170,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "text_tfidf", "text_bpe_tokens"])
+                                  "text_tfidf", "text_bpe_tokens",
+                                  "rel_events_sliding"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
