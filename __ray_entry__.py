@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": docs.dedup_clusters_ds,
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
+        "text_distinct_sketch": docs.distinct_sketch_ds,
         # --- similarity search ----------------------------------------------
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)

@@ -701,6 +701,18 @@ SELECT event_type, window_start,
  CAST(SUM(val_c) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM e GROUP BY 1, 2""",
+        "text_distinct_sketch": """
+WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+h AS (SELECT CAST(CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM w),
+k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT CAST(count(*) AS BIGINT) AS n_k,
+ CAST(max(h) AS BIGINT) AS kth_hash,
+ round(CASE WHEN count(*) = 64
+            THEN (count(*) - 1) * 1152921504606846976.0 / max(h)
+            ELSE CAST(count(*) AS DOUBLE) END, 3) AS est_distinct
+FROM k""",
     }
 
 

@@ -1058,3 +1058,50 @@ def bpe_token_stats_ds(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def distinct_sketch_ds(sf_dir: str, k: int = KMV_K):
+    """K-minimum-values distinct-count sketch over the corpus vocabulary —
+    the mergeable-sketch shape a 100-TB pipeline uses where exact distinct
+    would shuffle the whole key set. Per-batch partial: distinct words →
+    60-bit md5 hashes → k smallest (≤ k rows per batch enter the merge,
+    regardless of batch vocabulary size); global: distinct-merge the tiny
+    partial stream, keep the k smallest, estimate (k-1)·2⁶⁰ / h_(k). The
+    md5 hash makes even the ESTIMATE deterministic, so the DuckDB oracle
+    reproduces it to the double."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = set()
+        for x in t["text"].to_pylist():
+            words.update(_WORD_RE.findall(x.lower()))
+        hs = np.sort(np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words),
+            dtype=np.int64, count=len(words)))[:k]
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    merged = (_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("h").map_groups(first, batch_format="pandas")
+              .sort("h").limit(k))
+    hs = np.sort(np.asarray(merged.to_pandas()["h"], dtype=np.int64))  # ≤ k rows
+    n_k = len(hs)
+    if n_k == 0:
+        return pd.DataFrame({"n_k": pd.Series([0], dtype="int64"),
+                             "kth_hash": pd.Series([0], dtype="int64"),
+                             "est_distinct": pd.Series([0.0], dtype="float64")})
+    kth = int(hs[-1])
+    est = (n_k - 1) * float(1 << 60) / kth if n_k == k else float(n_k)
+    return pd.DataFrame({"n_k": pd.Series([n_k], dtype="int64"),
+                         "kth_hash": pd.Series([kth], dtype="int64"),
+                         "est_distinct": pd.Series([round(est, 3)],
+                                                   dtype="float64")})

@@ -171,7 +171,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
                                   "text_tfidf", "text_bpe_tokens",
-                                  "rel_events_sliding"])
+                                  "rel_events_sliding",
+                                  "text_distinct_sketch"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -294,3 +295,20 @@ def test_bpe_tokens_whitespace_runs(tmp_path):
     # "it" "'s" "  "(ws) "doubled" "\t"(ws) "space" " 123"
     assert out.loc[1, "n_bpe"] == 5 and out.loc[1, "n_ws"] == 2
     assert out.loc[2, "n_bpe"] == 3 and out.loc[2, "n_ws"] == 0
+
+
+def test_distinct_sketch_accuracy(sf_tag):
+    """KMV estimate tracks the true vocabulary size within the k=64 error
+    envelope (std err ≈ 1/√(k−2) ≈ 12.7%; assert a loose 3σ band)."""
+    import duckdb
+
+    from rkts_migration_ray.pipelines import docs
+
+    out = docs.distinct_sketch_ds(sf_tag)
+    est = float(out["est_distinct"].iloc[0])
+    con = duckdb.connect()
+    true = con.execute(
+        "SELECT count(DISTINCT w) FROM (SELECT unnest(regexp_extract_all("
+        "lower(text), '[a-z]+')) AS w FROM read_parquet("
+        f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet'))").fetchone()[0]
+    assert abs(est - true) / true < 0.4
