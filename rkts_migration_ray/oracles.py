@@ -854,20 +854,21 @@ def _nt_esc(col: str) -> str:
     return e
 
 
-def _ntriples_select(full_union: str) -> str:
-    """Assemble the same N-Triples lines as functions/ntriples.lines_table:
-    object is a resource <uri> for the OBJ_URI_PREDS predicates, else a
-    literal with @lang / ^^<dt> suffix."""
+def _ntriples_select(full_union: str, with_graph: bool = False) -> str:
+    """Assemble the same N-Triples (or, with the graph term, N-Quads) lines
+    as functions/ntriples.lines_table: object is a resource <uri> for the
+    OBJ_URI_PREDS predicates, else a literal with @lang / ^^<dt> suffix."""
     from .functions.ntriples import OBJ_URI_PREDS
 
     preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    tail = (f"' <'||{_nt_esc('graph')}||'> .'" if with_graph else "' .'")
     return f"""SELECT '<'||{_nt_esc('subj')}||'> <'||{_nt_esc('pred')}||'> '||
  CASE WHEN pred IN ({preds}) THEN '<'||{_nt_esc('obj')}||'>'
       ELSE '"'||{_nt_esc('obj')}||'"'||
         CASE WHEN obj_lang <> '' THEN '@'||{_nt_esc('obj_lang')}
              WHEN obj_dt <> '' THEN '^^<'||{_nt_esc('obj_dt')}||'>'
              ELSE '' END
- END||' .' AS line
+ END||{tail} AS line
 FROM (
 {full_union}
 ) nt_all"""
@@ -947,6 +948,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
          SEL_LOCNODES])
     return {
         "kg_ntriples": w + _ntriples_select(full_union),
+        "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,

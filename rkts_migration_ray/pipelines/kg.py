@@ -412,3 +412,15 @@ def ntriples_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     return kg_triples_ds(sf_dir, cfg, concurrency).map_batches(
         lines_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nquads_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    concurrency: int = 8):
+    """Full graph serialized to N-Quads lines (the reference's named-graph
+    output: Nquads.php:192-197 if-branch appends the graph term): same
+    map-only serializer with with_graph=True."""
+    from ..functions.ntriples import lines_table
+
+    return kg_triples_ds(sf_dir, cfg, concurrency).map_batches(
+        lambda t: lines_table(t, with_graph=True),
+        batch_format="pyarrow", zero_copy_batch=True)
