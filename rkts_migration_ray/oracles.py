@@ -713,6 +713,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_k,
             THEN (count(*) - 1) * 1152921504606846976.0 / max(h)
             ELSE CAST(count(*) AS DOUBLE) END, 3) AS est_distinct
 FROM k""",
+        "rel_region_part_revenue": """
+SELECT r.r_name AS r_name, p.p_brand AS p_brand,
+ CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))
+      AS BIGINT) AS revenue_c,
+ CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, p.p_brand""",
     }
 
 

@@ -518,3 +518,65 @@ def events_sliding_ds(sf_dir: str):
             .groupby(["event_type", "window_start"])
             .aggregate(Sum("val_c", alias_name="sum_value_c"),
                        Sum("one", alias_name="n_events")))
+
+
+def region_part_revenue_ds(sf_dir: str):
+    """Star-schema rollup touching every remaining dimension table: revenue
+    per (region, part brand). lineitem is the streamed fact; part and the
+    supplier→nation→region chain are dimensions, composed ONCE on the driver
+    into two numpy/dict lookups and broadcast (at these SFs part is
+    broadcast-sized; the large-large shape, were part to outgrow a worker,
+    is the lineitem_supplier_ds co-group with part as the tagged side).
+    Map-side partial: one (region, brand) row per batch enters the shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    d = resolve_sf_dir(sf_dir)
+    part = pq.read_table(os.path.join(d, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    sup = pq.read_table(os.path.join(d, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(d, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(d, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region["r_regionkey"].to_pylist(),
+                     region["r_name"].to_pylist()))
+    nreg = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_regionkey"].to_pylist()))
+    pkeys = np.asarray(part["p_partkey"])
+    brand_of = np.empty(int(pkeys.max()) + 1, dtype=object)
+    brand_of[pkeys] = part["p_brand"].to_pylist()
+    skeys = np.asarray(sup["s_suppkey"])
+    region_of_sup = np.empty(int(skeys.max()) + 1, dtype=object)
+    region_of_sup[skeys] = [rname[nreg[int(nk)]]
+                            for nk in sup["s_nationkey"].to_pylist()]
+    ref = ray.put((brand_of, region_of_sup))
+
+    class Roll:
+        def __init__(self, ref):
+            self.brand_of, self.region_of_sup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            disc = pc.multiply(t["l_extendedprice"],
+                               pc.subtract(1.0, t["l_discount"]))
+            df = pd.DataFrame({
+                "r_name": self.region_of_sup[np.asarray(t["l_suppkey"])],
+                "p_brand": self.brand_of[np.asarray(t["l_partkey"])],
+                "rev_c": np.asarray(_cents(disc)),
+            })
+            agg = df.groupby(["r_name", "p_brand"], as_index=False).agg(
+                revenue_c=("rev_c", "sum"), n_items=("rev_c", "size"))
+            agg["revenue_c"] = agg["revenue_c"].astype("int64")
+            agg["n_items"] = agg["n_items"].astype("int64")
+            return from_pandas_clean(agg)
+
+    return (_table(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(Roll, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": ref}, concurrency=(1, 2))
+            .groupby(["r_name", "p_brand"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                       Sum("n_items", alias_name="n_items")))

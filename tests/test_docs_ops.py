@@ -172,7 +172,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "sample_stratified", "dedup_clusters",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
-                                  "text_distinct_sketch"])
+                                  "text_distinct_sketch",
+                                  "rel_region_part_revenue"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
