@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--buckets", type=int, default=64)
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--format", choices=["parquet", "nt"], default="parquet",
+                     help="graph sink: bucketed Parquet edge tables or "
+                          "N-Triples text fragments (same manifests/resume)")
 
     val = sub.add_parser("validate", help="transcript invariant validation")
     val.add_argument("--sf", default="sf0.001")
@@ -42,10 +45,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             from .pipelines import kg, materialize
 
-            ds = kg.kg_triples_ds(args.sf)
-            manifest = materialize.write_graph(ds, args.out,
-                                               n_buckets=args.buckets,
-                                               resume=not args.no_resume)
+            if args.format == "nt":
+                streams = kg.kg_bundle(args.sf)
+                manifest = materialize.write_graph_ntriples(
+                    streams, args.out, n_buckets=args.buckets,
+                    resume=not args.no_resume)
+            else:
+                ds = kg.kg_triples_ds(args.sf)
+                manifest = materialize.write_graph(ds, args.out,
+                                                   n_buckets=args.buckets,
+                                                   resume=not args.no_resume)
             print(json.dumps({
                 "buckets": int(len(manifest)),
                 "rows": int(manifest["rows"].sum()),
