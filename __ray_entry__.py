@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": docs.doc_chunks_ds,
         "sample_stratified": docs.sample_stratified_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
+        "dedup_survivors": docs.dedup_survivors_ds,
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,

@@ -1105,3 +1105,34 @@ def distinct_sketch_ds(sf_dir: str, k: int = KMV_K):
                          "kth_hash": pd.Series([kth], dtype="int64"),
                          "est_distinct": pd.Series([round(est, 3)],
                                                    dtype="float64")})
+
+
+def dedup_survivors_ds(sf_dir: str):
+    """The deduped corpus: every document except non-canonical members of
+    near-dup clusters (keep the min-id doc per connected component). The
+    drop set is output-sized (one id per dropped duplicate), so it is
+    broadcast and applied as a vectorized filter map over the corpus —
+    the standard 'pairs → clusters → survivors' final step of a dedup
+    pipeline."""
+    import ray
+
+    labels = dedup_clusters_ds(sf_dir).to_pandas()  # tiny: nodes in pair graph
+    drop = set(labels.loc[labels["doc_id"] != labels["component"],
+                          "doc_id"].astype("int64").tolist())
+    drop_ref = ray.put(drop)
+
+    class Keep:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"])
+            mask = ~np.isin(ids, np.fromiter(self.drop, dtype=np.int64,
+                                             count=len(self.drop))) \
+                if self.drop else np.ones(len(ids), dtype=bool)
+            return t.filter(pa.array(mask))
+
+    return (_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+            .map_batches(Keep, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": drop_ref},
+                         concurrency=(1, 4)))

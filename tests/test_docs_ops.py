@@ -173,7 +173,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
                                   "text_distinct_sketch",
-                                  "rel_region_part_revenue"])
+                                  "rel_region_part_revenue",
+                                  "dedup_survivors"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
