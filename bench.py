@@ -6,9 +6,10 @@ $GRAFT_SF_DIR (default /root/testdata/sf0.1 → 600k turns). Per-query timings
 for the component pipelines are reported under "queries".
 
     python bench.py              # single run at RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs +
-                                 # scaling efficiency (sandbox stand-in for
-                                 # the north rule's N vs 4N node clusters)
+    python bench.py --scaling    # fresh paired runs at N and 4N CPUs
+                                 # (GRAFT_SCALING_LO, default 4) + scaling
+                                 # efficiency (sandbox stand-in for the
+                                 # north rule's N vs 4N node clusters)
 
 Fixture generation is done (and cached) BEFORE timing; one untimed warm read
 precedes the timed section so the page cache is hot at both CPU levels.
