@@ -902,6 +902,22 @@ FROM (
 ) nt_all"""
 
 
+def _adjacency_select(full_union: str) -> str:
+    """kg_adjacency oracle: per-subject edge count + md5 of the sorted
+    edge list (fields joined by US=chr(31), edges by RS=chr(30)) — the same
+    digest pipelines/kg.kg_adjacency_ds computes. Byte order of UTF-8
+    preserves code-point order, so DuckDB's binary ORDER BY matches
+    Python's sorted()."""
+    edge = ("coalesce(pred,'')||chr(31)||coalesce(obj,'')||chr(31)||"
+            "coalesce(obj_lang,'')||chr(31)||coalesce(obj_dt,'')||chr(31)||"
+            "coalesce(graph,'')")
+    return f"""SELECT subj, CAST(count(*) AS BIGINT) AS n_edges,
+ md5(string_agg({edge}, chr(30) ORDER BY {edge})) AS edges_md5
+FROM (
+{full_union}
+) adj_all GROUP BY subj"""
+
+
 def _img_numbers_select(sf_dir_or_tag: str) -> str:
     """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
     utils.php:280-404): volume index reconstruction (missing→next,
@@ -977,6 +993,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     return {
         "kg_ntriples": w + _ntriples_select(full_union),
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
+        "kg_adjacency": w + _adjacency_select(full_union),
         "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,

@@ -424,3 +424,47 @@ def nquads_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     return kg_triples_ds(sf_dir, cfg, concurrency).map_batches(
         lambda t: lines_table(t, with_graph=True),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kg_adjacency_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    concurrency: int = 8):
+    """Adjacency view of the graph: one row per SUBJECT with its edge count
+    and a deterministic digest of its sorted edge list (the scalar query/
+    oracle surface of the adjacency-table sink,
+    materialize.write_bucket_adjacency — the north-star's 'adjacency + edge
+    tables'). Subjects are grouped via the same subject-hash bucketing the
+    writer uses (all rows of a subject land in one bucket, so the per-bucket
+    pandas groupby is exact and no global sort is needed)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=64, per_cpu=2)
+    US, RS = "\x1f", "\x1e"
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = [pc.fill_null(t[c], "") for c in
+                ("pred", "obj", "obj_lang", "obj_dt", "graph")]
+        edge = pc.binary_join_element_wise(*cols, US)
+        return pa.table({"abucket": hash_bucket(t["subj"].combine_chunks(), nb),
+                         "subj": t["subj"], "edge": edge})
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.sort_values(["subj", "edge"], kind="stable")
+             .groupby("subj", sort=False)["edge"])
+        agg = g.agg(n_edges="size", joined=RS.join).reset_index()
+        return pd.DataFrame({
+            "subj": agg["subj"],
+            "n_edges": agg["n_edges"].astype("int64"),
+            "edges_md5": [hashlib.md5(s.encode()).hexdigest()
+                          for s in agg["joined"]],
+        })
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("abucket")
+            .map_groups(adjacency, batch_format="pandas"))

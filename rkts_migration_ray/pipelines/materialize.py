@@ -426,3 +426,37 @@ def compact_bucket(out_dir: str, bucket: int) -> None:
         p = os.path.join(out_dir, f)
         if os.path.basename(p) != "part.parquet" and os.path.exists(p):
             os.remove(p)
+
+
+def write_bucket_adjacency(out_dir: str, bucket: int) -> str:
+    """Build the bucket's ADJACENCY table (north-star 'adjacency + edge
+    tables'): one row per subject with its edges as a list<struct(pred, obj,
+    obj_lang, obj_dt, graph)>, written as ``adjacency.parquet`` next to the
+    bucket's edge fragments. Subject-hash bucketing guarantees every row of
+    a subject is in this bucket, so the build is bucket-local (per-bucket,
+    embarrassingly parallel across buckets — same contract as
+    compact_bucket). Atomic via tmp+rename; derived data, so resume just
+    rebuilds it."""
+    meta = mf.committed_buckets(out_dir).get(bucket)
+    if meta is None:
+        raise ValueError(f"bucket {bucket} has no committed manifest")
+    files = [os.path.join(out_dir, f) for f in meta.get("files", [meta["file"]])]
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = (t.to_pandas()
+          .sort_values(["subj", "pred", "obj"], kind="stable"))
+    edge_cols = ["pred", "obj", "obj_lang", "obj_dt", "graph"]
+    for c in edge_cols:
+        df[c] = df[c].fillna("")
+    recs = df.groupby("subj", sort=True)[edge_cols].apply(
+        lambda g: g.to_dict("records"))
+    adj = pa.table({
+        "subj": pa.array(recs.index.to_numpy(object), pa.string()),
+        "edges": pa.array(recs.tolist(), pa.list_(pa.struct(
+            [(c, pa.string()) for c in edge_cols]))),
+    })
+    bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
+    final = os.path.join(bdir, "adjacency.parquet")
+    tmp = final + f".tmp.{os.getpid()}"
+    pq.write_table(adj, tmp)
+    os.rename(tmp, final)
+    return final

@@ -63,3 +63,36 @@ def test_compact_bucket(sf_tag, tmp_path):
         b: m["checksum"] for b, m in done.items()}
     after = norm(materialize.read_graph(out).to_pandas())
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_write_bucket_adjacency(sf_tag, tmp_path):
+    """Adjacency table of a bucket: one row per subject, edges list matching
+    the bucket's edge rows exactly (subject-hash bucketing guarantees
+    bucket-locality)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import kg, materialize
+
+    out = str(tmp_path / "adjgraph")
+    ds = kg.structural_ds(sf_tag, include_quarantine=True)
+    materialize.write_graph_sharded(ds, out, n_buckets=8, resume=False)
+    committed = sorted(os.listdir(out))
+    path = materialize.write_bucket_adjacency(out, 0)
+    adj = pq.read_table(path)
+    meta = __import__("rkts_migration_ray.state.manifest",
+                      fromlist=["committed_buckets"]).committed_buckets(out)[0]
+    import pyarrow as pa
+    edge_rows = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f))
+         for f in meta.get("files", [meta["file"]])])
+    assert adj.num_rows == len(set(edge_rows["subj"].to_pylist()))
+    assert sum(len(e) for e in adj["edges"].to_pylist()) == edge_rows.num_rows
+    # spot-check one subject round-trips
+    subj = adj["subj"][0].as_py()
+    got = sorted((d["pred"], d["obj"]) for d in adj["edges"][0].as_py())
+    want = sorted((p.as_py(), o.as_py())
+                  for s, p, o in zip(edge_rows["subj"], edge_rows["pred"],
+                                     edge_rows["obj"]) if s.as_py() == subj)
+    assert got == want
