@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples": kg.ntriples_lines_ds,
         "kg_nquads": kg.nquads_lines_ds,
         "kg_adjacency": kg.kg_adjacency_ds,
+        "kg_degrees": kg.kg_degrees_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         # --- BVM reconciliation (migrate-bvm.py:189-356) --------------------
         "bvm_manifests": bvm.bvm_manifests_ds,

@@ -918,6 +918,24 @@ FROM (
 ) adj_all GROUP BY subj"""
 
 
+def _degrees_select(full_union: str) -> str:
+    """kg_degrees oracle: out-degree by subject, in-degree by resource
+    object (OBJ_URI_PREDS only), full-outer merged per node."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f"""SELECT coalesce(o.node, i.node) AS node,
+ CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+ CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM (SELECT subj AS node, count(*) AS out_deg FROM (
+{full_union}
+) a GROUP BY subj) o
+FULL OUTER JOIN (SELECT obj AS node, count(*) AS in_deg FROM (
+{full_union}
+) b WHERE pred IN ({preds}) GROUP BY obj) i
+ON o.node = i.node"""
+
+
 def _img_numbers_select(sf_dir_or_tag: str) -> str:
     """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
     utils.php:280-404): volume index reconstruction (missing→next,
@@ -994,6 +1012,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_ntriples": w + _ntriples_select(full_union),
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_adjacency": w + _adjacency_select(full_union),
+        "kg_degrees": w + _degrees_select(full_union),
         "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,

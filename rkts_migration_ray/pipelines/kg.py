@@ -468,3 +468,44 @@ def kg_adjacency_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("abucket")
             .map_groups(adjacency, batch_format="pandas"))
+
+
+def kg_degrees_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                  concurrency: int = 8):
+    """Graph degree table: per node, out-degree (rows with the node as
+    subject) and in-degree (rows with the node as a RESOURCE object — the
+    OBJ_URI_PREDS predicates; literals don't create nodes). Two partial
+    counts per batch enter one groupby — the degree-distribution primitive
+    of graph analytics over the emitted triple set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        subj = np.asarray(t["subj"], dtype=object)
+        s_nodes, s_counts = np.unique(subj.astype(str), return_counts=True)
+        is_uri = np.asarray(pc.is_in(t["pred"].combine_chunks(),
+                                     value_set=uri_preds))
+        obj = np.asarray(t["obj"], dtype=object)[is_uri]
+        o_nodes, o_counts = (np.unique(obj.astype(str), return_counts=True)
+                             if len(obj) else (np.array([], object),
+                                               np.array([], np.int64)))
+        return pa.table({
+            "node": pa.array(np.concatenate([s_nodes, o_nodes]), pa.string()),
+            "out_deg": pa.array(np.concatenate(
+                [s_counts, np.zeros(len(o_nodes))]).astype(np.int64)),
+            "in_deg": pa.array(np.concatenate(
+                [np.zeros(len(s_nodes)), o_counts]).astype(np.int64)),
+        })
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Sum("out_deg", alias_name="out_deg"),
+                       Sum("in_deg", alias_name="in_deg")))
