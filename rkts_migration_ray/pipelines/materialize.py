@@ -43,6 +43,7 @@ def write_graph(triples_ds, out_dir: str, n_buckets: int = 64,
     Returns the (small) manifest summary DataFrame."""
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
+    mf.assert_source_matches(done, source)
 
     import ray
 
@@ -150,6 +151,7 @@ def commit_manifests(out_dir: str, frag_metas: list[pd.DataFrame],
     """Merge fragment metadata of all streams → one manifest per bucket
     (XOR-combined checksum, commutative) + stale-fragment cleanup. A 'bytes'
     column (text sinks) is recorded as per-file 'sizes' for resume verify."""
+    frag_metas = [m for m in frag_metas if "bucket" in m.columns]
     frag_meta = (pd.concat(frag_metas, ignore_index=True) if frag_metas
                  else pd.DataFrame(columns=["bucket", "rows", "checksum", "file"]))
     rows_out = []
@@ -240,6 +242,7 @@ def write_graph_ntriples(streams: dict, out_dir: str, n_buckets: int = 64,
     machinery as write_graph_streams."""
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
+    mf.assert_source_matches(done, source)
     skip = frozenset(done)
     metas = [write_ntriples_fragments(ds() if callable(ds) else ds,
                                       out_dir, n_buckets, tag, skip_buckets=skip)
@@ -295,6 +298,7 @@ def write_graph_streams(streams: dict, out_dir: str, n_buckets: int = 64,
     once, after every stream finishes."""
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
+    mf.assert_source_matches(done, source)
     skip = frozenset(done)
     jobs = _stream_jobs(streams)
 
@@ -332,6 +336,7 @@ def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
     """
     os.makedirs(out_dir, exist_ok=True)
     done = mf.committed_buckets(out_dir) if resume else {}
+    mf.assert_source_matches(done, source)
     done_set = frozenset(done)
 
     def write_frags(t: pa.Table) -> pa.Table:
@@ -367,6 +372,8 @@ def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
 
     frag_meta = (triples_ds.map_batches(write_frags, batch_format="pyarrow")
                  .to_pandas())
+    if "bucket" not in frag_meta.columns:  # all batches skipped → no schema
+        frag_meta = pd.DataFrame(columns=["bucket", "rows", "checksum", "file"])
     rows_out = []
     for b, g in frag_meta.groupby("bucket"):
         acc = 0

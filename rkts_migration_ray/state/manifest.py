@@ -76,6 +76,23 @@ def _bucket_verifies(out_dir: str, meta: dict) -> bool:
     return total == int(meta["rows"])
 
 
+def assert_source_matches(done: dict[int, dict], source: str) -> None:
+    """Refuse a resume against a DIFFERENT input: buckets are subject-hash
+    partitions, so new input rows land in EVERY bucket — skipping committed
+    buckets from another source would silently drop their new rows. Enforced
+    only when both the recorded and current source are non-empty (tests and
+    ad-hoc writes pass source='')."""
+    if not source:
+        return
+    others = sorted({m.get("source", "") for m in done.values()}
+                    - {"", source})
+    if others:
+        raise ValueError(
+            f"resume refused: output dir holds buckets committed from "
+            f"different source(s) {others}; current source is {source!r}. "
+            f"Use resume=False (full rewrite) or a fresh output dir.")
+
+
 def committed_buckets(out_dir: str) -> dict[int, dict]:
     """Buckets whose manifest exists AND whose every data file verifies
     (existence + footer row counts vs the recorded lineage)."""

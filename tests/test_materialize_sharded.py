@@ -96,3 +96,23 @@ def test_write_bucket_adjacency(sf_tag, tmp_path):
                   for s, p, o in zip(edge_rows["subj"], edge_rows["pred"],
                                      edge_rows["obj"]) if s.as_py() == subj)
     assert got == want
+
+
+def test_resume_refuses_different_source(sf_tag, tmp_path):
+    """Resuming into an output dir committed from a DIFFERENT input must
+    raise (hash buckets would silently drop the new input's rows)."""
+    import pytest
+
+    from rkts_migration_ray.pipelines import kg, materialize
+
+    out = str(tmp_path / "srcguard")
+    ds = kg.structural_ds(sf_tag, include_quarantine=True)
+    materialize.write_graph_sharded(ds, out, n_buckets=4, resume=False,
+                                    source="/input/v1")
+    with pytest.raises(ValueError, match="resume refused"):
+        materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
+                                        source="/input/v2")
+    # same source resumes fine (all buckets skipped)
+    m = materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
+                                        source="/input/v1")
+    assert m["skipped"].all()
