@@ -293,15 +293,35 @@ def location_triples(feats: pa.Table) -> pa.Table:
     return pa.concat_tables(blocks).combine_chunks()
 
 
-def structural_and_location_triples(feats: pa.Table) -> pa.Table:
-    """Fused map stage: structural + ContentLocation triples in ONE pass.
+# User-extension surface (SURVEY.md §2.10): the map-only triple emitters run
+# as a REGISTRY of named extractors inside one map_batches pass — adding a
+# custom predicate family is registering one function(feats)->triples, the
+# analog of adding a rkts.yaml collection block + extractor. The default
+# registry reproduces the reference's emission exactly; extensions append.
+EXTRACTORS: dict[str, "object"] = {}
 
-    Both emitters are map-only over the same feats batch; fusing them halves
+
+def register_extractor(name: str, fn) -> None:
+    """Register fn(feats: pa.Table) -> triples pa.Table (columns
+    TRIPLE_COLUMNS) to run fused with the built-in emitters. Names are
+    unique; re-registering a name replaces it (tests clean up after
+    themselves)."""
+    EXTRACTORS[name] = fn
+
+
+register_extractor("structural", structural_triples)
+register_extractor("locations", location_triples)
+
+
+def structural_and_location_triples(feats: pa.Table) -> pa.Table:
+    """Fused map stage: every registered extractor in ONE pass (default:
+    structural + ContentLocation).
+
+    The emitters are map-only over the same feats batch; fusing them halves
     the number of read+extract subtree executions in the materialize path
     (the two streams were separate Dataset branches, each recomputing
     extract_features over the full corpus)."""
-    return pa.concat_tables([structural_triples(feats),
-                             location_triples(feats)])
+    return pa.concat_tables([fn(feats) for fn in EXTRACTORS.values()])
 
 
 def explode_mentions(feats: pa.Table) -> pa.Table:

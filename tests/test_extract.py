@@ -100,3 +100,48 @@ def test_chapter_labels_and_hierarchy():
     assert (trips[trips["pred"] == P_HAS_PART]["subj"] == "U:c0/00000").all()
     idxs = trips[(trips["pred"] == P_PART_INDEX) & (trips["subj"].str.startswith("N:CH"))]
     assert sorted(idxs["obj"]) == ["1", "2", "3"]
+
+
+def test_extractor_registry_extension(sf_tag):
+    """SURVEY §2.10 user-extension surface: a custom extractor registered by
+    name runs fused with the built-ins and its triples appear in the output;
+    deregistering restores the exact default emission."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray import fixtures
+    from rkts_migration_ray.stages import extract
+
+    import os
+    fp = fixtures.transcripts_path(sf_tag)
+    t = pq.read_table(os.path.join(fp, sorted(os.listdir(fp))[0])).slice(0, 200)
+    feats = extract.extract_features(t)
+    base = extract.structural_and_location_triples(feats)
+
+    def turn_parity(f: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from rkts_migration_ray.functions.minting import turn_uri_array
+        n = len(f)
+        subj = turn_uri_array(f["conv_id"].combine_chunks(),
+                              f["turn_idx"].combine_chunks())
+        parity = pc.cast(pc.bit_wise_and(f["turn_idx"].combine_chunks(), 1),
+                         pa.string())
+        return pa.table({"subj": subj,
+                         "pred": pa.array(["x:turnParity"] * n),
+                         "obj": parity,
+                         "obj_lang": pa.array([""] * n),
+                         "obj_dt": pa.array(["xsd:integer"] * n),
+                         "graph": pa.array(["G:ext"] * n)})
+
+    extract.register_extractor("turn_parity", turn_parity)
+    try:
+        ext = extract.structural_and_location_triples(feats)
+        assert ext.num_rows == base.num_rows + len(feats)
+        assert ext.filter(
+            __import__("pyarrow.compute", fromlist=["equal"]).equal(
+                ext["pred"], "x:turnParity")).num_rows == len(feats)
+    finally:
+        del extract.EXTRACTORS["turn_parity"]
+    again = extract.structural_and_location_triples(feats)
+    assert again.num_rows == base.num_rows
