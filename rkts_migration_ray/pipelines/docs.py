@@ -979,18 +979,24 @@ def dedup_clusters_ds(sf_dir: str, max_iters: int = 16):
 
 
 def tfidf_top_term_ds(sf_dir: str):
-    """Highest-TF-IDF term per document. Classic two-phase shape: per-batch
-    partial (doc, word, tf) counts; document frequency via a distinct-reduced
-    groupby(word) (one row per (word, batch) enters the shuffle, not one per
-    occurrence); scores computed inside a groupby(word) co-group of tf rows
-    with the word's df (no broadcast of the full vocabulary); final
-    groupby(doc) argmax. score = tf * ln(N/df) in shared double arithmetic so
-    the DuckDB oracle reproduces values exactly."""
+    """Highest-TF-IDF term per document. Skew-safe two-phase shape:
+    per-batch partial (doc, word, tf) counts; document frequency via an
+    aggregate with map-side combining (one row per (word, block) enters that
+    shuffle); then tf rows and the (word, df) table are co-grouped on a
+    WORD-HASH BUCKET — never on the word itself, so a stopword appearing in
+    every document cannot concentrate its rows into one task (hash buckets
+    stay balanced regardless of key skew) — and scored with one vectorized
+    merge per bucket; final groupby(doc) argmax (doc-keyed, bounded groups).
+    score = tf * ln(N/df) in shared double arithmetic so the DuckDB oracle
+    reproduces values exactly."""
     import math
 
     from ray.data.aggregate import Sum
 
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
     n_docs = _docs(sf_dir, ["doc_id"]).count()
+    nb = scale_buckets(floor=32, per_cpu=2)
 
     def tf_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -1010,12 +1016,36 @@ def tfidf_top_term_ds(sf_dir: str):
     tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         tf_partial, batch_format="pyarrow")
 
-    def score_group(df: pd.DataFrame) -> pd.DataFrame:
-        # one word's tf rows; df (document frequency) = row count, since
-        # tf_partial emits exactly one row per (doc, word)
-        idf = math.log(float(n_docs) / float(len(df)))
-        out = df[["doc_id", "word"]].copy()
-        out["score"] = df["tf"].astype("float64") * idf
+    # df (document frequency) = number of tf rows per word (tf_partial emits
+    # exactly one row per (doc, word)); Sum of per-row 1s combines map-side
+    dfreq = (tf.map_batches(
+        lambda t: pa.table({"word": t["word"],
+                            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("one", alias_name="df")))
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "wbucket": hash_bucket(t["word"].combine_chunks(), nb),
+            "word": t["word"], "doc_id": t["doc_id"], "tf": t["tf"],
+            "df": pa.nulls(t.num_rows, pa.int64())})
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "wbucket": hash_bucket(t["word"].combine_chunks(), nb),
+            "word": t["word"],
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "tf": pa.nulls(t.num_rows, pa.int64()),
+            "df": t["df"]})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["df"].notna(), ["word", "df"]]
+        t = df.loc[df["tf"].notna(), ["doc_id", "word", "tf"]]
+        m = t.merge(d, on="word", how="left")
+        out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                            "word": m["word"]})
+        out["score"] = (m["tf"].astype("float64")
+                        * np.log(float(n_docs) / m["df"].to_numpy("float64")))
         return out
 
     def top1(df: pd.DataFrame) -> pd.DataFrame:
@@ -1026,7 +1056,10 @@ def tfidf_top_term_ds(sf_dir: str):
                              "top_term": r["word"].astype("object"),
                              "tfidf": np.round(r["score"].astype("float64"), 6)})
 
-    return (tf.groupby("word").map_groups(score_group, batch_format="pandas")
+    tagged = (tf.map_batches(tag_tf, batch_format="pyarrow")
+              .union(dfreq.map_batches(tag_df, batch_format="pyarrow")))
+    return (tagged.groupby("wbucket")
+            .map_groups(score_bucket, batch_format="pandas")
             .groupby("doc_id").map_groups(top1, batch_format="pandas"))
 
 
