@@ -1140,32 +1140,61 @@ def distinct_sketch_ds(sf_dir: str, k: int = KMV_K):
                                                    dtype="float64")})
 
 
-def dedup_survivors_ds(sf_dir: str):
+def dedup_survivors_ds(sf_dir: str, n_buckets: int | None = None):
     """The deduped corpus: every document except non-canonical members of
-    near-dup clusters (keep the min-id doc per connected component). The
-    drop set is output-sized (one id per dropped duplicate), so it is
-    broadcast and applied as a vectorized filter map over the corpus —
-    the standard 'pairs → clusters → survivors' final step of a dedup
-    pipeline."""
-    import ray
+    near-dup clusters (keep the min-id doc per connected component) — the
+    standard 'pairs → clusters → survivors' final step of a dedup pipeline.
 
-    labels = dedup_clusters_ds(sf_dir).to_pandas()  # tiny: nodes in pair graph
-    drop = set(labels.loc[labels["doc_id"] != labels["component"],
-                          "doc_id"].astype("int64").tolist())
-    drop_ref = ray.put(drop)
+    Scale shape: the drop set scales WITH the corpus (a 40%-duplicate corpus
+    drops 40% of its ids), so it is NOT broadcast; instead corpus rows and
+    drop ids are co-grouped on a doc_id-hash bucket and each bucket resolves
+    its anti-join locally with a vectorized isin (exact: a bucket holds
+    every drop id of its documents). Same shape as
+    relational.customers_no_orders_ds."""
+    from ..functions.arrowutils import scale_buckets
 
-    class Keep:
-        def __init__(self, ref):
-            self.drop = ray.get(ref)
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16,
+                                                               per_cpu=2)
+    labels = dedup_clusters_ds(sf_dir)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["doc_id"])
-            mask = ~np.isin(ids, np.fromiter(self.drop, dtype=np.int64,
-                                             count=len(self.drop))) \
-                if self.drop else np.ones(len(ids), dtype=bool)
-            return t.filter(pa.array(mask))
+    def drop_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["doc_id"], t["component"])
+        t = t.filter(pc.invert(keep))
+        n = t.num_rows
+        b = (np.asarray(t["doc_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "src": pa.array(np.ones(n, np.int8)),
+            "doc_id": t["doc_id"],
+            "lang": pa.nulls(n, pa.string()),
+            "source": pa.nulls(n, pa.string()),
+            "n_chars": pa.nulls(n, pa.int64()),
+        })
 
-    return (_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
-            .map_batches(Keep, batch_format="pyarrow",
-                         fn_constructor_kwargs={"ref": drop_ref},
-                         concurrency=(1, 4)))
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = (np.asarray(t["doc_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "src": pa.array(np.zeros(n, np.int8)),
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    def anti_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs_side = df[df["src"] == 0]
+        dropped = df.loc[df["src"] == 1, "doc_id"].unique()
+        out = docs_side.loc[~docs_side["doc_id"].isin(dropped),
+                            ["doc_id", "lang", "source", "n_chars"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    corpus = (_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+              .map_batches(doc_rows, batch_format="pyarrow"))
+    drops = labels.map_batches(drop_rows, batch_format="pyarrow")
+    return (corpus.union(drops)
+            .groupby("kbucket")
+            .map_groups(anti_bucket, batch_format="pandas"))
