@@ -63,10 +63,19 @@ def run_bench(num_cpus: int) -> dict:
 
     import ray.data as rd
 
-    n_turns = sum(pq.ParquetFile(os.path.join(fixtures.transcripts_path(tag), f))
-                  .metadata.num_rows
-                  for f in os.listdir(fixtures.transcripts_path(tag))
-                  if f.endswith(".parquet"))
+    n_turns = 0
+    tdir = fixtures.transcripts_path(tag)
+    for f in os.listdir(tdir):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(tdir, f)
+        n_turns += pq.ParquetFile(p).metadata.num_rows
+        # real untimed DATA read (raw bytes → page cache hot, no decode
+        # cost) so the first timed run never pays cold-cache I/O — the
+        # docstring's warm-read claim holds again (round-2 advice)
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     (rd.range(10_000, override_num_blocks=num_cpus * 2)
      .map_batches(lambda t: t, batch_format="pyarrow").count())
 
