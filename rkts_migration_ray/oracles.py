@@ -424,6 +424,29 @@ sigl AS (SELECT s.doc_id, p.k,
          FROM shx s CROSS JOIN prm p GROUP BY 1, 2)"""
 
 
+def _minhash_pair_ctes() -> str:
+    """_minhash_ctes + the banding/verify chain, ending in a CTE `p(doc_a,
+    doc_b)` — the exact edge list of minhash_pairs_ds (threshold 0.2).
+    Shared by the dedup_minhash_pairs oracle and the clusters/survivors
+    recursive-CC oracles (which consume the MinHash pair stream, the
+    production default since round 3)."""
+    return _minhash_ctes() + """,
+cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigl a JOIN sigl b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.k // 4
+  HAVING count(*) = 4)),
+nsh AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
+                      JOIN shx b ON b.doc_id = c.doc_b AND b.hv = a.hv
+          GROUP BY 1, 2),
+p AS (SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+                   JOIN nsh nb ON nb.doc_id = i.doc_b
+      WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2)"""
+
+
 def _bpe_tokens_select() -> str:
     """text_bpe_tokens oracle: the BPE-ish pre-tokenizer grammar shared with
     pipelines.docs.BPE_SPLIT_RE (apostrophes doubled for the SQL literal);
@@ -465,17 +488,7 @@ FROM tok t
 LEFT JOIN (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1) n USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(printf('%08x', v), '' ORDER BY k) AS sig_hex
            FROM sigl GROUP BY 1) s USING (doc_id)""",
-        "dedup_minhash_pairs": _minhash_ctes() + """,
-cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigl a JOIN sigl b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.k // 4
-  HAVING count(*) = 4)),
-nsh AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
-inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
-                      JOIN shx b ON b.doc_id = c.doc_b AND b.hv = a.hv
-          GROUP BY 1, 2)
+        "dedup_minhash_pairs": _minhash_pair_ctes() + """
 SELECT i.doc_a, i.doc_b,
  round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
 FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
@@ -663,12 +676,8 @@ SELECT doc_id, lang, bucket FROM h
 WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          WHEN 'es' THEN 250 WHEN 'fr' THEN 100
                          WHEN 'zh' THEN 100 ELSE 50 END""",
-        "dedup_clusters": """
-WITH RECURSIVE p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM documents a JOIN documents b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE round(jaccard(a.text, b.text), 6) >= 0.9),
+        "dedup_clusters": _minhash_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
 e AS (SELECT doc_a AS a, doc_b AS b FROM p
       UNION SELECT doc_b, doc_a FROM p),
 n AS (SELECT DISTINCT a AS node FROM e),
@@ -724,12 +733,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, p.p_brand""",
-        "dedup_survivors": """
-WITH RECURSIVE p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM documents a JOIN documents b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE round(jaccard(a.text, b.text), 6) >= 0.9),
+        "dedup_survivors": _minhash_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
 e AS (SELECT doc_a AS a, doc_b AS b FROM p
       UNION SELECT doc_b, doc_a FROM p),
 n AS (SELECT DISTINCT a AS node FROM e),

@@ -271,11 +271,86 @@ def test_dedup_clusters_transitive(tmp_path):
         "text": pa.array(["abcdefgh", "abcdefgh", "abcdefgh",
                           "qrstuvwx", "qrstuvwx", "zzz"]),
     }), str(d / "documents.parquet"))
-    out = docs.dedup_clusters_ds(str(d)).to_pandas().sort_values("doc_id")
+    out = (docs.dedup_clusters_ds(str(d), pair_source="charset")
+           .to_pandas().sort_values("doc_id"))
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[10] == comp[11] == 10
     assert 20 not in comp  # isolated nodes are not in the pair graph
+
+
+def _write_minhash_chain_fixture(d):
+    """Token-text docs where MinHash (3-gram shingles, jaccard>=0.2) finds a
+    transitive chain 0~1~2 plus an independent pair 10/11 and an isolated 20."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    t0 = " ".join(base)
+    t1 = " ".join(base[:16] + ["phi", "chi", "psi", "omega"])   # ~0.6 vs t0
+    t2 = " ".join(base[:12] + ["phi", "chi", "psi", "omega",
+                               "ichi", "nii", "san", "yon"])    # pairs w/ t1
+    other = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+             "once doce trece catorce quince dieciseis").split()
+    t10 = " ".join(other)
+    t11 = " ".join(other[:14] + ["veinte", "treinta"])
+    t20 = "completely different words entirely unrelated tokens here now"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 10, 11, 20], pa.int64()),
+        "source": pa.array(["s"] * 6),
+        "text": pa.array([t0, t1, t2, t10, t11, t20]),
+    }), str(d / "documents.parquet"))
+
+
+def test_dedup_clusters_minhash_default(tmp_path):
+    """The production default routes clusters + survivors through the
+    MinHash pair stream (round-2 verdict fix #2): transitive chain collapses,
+    survivors keep exactly the min-id doc per component."""
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfmh"
+    d.mkdir()
+    _write_minhash_chain_fixture(d)
+    pairs = docs.minhash_pairs_ds(str(d))
+    pset = set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 1) in pset and (1, 2) in pset and (10, 11) in pset
+    out = docs.dedup_clusters_ds(str(d)).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[10] == comp[11] == 10
+    assert 20 not in comp
+
+
+def test_minhash_cogroup_verify_matches_broadcast(sf_tag):
+    """Force the adversarial-scale co-group verify path (candidate threshold
+    0) and require pair-for-pair equality with the broadcast verify."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    broad = docs.minhash_pairs_ds(sf_tag)
+    cg = docs.minhash_pairs_ds(sf_tag, broadcast_max_candidates=0)
+    assert not isinstance(cg, pd.DataFrame)  # co-group path returns a Dataset
+    cg = cg.to_pandas()
+    key = ["doc_a", "doc_b", "jaccard"]
+    a = broad[key].sort_values(key).reset_index(drop=True)
+    b = cg[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dedup_clusters_max_iters_raises(tmp_path):
+    """A pair graph with diameter > max_iters must fail loudly, not return
+    partially-propagated components (round-2 advice: no silent caps)."""
+    import pytest as _pytest
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfdeep"
+    d.mkdir()
+    _write_minhash_chain_fixture(d)
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        docs.dedup_clusters_ds(str(d), max_iters=1)
 
 
 def test_bpe_tokens_whitespace_runs(tmp_path):
