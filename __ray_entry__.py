@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,
         "kg_image_numbers": kg.image_numbers_ds,
+        "kg_reproductions": kg.reproduction_triples_ds,
         # --- BVM reconciliation (migrate-bvm.py:189-356) --------------------
         "bvm_manifests": bvm.bvm_manifests_ds,
         "bvm_quarantine": bvm.bvm_quarantine_ds,

@@ -48,8 +48,12 @@ P_LOC_PAGESIDE = "tr:locPageside"
 P_LOC_END_PAGESIDE = "tr:locEndPageside"
 
 P_HAS_PART = "tr:hasPart"            # ≈ bdo:hasPart (editionxmltottl.php:235)
+P_SEE_ALSO = "rdfs:seeAlso"          # ≈ rdfs:seeAlso (editionxmltottl.php:395-399)
+P_SCRIPT = "tr:script"               # ≈ bdo:script (editionxmltottl.php:392)
+P_PRINT_METHOD = "tr:printMethod"    # ≈ bdo:printMethod (editionxmltottl.php:393)
 
 T_CONV = "tr:Conversation"
+T_INSTANCE = "tr:Instance"           # ≈ bdo:Instance (editionxmltottl.php:388)
 T_TURN = "tr:Turn"
 T_SECTION = "tr:Section"
 T_CHAPTER = "tr:Chapter"             # ≈ bdr:PartTypeChapter (editionxmltottl.php:230)
@@ -97,6 +101,16 @@ class PipelineConfig:
     emit_text_digest: bool = True
     n_subj_buckets: int = 64          # output partitions (≈ md5-prefix sharding migrate-bvm.py:412-418)
     salt: int = 16                    # head-entity salting fanout for canonical merge
+    # reproduction instances (editions_to_ttl, editionxmltottl.php:408-416):
+    # for the bdrc target each root instance fans out one tr:Instance node per
+    # reproduction id (≈ confinfo['RID']), carrying script/printMethod from
+    # config (≈ confinfo['script']/['printType'], :392-393) and rdfs:seeAlso
+    # back to the canonical (non-bdrc) resource (:395); the non-bdrc target
+    # instead emits one rdfs:seeAlso per RID from the canonical resource
+    # (:397-399)
+    reproductions: tuple[str, ...] = ("W001", "W002")
+    script: str = "ScriptLatn"        # ≈ confinfo['script']
+    print_method: str = "PrintMethod_Modern"  # ≈ confinfo['printType']
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -1008,6 +1008,29 @@ LEFT JOIN pm m2 ON m2.vol_id = l.vkey AND m2.ps = f.first_ps AND m2.pg = '1b'
   AND CAST(l.folio AS VARCHAR) || l.side = '1a'"""
 
 
+def _repro_select() -> str:
+    """kg_reproductions twin (editions_to_ttl loop, editionxmltottl.php:408-416)
+    built from the same DEFAULT_CONFIG the Ray side reads."""
+    from .config import DEFAULT_CONFIG as C
+
+    rids = ",".join(f"('{r}')" for r in C.reproductions)
+    head = f""",
+dconv AS (SELECT DISTINCT conv_id FROM t),
+rr AS (SELECT * FROM (VALUES {rids}) v(rid)),
+ri AS (SELECT 'I:'||conv_id||'.'||rid AS inst, 'C:'||conv_id AS canon,
+        'G:'||conv_id AS g FROM dconv CROSS JOIN rr)"""
+    if C.target == "bdrc":
+        return head + f"""
+SELECT inst AS subj, 'rdf:type' AS pred, 'tr:Instance' AS obj,
+       '' AS obj_lang, '' AS obj_dt, g AS graph FROM ri
+UNION ALL SELECT inst, 'tr:script', '{C.script}', '', '', g FROM ri
+UNION ALL SELECT inst, 'tr:printMethod', '{C.print_method}', '', '', g FROM ri
+UNION ALL SELECT inst, 'rdfs:seeAlso', canon, '', '', g FROM ri"""
+    return head + """
+SELECT canon AS subj, 'rdfs:seeAlso' AS pred, inst AS obj,
+       '' AS obj_lang, '' AS obj_dt, g AS graph FROM ri"""
+
+
 def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     w = with_block(sf_dir_or_tag) + "," + _LT
     full_union = "\nUNION ALL ".join(
@@ -1029,4 +1052,5 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_role_pivot": w + SEL_ROLE_PIVOT,
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,
+        "kg_reproductions": w + _repro_select(),
     }

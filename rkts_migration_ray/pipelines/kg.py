@@ -110,6 +110,77 @@ def conv_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     return _conv_stage(features_ds(sf_dir), cfg)
 
 
+def reproduction_triples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Reproduction instances (editions_to_ttl, editionxmltottl.php:408-416).
+
+    bdrc target: one tr:Instance node per (root instance, reproduction id) —
+    the once-per-RID loop at :410-412 — each carrying tr:script /
+    tr:printMethod from config (:392-393) and rdfs:seeAlso back to the
+    canonical resource (:395). Non-bdrc target: the canonical resource emits
+    one rdfs:seeAlso per reproduction id instead (:397-399).
+
+    Scale shape: distinct conv ids via per-batch unique → hash-bucket groupby
+    (bounded fan-out, vectorized per-bucket dedup; never one group per conv),
+    then a map-only cross-product with the config's reproduction list —
+    fan-out × len(reproductions), no further shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..config import (
+        P_PRINT_METHOD,
+        P_SCRIPT,
+        P_SEE_ALSO,
+        P_TYPE,
+        T_INSTANCE,
+    )
+    from ..functions.arrowutils import from_pandas_clean, hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    rids = list(cfg.reproductions)
+    bdrc = cfg.target == "bdrc"
+
+    def partial(t: pa.Table) -> pa.Table:
+        convs = pc.unique(t["conv_id"])
+        return pa.table({"conv_id": convs, "bucket": hash_bucket(convs, nb)})
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        convs = df["conv_id"].drop_duplicates().to_numpy(dtype=object)
+        conv_rep = np.repeat(convs, len(rids))
+        rid_rep = np.tile(np.array(rids, dtype=object), len(convs))
+        inst = np.char.add(np.char.add(np.char.add(
+            "I:", conv_rep.astype(str)), "."), rid_rep.astype(str)).astype(object)
+        canon = np.char.add("C:", conv_rep.astype(str)).astype(object)
+        graph = np.char.add("G:", conv_rep.astype(str)).astype(object)
+        if bdrc:
+            blocks = [
+                {"subj": inst, "pred": P_TYPE, "obj": T_INSTANCE},
+                {"subj": inst, "pred": P_SCRIPT, "obj": cfg.script},
+                {"subj": inst, "pred": P_PRINT_METHOD, "obj": cfg.print_method},
+                {"subj": inst, "pred": P_SEE_ALSO, "obj": canon},
+            ]
+        else:
+            blocks = [{"subj": canon, "pred": P_SEE_ALSO, "obj": inst}]
+        frames = []
+        for b in blocks:
+            n = len(conv_rep)
+            frames.append(pd.DataFrame({
+                "subj": b["subj"],
+                "pred": np.repeat(b["pred"], n).astype(object),
+                "obj": (b["obj"] if isinstance(b["obj"], np.ndarray)
+                        else np.repeat(b["obj"], n).astype(object)),
+                "obj_lang": np.repeat("", n).astype(object),
+                "obj_dt": np.repeat("", n).astype(object),
+                "graph": graph,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(emit, batch_format="pandas"))
+
+
 ROLES = ["user", "assistant", "tool", "system"]
 
 

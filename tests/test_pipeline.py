@@ -127,3 +127,27 @@ def test_entity_canonicalization(sf_tag):
     assert (q["pred"] == "q:prop_self_loop").all()
     edges = df[df["pred"].isin(["tr:workIsAbout", "tr:workGenre"])]
     assert not (edges["subj"] == edges["obj"]).any()
+
+
+def test_reproductions_non_bdrc_branch(sf_tag):
+    """Flag-flipped reproduction semantics (editionxmltottl.php:408-416):
+    bdrc emits 4 triples per (conv, rid); non-bdrc emits one rdfs:seeAlso per
+    rid FROM the canonical resource — the :397-399 else-branch."""
+    from rkts_migration_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+    bdrc = kg.reproduction_triples_ds(sf_tag).to_pandas()
+    rkts_cfg = PipelineConfig(target="rkts")
+    rkts = kg.reproduction_triples_ds(sf_tag, rkts_cfg).to_pandas()
+    n_rids = len(DEFAULT_CONFIG.reproductions)
+    n_convs = bdrc["graph"].nunique()
+    assert len(bdrc) == 4 * n_rids * n_convs
+    assert len(rkts) == n_rids * n_convs
+    assert (rkts["pred"] == "rdfs:seeAlso").all()
+    assert rkts["subj"].str.startswith("C:").all()
+    assert rkts["obj"].str.startswith("I:").all()
+    # bdrc seeAlso points the other way: instance -> canonical
+    sa = bdrc[bdrc["pred"] == "rdfs:seeAlso"]
+    assert sa["subj"].str.startswith("I:").all()
+    assert sa["obj"].str.startswith("C:").all()
+    assert set(bdrc.loc[bdrc["pred"] == "tr:script", "obj"]) == {
+        DEFAULT_CONFIG.script}
