@@ -51,8 +51,17 @@ P_HAS_PART = "tr:hasPart"            # ≈ bdo:hasPart (editionxmltottl.php:235)
 P_SEE_ALSO = "rdfs:seeAlso"          # ≈ rdfs:seeAlso (editionxmltottl.php:395-399)
 P_SCRIPT = "tr:script"               # ≈ bdo:script (editionxmltottl.php:392)
 P_PRINT_METHOD = "tr:printMethod"    # ≈ bdo:printMethod (editionxmltottl.php:393)
+P_PARALLELS = "tr:workHasParallelsIn"  # ≈ bdo:workHasParallelsIn (kernelxmltottl.php:116,140)
+P_LANGUAGE = "tr:language"           # ≈ bdo:language (kernelxmltottl.php:128)
+P_IS_ROOT = "tr:isRoot"              # ≈ bdo:isRoot (kernelxmltottl.php:129)
+P_PREF_LABEL = "skos:prefLabel"      # ≈ skos:prefLabel (kernelxmltottl.php:219)
+P_ALT_LABEL = "skos:altLabel"        # ≈ skos:altLabel (kernelxmltottl.php:221-223)
+P_IDENTIFIED_BY = "tr:identifiedBy"  # ≈ bf:identifiedBy (kernelxmltottl.php:157)
+P_VALUE = "rdf:value"                # ≈ rdf:value (kernelxmltottl.php:158)
+OBJ_LANG_INC = "tr:LangInc"          # ≈ bdr:LangInc (kernelxmltottl.php:128)
 
 T_CONV = "tr:Conversation"
+T_WORK = "tr:Work"                   # ≈ bdo:Work (kernelxmltottl.php:127 abstract node)
 T_INSTANCE = "tr:Instance"           # ≈ bdo:Instance (editionxmltottl.php:388)
 T_TURN = "tr:Turn"
 T_SECTION = "tr:Section"
@@ -62,6 +71,7 @@ T_CONTENT_LOCATION = "tr:ContentLocation"
 
 DT_LONG = "xsd:long"
 DT_INT = "xsd:integer"
+DT_BOOL = "xsd:boolean"              # ≈ addLiteral('bdo:isRoot', true) (kernelxmltottl.php:129)
 
 # marker-key → BCP-47 tag; analog of $name_to_bcp (utils.php:758-775)
 NAME_TO_BCP: dict[str, str] = {
@@ -98,6 +108,23 @@ class PipelineConfig:
 
     target: str = "bdrc"              # 'bdrc' applies lang policy + shad (utils.php:804-818)
     one_title_per_lang: bool = False  # ≈ oneTitleInExpression (kernelxmltottl.php:205)
+    # ≈ useAbstract (rkts.yaml:1, consumed kernelxmltottl.php:114-144): for the
+    # bdrc target every curated entity (the catalogue-expression analog) also
+    # emits an abstract tr:Work node linked both ways via workHasParallelsIn,
+    # typed LangInc and isRoot=true. Minted (gazetteer-miss) entities have no
+    # catalogue id, hence no abstract — the analog of the reference only
+    # abstracting catalogued kernel items.
+    use_abstract: bool = True
+    # ≈ useSkosLabels (rkts.yaml:35 — declared but UNREAD by any PHP consumer;
+    # the engine gives it the natural semantics of the skos label family the
+    # kernel pass uses at kernelxmltottl.php:219-223): when True, minted-entity
+    # labels emit skos:prefLabel instead of rdfs:label.
+    use_skos_labels: bool = False
+    # ≈ catalogueNumberingScheme (rkts.yaml:36, "rKTs"; the hard-coded scheme
+    # inside the identifier-node type 'bdr:RefrKTs'.$edition at
+    # kernelxmltottl.php:159): names the rdf:type of each curated entity's
+    # identifier node, tr:Ref<scheme>.
+    catalogue_numbering_scheme: str = "rKTs"
     emit_text_digest: bool = True
     n_subj_buckets: int = 64          # output partitions (≈ md5-prefix sharding migrate-bvm.py:412-418)
     salt: int = 16                    # head-entity salting fanout for canonical merge

@@ -30,9 +30,12 @@ from ..config import (
     P_GENRE,
     P_HAS_PART,
     P_HAS_TITLE,
+    P_IDENTIFIED_BY,
     P_IN_SECTION,
     P_IS_ABOUT,
+    P_LANGUAGE,
     P_MENTIONS,
+    P_PARALLELS,
     P_PART_OF,
     P_ROOT,
     P_TOOL,
@@ -43,6 +46,9 @@ from ..config import (
 OBJ_URI_PREDS = frozenset({
     P_TYPE, P_PART_OF, P_HAS_PART, P_ROOT, P_TOOL, P_CONTENT_LOC, P_MENTIONS,
     P_HAS_TITLE, P_IN_SECTION, P_IS_ABOUT, P_GENRE,
+    # abstract-node + identifier families (kernelxmltottl.php:116-157):
+    # addResource() calls in the reference, so their objects are URIs
+    P_PARALLELS, P_LANGUAGE, P_IDENTIFIED_BY,
 })
 
 

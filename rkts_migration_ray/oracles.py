@@ -234,7 +234,24 @@ UNION ALL SELECT e.entity_uri,
        CASE p.prop WHEN 'ab' THEN 'tr:workIsAbout' ELSE 'tr:workGenre' END,
        'ENT:'||p.object_id, '', '', 'G:entities'
        FROM ents e JOIN props p ON e.final_id = p.entity_id
-       WHERE e.curated AND p.object_id <> p.entity_id"""
+       WHERE e.curated AND p.object_id <> p.entity_id
+UNION ALL SELECT entity_uri, 'tr:workHasParallelsIn', 'ABS:'||final_id,
+       '', '', 'G:entities' FROM ents WHERE curated
+UNION ALL SELECT 'ABS:'||final_id, 'rdf:type', 'tr:Work', '', '', 'G:entities'
+          FROM ents WHERE curated
+UNION ALL SELECT 'ABS:'||final_id, 'tr:language', 'tr:LangInc', '', '',
+       'G:entities' FROM ents WHERE curated
+UNION ALL SELECT 'ABS:'||final_id, 'tr:isRoot', 'true', '', 'xsd:boolean',
+       'G:entities' FROM ents WHERE curated
+UNION ALL SELECT 'ABS:'||final_id, 'tr:workHasParallelsIn', entity_uri,
+       '', '', 'G:entities' FROM ents WHERE curated
+UNION ALL SELECT entity_uri, 'tr:identifiedBy',
+       'N:ID'||upper(substr(sha256(final_id),1,6))||'_'||final_id,
+       '', '', 'G:entities' FROM ents WHERE curated
+UNION ALL SELECT 'N:ID'||upper(substr(sha256(final_id),1,6))||'_'||final_id,
+       'rdf:value', final_id, '', '', 'G:entities' FROM ents WHERE curated
+UNION ALL SELECT 'N:ID'||upper(substr(sha256(final_id),1,6))||'_'||final_id,
+       'rdf:type', 'tr:RefrKTs', '', '', 'G:entities' FROM ents WHERE curated"""
 
 SEL_QUARANTINE = """
 SELECT turn AS subj, 'q:invalid_loc' AS pred, COALESCE(loc_body,'') AS obj,

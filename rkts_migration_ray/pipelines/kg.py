@@ -262,7 +262,8 @@ def mention_triples_ds(sf_dir: str, concurrency: int = 8):
 
 
 def entity_triples_ds(sf_dir: str, concurrency: int = 8,
-                      include_quarantine: bool = True):
+                      include_quarantine: bool = True,
+                      cfg: PipelineConfig = DEFAULT_CONFIG):
     """Canonicalization merge: distinct entities (combiner + groupby) then
     enrichment edges from the broadcast props map (J3/J4 + ST5→groupby)."""
     _, _, props_ref = _broadcast_lookups(sf_dir)
@@ -275,7 +276,8 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
             .groupby("ebucket")
             .map_groups(dedup_entities, batch_format="pandas"))
     out = ents.map_batches(EntityEmitter, batch_format="pyarrow",
-                           fn_constructor_kwargs={"props_ref": props_ref},
+                           fn_constructor_kwargs={"props_ref": props_ref,
+                                                  "cfg": cfg},
                            concurrency=(1, min(4, concurrency)))
     if not include_quarantine:
         out = out.map_batches(
@@ -284,12 +286,12 @@ def entity_triples_ds(sf_dir: str, concurrency: int = 8,
     return out
 
 
-def _entity_emit_fn(props_ref):
+def _entity_emit_fn(props_ref, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Stateless-task wrapper around EntityEmitter (ray.get of the broadcast
     props dict is ~ms per task; plasma caches the object per node)."""
 
     def emit(batch):
-        return EntityEmitter(props_ref=props_ref)(batch)
+        return EntityEmitter(props_ref=props_ref, cfg=cfg)(batch)
 
     return emit
 
@@ -401,7 +403,8 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 .repartition(max(8, _ncpu() // 4))
                 .groupby("ebucket")
                 .map_groups(dedup_entities, batch_format="pandas")
-                .map_batches(_entity_emit_fn(props_ref), batch_format="pyarrow"))
+                .map_batches(_entity_emit_fn(props_ref, cfg),
+                             batch_format="pyarrow"))
 
     if checkpoint_linked and lazy_checkpoint:
         linked_ckpt = _once(lambda: _checkpoint(linked, f"{root}/linked"))

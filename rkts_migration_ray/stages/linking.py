@@ -20,15 +20,26 @@ import pyarrow as pa
 
 from ..functions.arrowutils import from_pandas_clean
 from ..config import (
+    DEFAULT_CONFIG,
+    DT_BOOL,
     GRAPH_ENTITIES,
+    OBJ_LANG_INC,
     P_GENRE,
+    P_IDENTIFIED_BY,
     P_IS_ABOUT,
+    P_IS_ROOT,
     P_LABEL,
+    P_LANGUAGE,
     P_MENTIONS,
+    P_PARALLELS,
+    P_PREF_LABEL,
     P_TYPE,
+    P_VALUE,
     RULE_SELF_LOOP,
     T_ENTITY,
+    T_WORK,
     TRIPLE_COLUMNS,
+    PipelineConfig,
 )
 
 GRAPH_QUARANTINE = "G:quarantine"
@@ -138,28 +149,72 @@ class EntityEmitter:
     """Distinct-entity stream → entity triples + props enrichment edges.
 
     ≈ add_props (kernelxmltottl.php:36-47): 'ab' → workIsAbout, 'ge' →
-    workGenre, self-pointer → error channel (kernelxmltottl.php:41-42)."""
+    workGenre, self-pointer → error channel (kernelxmltottl.php:41-42).
 
-    def __init__(self, props_ref=None, props=None):
+    Behavior flags (PipelineConfig ≈ rkts.yaml:1,35-36):
+    - ``use_abstract`` (≈ useAbstract, kernelxmltottl.php:114-144): curated
+      entities fan out an abstract tr:Work node — entity→parallels→abstract
+      (:116), abstract typed Work/LangInc/isRoot (:127-130) and
+      abstract→parallels→entity (:140). bdrc target only (:114 ``$bdrc &&``);
+      the sa-x-iast prefLabel copy (:131-136) has no analog because the
+      entity stream carries no title literals (titles live in the conv
+      stream).
+    - ``catalogue_numbering_scheme`` (≈ the scheme inside
+      'bdr:RefrKTs'.$edition, kernelxmltottl.php:154-159): every curated
+      entity gets an identifier node — entity→identifiedBy→idnode,
+      idnode rdf:value=final_id, idnode rdf:type tr:Ref<scheme>.
+    - ``use_skos_labels`` (rkts.yaml:35, unread in PHP; natural semantics of
+      the skos family at kernelxmltottl.php:219-223): minted-entity labels
+      emit skos:prefLabel instead of rdfs:label."""
+
+    def __init__(self, props_ref=None, props=None,
+                 cfg: PipelineConfig = DEFAULT_CONFIG):
         import ray
 
         self.props = props if props is not None else ray.get(props_ref)
+        self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         frames: list[pd.DataFrame] = []
+        cfg = self.cfg
 
-        def block(subj, pred, obj, graph=GRAPH_ENTITIES, lang=""):
+        def block(subj, pred, obj, graph=GRAPH_ENTITIES, lang="", dt=""):
             frames.append(pd.DataFrame({
                 "subj": np.asarray(subj, dtype=object), "pred": pred,
                 "obj": np.asarray(obj, dtype=object),
-                "obj_lang": lang, "obj_dt": "", "graph": graph}))
+                "obj_lang": lang, "obj_dt": dt, "graph": graph}))
 
         block(df["entity_uri"], P_TYPE, np.repeat(T_ENTITY, len(df)))
         nc = df[~df["curated"]]
         if len(nc):
-            block(nc["entity_uri"], P_LABEL, nc["alias"])
+            block(nc["entity_uri"],
+                  P_PREF_LABEL if cfg.use_skos_labels else P_LABEL,
+                  nc["alias"])
         cu = df[df["curated"]]
+        if len(cu):
+            fid = cu["final_id"].astype(str)
+            if cfg.use_abstract and cfg.target == "bdrc":
+                # abstract Work node per curated entity (kernelxmltottl.php:
+                # 114-144); ABS: ≈ id_to_url_abstract %GID (utils.php:68-82)
+                abs_uri = ("ABS:" + fid).to_numpy(dtype=object)
+                ent = cu["entity_uri"].to_numpy(dtype=object)
+                block(ent, P_PARALLELS, abs_uri)
+                block(abs_uri, P_TYPE, np.repeat(T_WORK, len(cu)))
+                block(abs_uri, P_LANGUAGE, np.repeat(OBJ_LANG_INC, len(cu)))
+                block(abs_uri, P_IS_ROOT, np.repeat("true", len(cu)), dt=DT_BOOL)
+                block(abs_uri, P_PARALLELS, ent)
+            # identifier node (kernelxmltottl.php:154-159; bnode_url minting
+            # ≈ utils.php:7-15, same shape as the minted-entity path above)
+            sha = hashlib.sha256
+            id_uri = np.fromiter(
+                (f"N:ID{sha(f.encode()).hexdigest()[:6].upper()}_{f}"
+                 for f in fid),
+                dtype=object, count=len(cu))
+            block(cu["entity_uri"], P_IDENTIFIED_BY, id_uri)
+            block(id_uri, P_VALUE, fid.to_numpy(dtype=object))
+            block(id_uri, P_TYPE,
+                  np.repeat(f"tr:Ref{cfg.catalogue_numbering_scheme}", len(cu)))
         if len(cu):
             pr = (cu[["entity_uri", "final_id"]]
                   .assign(pt=cu["final_id"].map(
