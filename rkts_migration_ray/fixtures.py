@@ -38,8 +38,10 @@ SEED = 42
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 # bump when new tables are added; ensure_fixture regenerates stale dirs.
 # Existing tables are bit-stable across versions: new tables draw from their
-# OWN seeded generator streams, never the primary one.
-FIXTURE_VERSION = 3
+# OWN seeded generator streams, never the primary one. (v4: pagination.parquet
+# gains '::'-less bad_file_ref rows — bvm tables only; primary tables
+# untouched.)
+FIXTURE_VERSION = 4
 
 N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -358,7 +360,9 @@ def _generate_bvm(tag: str, out_dir: str) -> tuple[int, int]:
     (insertafter), trailing unused, 'missing' files (T0020), '(dN)' details
     (T0016), apostrophe duplicate folios, per-psection pagination restarts
     (order-violation noise, exactly like the reference's real data),
-    invalid/duplicate tokens, wrong-imagegroup / reused / unknown file refs.
+    invalid/duplicate tokens, wrong-imagegroup / reused / unknown file refs,
+    '::'-less malformed refs (single-colon typo → bad_file_ref +
+    dblcolidx=-1 fallthrough, migrate-bvm.py:268-271).
 
     Drawn from an independent generator stream so the primary tables stay
     bit-identical across fixture versions."""
@@ -419,6 +423,10 @@ def _generate_bvm(tag: str, out_dir: str) -> tuple[int, int]:
                         file_val = "missing"   # → T0020
                     elif r2 < 0.03:
                         file_val = None        # no 'file' key
+                    elif r2 < 0.035:
+                        # '::'-less ref (single-colon typo) → bad_file_ref
+                        # + the reference's dblcolidx=-1 fallthrough
+                        file_val = f"bdr:{vol}:{vol}{idx:04d}.jpg"
                     elif not did_not_in_list and r2 < 0.05:
                         did_not_in_list = True
                         file_val = f"bdr:{vol}::{vol}9999.jpg"

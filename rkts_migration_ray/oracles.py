@@ -785,10 +785,16 @@ def bvm_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
 il AS (SELECT vol_id, pos, filename FROM read_parquet('{il}')),
 p1 AS (SELECT *,
   starts_with(vol_id, 'IGS') AS simple,
-  CASE WHEN file IS NULL OR contains(file,'missing') OR strpos(file,'::')=0
-       THEN NULL ELSE substr(file, strpos(file,'::')+2) END AS fname,
-  CASE WHEN file IS NULL OR contains(file,'missing') OR strpos(file,'::')=0
-       THEN NULL ELSE substr(file, 5, strpos(file,'::')-5) END AS igname
+  (file IS NOT NULL AND NOT contains(file,'missing')
+   AND strpos(file,'::')=0) AS badref,
+  -- '::'-less refs keep the reference's dblcolidx=-1 slices
+  -- (fname=file[1:], igname=file[4:-1]; migrate-bvm.py:267-271)
+  CASE WHEN file IS NULL OR contains(file,'missing') THEN NULL
+       WHEN strpos(file,'::')=0 THEN substr(file, 2)
+       ELSE substr(file, strpos(file,'::')+2) END AS fname,
+  CASE WHEN file IS NULL OR contains(file,'missing') THEN NULL
+       WHEN strpos(file,'::')=0 THEN substr(file, 5, length(file)-5)
+       ELSE substr(file, 5, strpos(file,'::')-5) END AS igname
   FROM pag),
 vols AS (SELECT vol_id, count(DISTINCT psection) > 1 AS multi
   FROM pag GROUP BY vol_id),
@@ -817,9 +823,13 @@ emitted AS (
    hidden, tags, 0 AS phase, 0 AS rn, 0 AS sub, pos AS subpos
   FROM lead_rows
   UNION ALL
-  SELECT vol_id, fname AS filename, pagination,
+  -- bad (''::''-less) refs emit a pagination-only row: the reference's
+  -- third pass sets filename/imggroup only when dblcolidx > -1 (:337-345)
+  SELECT vol_id, CASE WHEN badref THEN NULL ELSE fname END AS filename,
+   pagination,
    CASE WHEN multi AND psection <> '' THEN psection END AS psection,
-   CASE WHEN fname IS NOT NULL AND igname <> vol_id THEN igname END AS imggroup,
+   CASE WHEN NOT badref AND fname IS NOT NULL AND igname <> vol_id
+        THEN igname END AS imggroup,
    FALSE AS hidden,
    concat_ws(',',
      CASE WHEN contains(pagination, 'd') THEN 'T0016' END,
@@ -831,7 +841,7 @@ emitted AS (
   SELECT e.vol_id, i.filename, NULL, NULL, NULL, TRUE AS hidden, '' AS tags,
    1 AS phase, e.rn, 1 AS sub, i.pos AS subpos
   FROM pagemit e JOIN inserts i
-    ON i.vol_id = e.vol_id AND i.anchor = e.fname)
+    ON i.vol_id = e.vol_id AND i.anchor = e.fname AND NOT e.badref)
 SELECT vol_id,
  CAST(row_number() OVER (PARTITION BY vol_id
       ORDER BY phase, rn, sub, subpos) - 1 AS BIGINT) AS seq,
@@ -879,6 +889,9 @@ FROM q3 WHERE NOT simple AND ok AND lastpg IS NOT NULL AND NOT strictly_less
 UNION ALL
 SELECT vol_id, CAST(idx AS BIGINT), 'pg_duplicate', pagination
 FROM q3 WHERE prior_same >= 1
+UNION ALL
+SELECT vol_id, CAST(idx AS BIGINT), 'bad_file_ref', file
+FROM p1 WHERE badref
 UNION ALL
 SELECT vol_id, CAST(idx AS BIGINT), 'wrong_imggroup', file
 FROM in_list WHERE igname <> vol_id

@@ -56,12 +56,18 @@ def is_simple_mode(vol_id: str) -> bool:
 
 def _parse_file(file_val: str | None, vol_id: str):
     """'bdr:IG…::fname' → (igname, fname); mirrors migrate-bvm.py:267-271
-    (igname = imgdata[4:dblcolidx], fname after '::')."""
+    (igname = imgdata[4:dblcolidx], fname after '::').
+
+    For a ref WITHOUT '::' the reference prints "can't understand" and then
+    keeps slicing with dblcolidx = -1 — Python negative-index semantics give
+    fname = imgdata[1:], igname = imgdata[4:-1] — so the row still runs the
+    wrong-group/not-in-list/used-twice elif chain (and in practice lands on
+    wrong_imggroup). Mirrored exactly; callers emit bad_file_ref first."""
     if file_val is None:
         return None, None
     dbl = file_val.find("::")
     if dbl < 0:
-        return None, None
+        return file_val[4:-1], file_val[1:]
     return file_val[4:dbl], file_val[dbl + 2:]
 
 
@@ -108,8 +114,10 @@ def validate_volume(vol_id: str, pag_rows: list[dict],
         if "missing" in file_val:
             continue
         if file_val.find("::") < 0:
+            # "can't understand" (migrate-bvm.py:268-269) — reference does
+            # NOT skip: it falls through to the elif chain with the
+            # dblcolidx = -1 slices (see _parse_file).
             q(idx, RULE_BAD_FILE_REF, file_val)
-            continue
         igname, fname = _parse_file(file_val, vol_id)
         if igname != vol_id:
             q(idx, RULE_WRONG_GROUP, file_val)
@@ -138,8 +146,11 @@ def build_manifest(vol_id: str, pag_rows: list[dict],
         if ps not in psections:
             psections.append(ps)
         file_val = r.get("file")
-        if file_val is None or "missing" in file_val or file_val.find("::") < 0:
+        if file_val is None or "missing" in file_val:
             continue
+        # '::'-less refs run the same chain on the dblcolidx=-1 slices
+        # (reference first pass :267-281) — igname ≠ vol_id in practice,
+        # so they never mark 'seen'.
         igname, fname = _parse_file(file_val, vol_id)
         if igname == vol_id and fname in in_list and fname not in seen_files:
             seen_files.add(fname)

@@ -102,6 +102,25 @@ def test_validate_rules():
     assert (6, "pg_order") in rules
 
 
+def test_bad_file_ref_fallthrough():
+    """A '::'-less ref gets bad_file_ref AND still runs the elif chain on
+    the reference's dblcolidx=-1 slices (migrate-bvm.py:268-277), landing on
+    wrong_imggroup; the manifest row keeps pagination but no filename
+    (:337-345)."""
+    vol = "IG00000"
+    imgs = [f(vol, 1), f(vol, 2)]
+    bad = f"bdr:{vol}:{f(vol, 2)}"  # single-colon typo
+    rows = [pag(1, "1a", ref(vol, 1)), pag(2, "1b", bad)]
+    q = bvm.validate_volume(vol, rows, imgs)
+    rules = sorted((r["idx"], r["rule"]) for r in q)
+    assert (2, "bad_file_ref") in rules
+    assert (2, "wrong_imggroup") in rules  # igname = bad[4:-1] != vol
+    out = bvm.build_manifest(vol, rows, imgs)
+    row2 = [r for r in out if r["pagination"] == "1b"]
+    assert len(row2) == 1 and row2[0]["filename"] is None
+    assert row2[0]["imggroup"] is None
+
+
 def test_simple_mode():
     vol = "IGS00000"
     imgs = [f(vol, 1), f(vol, 2)]
