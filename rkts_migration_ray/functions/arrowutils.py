@@ -53,7 +53,10 @@ def hash_bucket(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
     subject, 8.7M rows at sf0.1 and 10^12-scale in production). Polars'
     xxhash-family kernel is deterministic across processes for a pinned
     polars version, which is all bucket assignment needs (buckets are a
-    partitioning detail; manifest checksums are bucket-independent).
+    partitioning detail; manifest checksums are bucket-independent). The one
+    cross-version hazard — resume against buckets committed by a different
+    polars — is closed by hash_fingerprint() below: manifests record it and
+    resume refuses on mismatch.
 
     Polars' global thread pool ignores Ray's per-task CPU accounting — on a
     multi-core host a '1-CPU' map task would otherwise fan the hash across
@@ -73,6 +76,26 @@ def hash_bucket(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> pa.Array:
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
+
+
+_HASH_FP: str | None = None
+
+
+def hash_fingerprint() -> str:
+    """Fingerprint of the bucket hash FUNCTION (not of any data): two fixed
+    probe strings pushed through hash_bucket with a large prime modulus.
+
+    hash_bucket is stable only for a pinned polars version; resume skips
+    committed buckets, which silently drops rows that a CHANGED hash function
+    would newly route into an already-committed bucket. Manifests record this
+    fingerprint and assert_source_matches refuses resume on mismatch —
+    the hash-identity twin of the input-identity guard (round-2 ADVICE #2)."""
+    global _HASH_FP
+    if _HASH_FP is None:
+        probes = pa.array(["rkts-hash-probe-0", "rkts-hash-probe-1"])
+        v = hash_bucket(probes, 2_147_483_647).to_pylist()
+        _HASH_FP = f"{v[0]:08x}{v[1]:08x}"
+    return _HASH_FP
 
 
 def scale_buckets(floor: int, per_cpu: int) -> int:

@@ -40,6 +40,9 @@ def manifest_path(out_dir: str, bucket: int) -> str:
 
 
 def write_manifest(out_dir: str, bucket: int, meta: dict) -> None:
+    from ..functions.arrowutils import hash_fingerprint
+
+    meta.setdefault("hash_fp", hash_fingerprint())
     p = manifest_path(out_dir, bucket)
     tmp = p + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -77,11 +80,31 @@ def _bucket_verifies(out_dir: str, meta: dict) -> bool:
 
 
 def assert_source_matches(done: dict[int, dict], source: str) -> None:
-    """Refuse a resume against a DIFFERENT input: buckets are subject-hash
-    partitions, so new input rows land in EVERY bucket — skipping committed
-    buckets from another source would silently drop their new rows. Enforced
-    only when both the recorded and current source are non-empty (tests and
-    ad-hoc writes pass source='')."""
+    """Refuse a resume that would silently drop rows — two identity checks:
+
+    1. INPUT identity: buckets are subject-hash partitions, so new input rows
+       land in EVERY bucket — skipping committed buckets from another source
+       would silently drop their new rows. Enforced only when both the
+       recorded and current source are non-empty (tests and ad-hoc writes
+       pass source='').
+    2. HASH-FUNCTION identity: bucket assignment is polars' hash(seed=0),
+       stable only per polars version. After an upgrade, rows that newly hash
+       into an already-committed bucket would be silently dropped on resume.
+       Manifests record a probe fingerprint (arrowutils.hash_fingerprint);
+       mismatch refuses resume. Manifests predating the fingerprint (no
+       'hash_fp' key) are tolerated as legacy."""
+    from ..functions.arrowutils import hash_fingerprint
+
+    fp = hash_fingerprint()
+    bad_fp = sorted({m.get("hash_fp") for m in done.values()}
+                    - {None, fp})
+    if bad_fp:
+        raise ValueError(
+            f"resume refused: committed buckets were written with a "
+            f"different bucket-hash function (fingerprint(s) {bad_fp}; "
+            f"current {fp!r} — polars version change?). Resuming would "
+            f"silently drop rows that now hash into committed buckets. "
+            f"Use resume=False (full rewrite) or a fresh output dir.")
     if not source:
         return
     others = sorted({m.get("source", "") for m in done.values()}

@@ -116,3 +116,40 @@ def test_resume_refuses_different_source(sf_tag, tmp_path):
     m = materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
                                         source="/input/v1")
     assert m["skipped"].all()
+
+
+def test_resume_refuses_changed_hash_function(sf_tag, tmp_path):
+    """A committed manifest whose hash-function fingerprint differs from the
+    current one must refuse resume (a polars upgrade changing hash(seed=0)
+    would silently drop rows newly routed into committed buckets); legacy
+    manifests without the fingerprint are tolerated."""
+    import json
+    import os
+
+    import pytest
+
+    from rkts_migration_ray.pipelines import kg, materialize
+    from rkts_migration_ray.state import manifest as mf
+
+    out = str(tmp_path / "fpguard")
+    ds = kg.structural_ds(sf_tag, include_quarantine=True)
+    materialize.write_graph_sharded(ds, out, n_buckets=4, resume=False,
+                                    source="/input/v1")
+    names = [n for n in os.listdir(out) if n.endswith(mf.MANIFEST_SUFFIX)]
+    p = os.path.join(out, sorted(names)[0])
+    with open(p) as f:
+        meta = json.load(f)
+    assert meta["hash_fp"]  # fingerprint recorded at commit
+    tampered = dict(meta, hash_fp="deadbeefdeadbeef")
+    with open(p, "w") as f:
+        json.dump(tampered, f)
+    with pytest.raises(ValueError, match="bucket-hash function"):
+        materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
+                                        source="/input/v1")
+    # legacy manifest (pre-fingerprint): tolerated, bucket still skipped
+    legacy = {k: v for k, v in meta.items() if k != "hash_fp"}
+    with open(p, "w") as f:
+        json.dump(legacy, f)
+    m = materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
+                                        source="/input/v1")
+    assert m["skipped"].all()
