@@ -6,8 +6,11 @@ small batch sizes (large payloads → few rows per block). The real codec path
 is STUBBED (no image/audio libs in this container): `DecodeStub` parses the
 deterministic 12-byte header our media fixture writes (magic + width +
 height, big-endian) — the Ray-side plumbing (schema, actor signature, batch
-sizing, output layout) is real and tested; swap `_decode_payload` for a PIL/
-ffmpeg call in production.
+sizing, output layout) is real and tested. Production seam: pass
+``use_real_codec=True, codec=<callable bytes -> (w, h)>`` (a PIL/ffmpeg
+wrapper) to decode_media_ds/resize_media_ds — the callable ships to each
+actor via fn_constructor_kwargs; the contract tests inject a fake codec to
+prove the wiring, and requesting the real path without a codec raises.
 """
 
 from __future__ import annotations
@@ -54,13 +57,22 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     return path
 
 
-def _decode_payload(payload: bytes, use_real_codec: bool = False) -> tuple[int, int]:
-    """Header parse (deterministic fake). The real decode is gated:
-    raises NotImplementedError when a true codec is requested (no image/audio
-    libraries are available in this environment)."""
+def _decode_payload(payload: bytes, use_real_codec: bool = False,
+                    codec=None) -> tuple[int, int]:
+    """Header parse (deterministic fake) or a plugged real codec.
+
+    ``codec`` is the production seam: a picklable callable
+    ``bytes -> (width, height)`` (a PIL/ffmpeg wrapper) shipped to each
+    actor via fn_constructor_kwargs — the contract test injects a fake one
+    to prove the wiring. Requesting the real path without a codec raises
+    (no image/audio libraries are available in this environment)."""
     if use_real_codec:
-        raise NotImplementedError("real image/audio decode not available here; "
-                                  "plug PIL/ffmpeg in production")
+        if codec is None:
+            raise NotImplementedError(
+                "real image/audio decode not available here; pass "
+                "codec=<callable bytes->(w,h)> (PIL/ffmpeg) in production")
+        w, h = codec(payload)
+        return int(w), int(h)
     if len(payload) < 12 or payload[:4] != MAGIC:
         return -1, -1
     w, h = struct.unpack(">II", payload[4:12])
@@ -71,12 +83,14 @@ class DecodeStub:
     """Actor-pool decode stage: one instance per actor (codec state loads
     once in __init__), small batches (payloads are large)."""
 
-    def __init__(self, use_real_codec: bool = False):
+    def __init__(self, use_real_codec: bool = False, codec=None):
         self.use_real_codec = use_real_codec
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        dims = [_decode_payload(p, self.use_real_codec) for p in df["payload"]]
+        dims = [_decode_payload(p, self.use_real_codec, self.codec)
+                for p in df["payload"]]
         return from_pandas_clean(pd.DataFrame({
             "media_id": df["media_id"],
             "kind": df["kind"],
@@ -87,13 +101,17 @@ class DecodeStub:
         }))
 
 
-def decode_media_ds(media_path: str, concurrency: int = 2, batch_size: int = 32):
+def decode_media_ds(media_path: str, concurrency: int = 2, batch_size: int = 32,
+                    use_real_codec: bool = False, codec=None):
     """read_binary table → actor-pool decode → compact metadata rows."""
     import ray.data as rd
 
     return (rd.read_parquet(media_path)
             .map_batches(DecodeStub, batch_format="pyarrow",
-                         batch_size=batch_size, concurrency=(1, concurrency)))
+                         batch_size=batch_size,
+                         fn_constructor_kwargs={
+                             "use_real_codec": use_real_codec, "codec": codec},
+                         concurrency=(1, concurrency)))
 
 
 class ResizeStub:
@@ -102,15 +120,17 @@ class ResizeStub:
     swaps the body transform for PIL/ffmpeg — the schema, actor signature
     and binary-column flow are what this stage proves)."""
 
-    def __init__(self, target: int = 128, use_real_codec: bool = False):
+    def __init__(self, target: int = 128, use_real_codec: bool = False,
+                 codec=None):
         self.target = target
         self.use_real_codec = use_real_codec
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         out_payloads, ws, hs = [], [], []
         for p in df["payload"]:
-            w, h = _decode_payload(p, self.use_real_codec)
+            w, h = _decode_payload(p, self.use_real_codec, self.codec)
             if w <= 0:
                 out_payloads.append(p); ws.append(-1); hs.append(-1)
                 continue
@@ -130,13 +150,16 @@ class ResizeStub:
 
 
 def resize_media_ds(media_path: str, target: int = 128,
-                    concurrency: int = 2, batch_size: int = 32):
+                    concurrency: int = 2, batch_size: int = 32,
+                    use_real_codec: bool = False, codec=None):
     import ray.data as rd
 
     return (rd.read_parquet(media_path)
             .map_batches(ResizeStub, batch_format="pyarrow",
                          batch_size=batch_size,
-                         fn_constructor_kwargs={"target": target},
+                         fn_constructor_kwargs={
+                             "target": target,
+                             "use_real_codec": use_real_codec, "codec": codec},
                          concurrency=(1, concurrency)))
 
 

@@ -32,6 +32,52 @@ def test_real_codec_is_gated():
         multimodal._decode_payload(b"GRFT" + b"\x00" * 20, use_real_codec=True)
 
 
+def _make_fake_real_codec():
+    """Stands in for a PIL/ffmpeg wrapper: decodes the header but reports
+    doubled dims, so outputs prove THIS codec ran (not the stub parse).
+    Built as a closure so cloudpickle ships it by VALUE to the actors (a
+    module-level test function would pickle by reference and fail to import
+    in workers — exactly the constraint a production codec wrapper has)."""
+
+    def fake_real_codec(payload: bytes):
+        import struct
+
+        w, h = struct.unpack(">II", payload[4:12])
+        return 2 * w, 2 * h
+
+    return fake_real_codec
+
+
+def test_real_codec_seam_wires_through_decode(media_path):
+    """Contract test (round-2 verdict #9): an injected codec callable rides
+    fn_constructor_kwargs into the actor pool and the use_real_codec path
+    actually calls it — decode dims come out doubled vs the stub parse."""
+    stub = (multimodal.decode_media_ds(media_path)
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    real = (multimodal.decode_media_ds(media_path, use_real_codec=True,
+                                       codec=_make_fake_real_codec())
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert (real["width"] == 2 * stub["width"]).all()
+    assert (real["height"] == 2 * stub["height"]).all()
+    assert real["payload_sha"].equals(stub["payload_sha"])
+
+
+def test_real_codec_seam_wires_through_resize(media_path):
+    """Same seam through ResizeStub: the injected codec's (doubled) source
+    dims drive the clamp math."""
+    real = (multimodal.resize_media_ds(media_path, target=128,
+                                       use_real_codec=True,
+                                       codec=_make_fake_real_codec())
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    stub_src = (multimodal.decode_media_ds(media_path)
+                .to_pandas().sort_values("media_id").reset_index(drop=True))
+    for i in range(len(real)):
+        w, h = 2 * int(stub_src["width"][i]), 2 * int(stub_src["height"][i])
+        nw = min(w, 128)
+        assert int(real["width"][i]) == nw
+        assert int(real["height"][i]) == max(1, int(h * nw / w + 0.5))
+
+
 def test_media_stats(media_path):
     df = multimodal.media_stats_ds(media_path).to_pandas()
     assert set(df["kind"]) == set(multimodal.KINDS)
