@@ -95,6 +95,10 @@ PLACEHOLDER_IDS = frozenset({"-", "?", "new", "new?"})
 RULE_INVALID_LOC = "invalid_loc"
 RULE_INVALID_VOLNAME = "invalid_volname"
 RULE_SELF_LOOP = "prop_self_loop"
+# get_chap_loc/get_bampo_loc no-match (utils.php:713-716 / 730-733; the two
+# reference rules collapse to one here because chap and bampo markers share
+# the grammar and the engine's marker IS the call site)
+RULE_INVALID_CHAP_LOC = "invalid_chap_loc"
 
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_lang", "obj_dt", "graph"]
 QUARANTINE_COLUMNS = ["subj", "rule", "detail"]

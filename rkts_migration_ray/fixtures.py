@@ -21,6 +21,9 @@ Text grammar (markers the extractor parses):
     ttl[<k>]{<title>}     title, k ∈ NAME_TO_BCP keys
     loc{<loc string>}     full location dialect   (utils.php:565 grammar)
     locs{<loc string>}    simple location dialect (utils.php:570 grammar)
+    chap{<title>}         chapter title (editionxmltottl.php:219-245)
+    chl{<loc string>}     chapter location, bampo/chap grammar (utils.php:566)
+    chls{<b>-<e>}         chapter location, chemdo dialect (utils.php:572)
     @[<alias>]            entity mention (placeholders '-', '?', 'new' included)
 """
 
@@ -39,9 +42,10 @@ FIXTURE_ROOT = "/tmp/graft_fixtures"
 # bump when new tables are added; ensure_fixture regenerates stale dirs.
 # Existing tables are bit-stable across versions: new tables draw from their
 # OWN seeded generator streams, never the primary one. (v4: pagination.parquet
-# gains '::'-less bad_file_ref rows — bvm tables only; primary tables
-# untouched.)
-FIXTURE_VERSION = 4
+# gains '::'-less bad_file_ref rows — bvm tables only. v5: turn text gains
+# chl{}/chls{} chapter-location markers — the primary DRAWS are unchanged,
+# but transcript text bytes differ from v4.)
+FIXTURE_VERSION = 5
 
 N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -217,6 +221,23 @@ def _generate(tag: str, out_dir: str) -> dict:
     ch_len = rng_ch.integers(1, 4, size=(n, 2))
     ch_style = rng_ch.random((n, 2))
 
+    # chapter locations (get_chap_loc utils.php:729-746; v4) — own stream so
+    # the chapter draws above stay bit-identical. chemdo (simple-dialect)
+    # conversations use the chls{N-N} dialect; others the bampo/chapter
+    # grammar with occasional invalid bodies and out-of-whitelist letters.
+    rng_chl = np.random.default_rng(SEED + 77)
+    chl_bad = rng_chl.random((n, 2)) < 0.04
+    chl_hasvol = rng_chl.random((n, 2)) < 0.65
+    chl_badvol = rng_chl.random((n, 2)) < 0.06
+    chl_vpick = rng_chl.integers(0, len(VALID_VOLS), size=(n, 2))
+    chl_page = rng_chl.integers(1, 400, size=(n, 2))
+    chl_side = rng_chl.choice(["a", "b"], size=(n, 2))
+    chl_line = rng_chl.integers(1, 8, size=(n, 2))
+    chl_hasrange = rng_chl.random((n, 2)) < 0.5
+    chl_hasevol = rng_chl.random((n, 2)) < 0.4
+    chl_evpick = rng_chl.integers(0, len(VALID_VOLS), size=(n, 2))
+    chl_delta = rng_chl.integers(1, 20, size=(n, 2))
+
     # --- assemble text (one-time generation cost; cached as parquet) ---------
     texts = np.empty(n, dtype=object)
     first_title_of_conv: dict[int, str] = {}
@@ -265,6 +286,24 @@ def _generate(tag: str, out_dir: str) -> dict:
                 ctl = f"chapter {ci + 1}. {ctl}"  # dot ≥ 5 → kept whole
             # else: no '. ' → PHP strpos-false quirk chops 2 leading chars
             parts.append("chap{%s}" % ctl)
+            if simple_dialect[conv_ord[i]]:
+                parts.append("chls{%d-%d}" % (chl_page[i, ci],
+                                              chl_page[i, ci] + chl_delta[i, ci]))
+            elif chl_bad[i, ci]:
+                parts.append("chl{x??}")
+            else:
+                vol = ""
+                if chl_hasvol[i, ci]:
+                    vol = (INVALID_VOL if chl_badvol[i, ci]
+                           else VALID_VOLS[chl_vpick[i, ci]]) + " "
+                s = "%s%d%s%d" % (vol, chl_page[i, ci],
+                                  chl_side[i, ci], chl_line[i, ci])
+                if chl_hasrange[i, ci]:
+                    ev = ((VALID_VOLS[chl_evpick[i, ci]] + " ")
+                          if chl_hasevol[i, ci] else "")
+                    s += "-%s%d%s%d" % (ev, chl_page[i, ci] + chl_delta[i, ci],
+                                        chl_side[i, ci], chl_line[i, ci])
+                parts.append("chl{%s}" % s)
         parts.extend(FILLER[j] for j in fill_idx[i, 3:])
         for m in range(n_ment[i]):
             r = ment_kind[i, m]

@@ -32,6 +32,19 @@ PATTERN_SMALL_LOC = r"^(?P<pagenum>\d+)(?P<side>[ab])(?P<linenum>\d+)?\??"
 PATTERN_LOC_SIMPLE = (
     r"^(?P<bvolnum>\d+)\.(?P<bpagenum>\d+)\?, ?- ?(?P<evolnum>\d+)\.(?P<epagenum>\d+)$"
 )
+# bampo/chapter dialect (pattern_bampo_chap_loc utils.php:566, consumed by
+# get_bampo_loc/get_chap_loc utils.php:707-746): like the full dialect but
+# with no section and no '(vol. N)' tail, and the volume letter optional.
+# Doc-test strings: "ga 107a7-116a5", "ga 107a7" (utils.php:748-749).
+PATTERN_BAMPO_CHAP = (
+    r"^(?:(?P<bvolname>[^ ]+) )?(?P<bpageline>[0-9ab]+)"
+    r"(?:\-(?:(?P<evolname>[^ ]+) )?(?P<epageline>[0-9ab]+))?$"
+)
+# chemdo/chemdot editions switch BOTH chap and bampo locations to
+# pattern_loc_simple_small (utils.php:572, dialect switch utils.php:711-713,
+# 731-733) and SKIP the volume-letter whitelist + pageline sub-parse
+# (utils.php:719-724, 739-744 guard on fileName).
+PATTERN_CHAP_SIMPLE = r"^(?P<bpagenum>\d+)-(?P<epagenum>\d+)$"
 
 # allowed_vol_letters (utils.php:562) — the validation whitelist, VERBATIM
 # from the reference (141 entries incl. the empty string); round-1 advice
@@ -125,6 +138,86 @@ def parse_loc_full(body: pa.Array) -> dict[str, pa.Array]:
         "elinenum": eline,
         "valid": valid,
         "badvol": badvol,
+    }
+
+
+def parse_loc_bampo_chap(body: pa.Array) -> dict[str, pa.Array]:
+    """Bampo/chapter dialect parse (get_chap_loc / get_bampo_loc,
+    utils.php:707-746, non-chemdo branch) → LOC_FIELDS arrays + 'valid' +
+    'badvol'.
+
+    Semantics mirrored branch-for-branch:
+    - no grammar match → valid=false (report_error 'invalid_chap_loc' /
+      'invalid_bampo_loc', utils.php:713-716 / 730-733; the caller emits the
+      quarantine row);
+    - ONLY bvolname runs the whitelist (utils.php:718-719 / 739-740 check
+      bvolname alone — unlike get_text_loc, evolname is never validated);
+      a whitelist miss does NOT invalidate the row (the reference reports
+      the error and still returns the match);
+    - pagelines sub-parse via set_pageline (utils.php:669-704); a failed
+      sub-parse leaves the page fields null (same contract as
+      parse_loc_full)."""
+    ext = pc.extract_regex(body, PATTERN_BAMPO_CHAP)
+    valid = pc.is_valid(ext)
+    null = pa.nulls(len(body), ext.type if len(body) else pa.struct([]))
+    if len(body):
+        ext = pc.if_else(valid, ext, null)
+    f = {name: pc.struct_field(ext, name)
+         for name in ("bvolname", "evolname", "bpageline", "epageline")}
+    bpage, bside, bline = _pageline_fields(f["bpageline"])
+    epage, eside, eline = _pageline_fields(f["epageline"])
+    allowed = pa.array(sorted(ALLOWED_VOL_LETTERS))
+    bvol_bad = pc.and_(
+        pc.invert(pc.is_in(f["bvolname"], value_set=allowed)),
+        pc.invert(pc.equal(pc.coalesce(f["bvolname"], ""), "")),
+    )
+    badvol = pc.if_else(bvol_bad, f["bvolname"], pa.scalar(None, pa.string()))
+    from .arrowutils import empty_string_to_null
+
+    nulls_str = pa.nulls(len(body), pa.string())
+    nulls_int = pa.nulls(len(body), pa.int64())
+    return {
+        "section": nulls_str,
+        "bvolname": empty_string_to_null(f["bvolname"]),
+        "evolname": empty_string_to_null(f["evolname"]),
+        "bvolnum": nulls_int,
+        "evolnum": nulls_int,
+        "bpagenum": bpage,
+        "bpageside": bside,
+        "blinenum": bline,
+        "epagenum": epage,
+        "epageside": eside,
+        "elinenum": eline,
+        "valid": valid,
+        "badvol": badvol,
+    }
+
+
+def parse_loc_chap_simple(body: pa.Array) -> dict[str, pa.Array]:
+    """Chemdo/chemdot chap-loc dialect: 'N-N' (pattern_loc_simple_small,
+    utils.php:572). NO whitelist check and NO pageline sub-parse — the
+    edition-name-conditional skip at utils.php:719-724 / 739-744."""
+    ext = pc.extract_regex(body, PATTERN_CHAP_SIMPLE)
+    valid = pc.is_valid(ext)
+    null = pa.nulls(len(body), ext.type if len(body) else pa.struct([]))
+    if len(body):
+        ext = pc.if_else(valid, ext, null)
+    nulls_str = pa.nulls(len(body), pa.string())
+    nulls_int = pa.nulls(len(body), pa.int64())
+    return {
+        "section": nulls_str,
+        "bvolname": nulls_str,
+        "evolname": nulls_str,
+        "bvolnum": nulls_int,
+        "evolnum": nulls_int,
+        "bpagenum": to_int64(pc.struct_field(ext, "bpagenum")),
+        "bpageside": nulls_str,
+        "blinenum": nulls_int,
+        "epagenum": to_int64(pc.struct_field(ext, "epagenum")),
+        "epageside": nulls_str,
+        "elinenum": nulls_int,
+        "valid": valid,
+        "badvol": nulls_str,
     }
 
 

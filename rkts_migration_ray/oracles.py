@@ -16,6 +16,8 @@ from __future__ import annotations
 from . import fixtures
 from .functions.locations import (
     ALLOWED_VOL_LETTERS,
+    PATTERN_BAMPO_CHAP,
+    PATTERN_CHAP_SIMPLE,
     PATTERN_LOC,
     PATTERN_LOC_SIMPLE,
     PATTERN_SMALL_LOC,
@@ -26,6 +28,8 @@ from .functions.locations import (
 LP = PATTERN_LOC
 SP = PATTERN_LOC_SIMPLE
 PL = PATTERN_SMALL_LOC
+BC = PATTERN_BAMPO_CHAP
+CS = PATTERN_CHAP_SIMPLE
 
 ALLOWED_SQL = "(" + ", ".join(
     "'" + v.replace("'", "''") + "'" for v in sorted(ALLOWED_VOL_LETTERS)) + ")"
@@ -178,7 +182,55 @@ chu AS (SELECT c.conv_id, c.cidx, c.label, w.turn, w.g,
         FROM ch3 c JOIN w2 w
           ON w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx),
 chf AS (SELECT *, 'N:CH'||upper(substr(sha256(conv_id||ctree||'|'||label),1,6))
-          ||'_'||conv_id AS curi FROM chu)
+          ||'_'||conv_id AS curi FROM chu),
+-- chapter-location markers (bampo/chap dialect utils.php:707-746; chl{{}} =
+-- standard grammar, chls{{}} = chemdo simple dialect with whitelist skip)
+cl0 AS (SELECT conv_id, turn_idx,
+         'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
+         regexp_extract_all(text, 'chl\\{{([^}}]*)\\}}', 1) AS bl,
+         regexp_extract_all(text, 'chls\\{{([^}}]*)\\}}', 1) AS sl
+        FROM t),
+clb AS (SELECT conv_id, turn_idx, turn, i AS cidx, bl[i] AS body
+        FROM (SELECT *, unnest(generate_series(1, len(bl))) AS i
+              FROM cl0 WHERE len(bl) > 0)),
+clsm AS (SELECT conv_id, turn_idx, turn, i AS cidx, sl[i] AS body
+         FROM (SELECT *, unnest(generate_series(1, len(sl))) AS i
+               FROM cl0 WHERE len(sl) > 0)),
+clb1 AS (SELECT *, regexp_matches(body, '{BC}') AS valid,
+          CASE WHEN regexp_matches(body, '{BC}')
+               THEN regexp_extract(body, '{BC}',
+                    ['bvolname','bpageline','evolname','epageline']) END AS cs
+         FROM clb),
+clb2 AS (SELECT *, NULLIF(cs['bvolname'],'') AS bvolname,
+          NULLIF(cs['evolname'],'') AS evolname,
+          regexp_extract(COALESCE(cs['bpageline'],''), '{PL}',
+                         ['pagenum','side','linenum']) AS bp,
+          regexp_extract(COALESCE(cs['epageline'],''), '{PL}',
+                         ['pagenum','side','linenum']) AS ep
+         FROM clb1),
+cl3 AS (
+  SELECT conv_id, turn_idx, turn, cidx, 'chap' AS kind, body, valid,
+    CASE WHEN bvolname IS NOT NULL AND bvolname NOT IN {ALLOWED_SQL}
+         THEN bvolname END AS badvol,
+    bvolname, evolname,
+    TRY_CAST(NULLIF(bp['pagenum'],'') AS BIGINT) AS bpagenum,
+    NULLIF(bp['side'],'') AS bpageside,
+    TRY_CAST(NULLIF(bp['linenum'],'') AS BIGINT) AS blinenum,
+    TRY_CAST(NULLIF(ep['pagenum'],'') AS BIGINT) AS epagenum,
+    NULLIF(ep['side'],'') AS epageside,
+    TRY_CAST(NULLIF(ep['linenum'],'') AS BIGINT) AS elinenum
+  FROM clb2
+  UNION ALL
+  SELECT conv_id, turn_idx, turn, cidx, 'chap_simple', body,
+    regexp_matches(body, '{CS}') AS valid,
+    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    TRY_CAST(NULLIF(regexp_extract(body, '{CS}',
+             ['bpagenum','epagenum'])['bpagenum'],'') AS BIGINT),
+    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+    TRY_CAST(NULLIF(regexp_extract(body, '{CS}',
+             ['bpagenum','epagenum'])['epagenum'],'') AS BIGINT),
+    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  FROM clsm)
 """
 
 
@@ -261,7 +313,19 @@ UNION ALL SELECT turn, 'q:invalid_volname', badvol, '', '', 'G:quarantine'
           FROM w3 WHERE badvol IS NOT NULL
 UNION ALL SELECT e.entity_uri, 'q:prop_self_loop', p.object_id, '', '', 'G:quarantine'
           FROM ents e JOIN props p ON e.final_id = p.entity_id
-          WHERE e.curated AND p.object_id = p.entity_id"""
+          WHERE e.curated AND p.object_id = p.entity_id
+UNION ALL SELECT turn, 'q:invalid_chap_loc', body, '', '', 'G:quarantine'
+          FROM cl3 WHERE NOT valid
+UNION ALL SELECT turn, 'q:invalid_volname', badvol, '', '', 'G:quarantine'
+          FROM cl3 WHERE badvol IS NOT NULL"""
+
+SEL_CHAP_LOCATIONS = """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, CAST(cidx AS BIGINT) AS cidx,
+       kind, body, valid, badvol,
+       CAST(NULL AS VARCHAR) AS section, bvolname, evolname,
+       CAST(NULL AS BIGINT) AS bvolnum, CAST(NULL AS BIGINT) AS evolnum,
+       bpagenum, bpageside, blinenum, epagenum, epageside, elinenum
+FROM cl3"""
 
 _LT = """
 lt AS (SELECT turn, g, conv_id, loc_body,
@@ -1079,6 +1143,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_quarantine": w + SEL_QUARANTINE,
         "kg_location_nodes": w + SEL_LOCNODES,
         "kg_locations": w + SEL_LOCATIONS,
+        "kg_chap_locations": w + SEL_CHAP_LOCATIONS,
         "kg_role_pivot": w + SEL_ROLE_PIVOT,
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,

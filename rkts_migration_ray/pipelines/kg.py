@@ -52,9 +52,11 @@ def _ncpu() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
-def features_ds(sf_dir: str, columns: list[str] | None = None):
+def features_ds(sf_dir: str, columns: list[str] | None = None,
+                include_chaploc: bool = False):
     ds = readers.read_transcripts(sf_dir, columns=columns or TRANSCRIPT_COLUMNS)
     return ds.map_batches(extract_features, batch_format="pyarrow",
+                          fn_kwargs={"include_chaploc": include_chaploc},
                           zero_copy_batch=True)
 
 
@@ -83,9 +85,22 @@ def locations_ds(sf_dir: str):
     return features_ds(sf_dir).map_batches(project, batch_format="pyarrow")
 
 
+def chap_locations_ds(sf_dir: str):
+    """Parsed chapter-location markers (M3 bampo/chapter dialect,
+    utils.php:707-746): one row per chl{}/chls{} marker with the parsed
+    grammar fields, cidx ordinal, dialect kind, validity and the
+    (non-chemdo-only) whitelist violation. Map-only over the transcript
+    read — no shuffle."""
+    from ..stages.extract import chap_loc_rows
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+            .map_batches(chap_loc_rows, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def structural_ds(sf_dir: str, include_quarantine: bool = False):
-    ds = features_ds(sf_dir).map_batches(structural_triples, batch_format="pyarrow",
-                                         zero_copy_batch=True)
+    ds = features_ds(sf_dir, include_chaploc=include_quarantine).map_batches(
+        structural_triples, batch_format="pyarrow", zero_copy_batch=True)
     if not include_quarantine:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.equal(t["graph"], "G:quarantine"))),
@@ -370,14 +385,21 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         # round-1 advice: an unconditional mkdtemp per invocation leaked a
         # parquet copy of the linked stage to /tmp on every entry() call
         root = ckpt_root or _session_ckpt_root()
-    feats = features_ds(sf_dir)
+    # only the structloc branch consumes the chap-loc quarantine columns —
+    # the conv/mention branches recompute features WITHOUT the extra regex
+    # passes (when checkpointing, one shared feature set carries everything)
     if checkpoint_features:
-        feats = _checkpoint(feats, f"{root}/features")
+        feats = _checkpoint(features_ds(sf_dir, include_chaploc=True),
+                            f"{root}/features")
+        feats_cl = feats
+    else:
+        feats = features_ds(sf_dir)
+        feats_cl = features_ds(sf_dir, include_chaploc=True)
 
     # fused structural+ContentLocation stream: ONE read+extract pass instead
     # of two parallel branches each recomputing the subtree
-    structloc = feats.map_batches(structural_and_location_triples,
-                                  batch_format="pyarrow", zero_copy_batch=True)
+    structloc = feats_cl.map_batches(structural_and_location_triples,
+                                     batch_format="pyarrow", zero_copy_batch=True)
     conv = _conv_stage(feats, cfg)
 
     gaz_ref, alias_ref, props_ref = _broadcast_lookups(sf_dir)
@@ -420,7 +442,9 @@ def kg_bundle(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
 
 def quarantine_ds(sf_dir: str, concurrency: int = 8):
-    """The error channel (W6): invalid_loc / invalid_volname / self-loop rows."""
+    """The error channel (W6): invalid_loc / invalid_volname /
+    invalid_chap_loc / self-loop rows. Chapter-location quarantine rides the
+    structloc stream (emitted by structural_triples), so no extra scan."""
 
     def only_q(t):
         return t.filter(pc.equal(t["graph"], "G:quarantine"))

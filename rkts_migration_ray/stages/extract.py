@@ -74,8 +74,13 @@ def _list_column(n_rows: int, rows: np.ndarray, values: pa.Array) -> pa.ListArra
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
-def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
-    """transcripts batch → per-turn feature columns (pure, vectorized)."""
+def extract_features(batch: pa.Table, target: str = "bdrc",
+                     include_chaploc: bool = False) -> pa.Table:
+    """transcripts batch → per-turn feature columns (pure, vectorized).
+
+    ``include_chaploc`` adds the chapter-location quarantine list columns
+    (two more regex passes over text) — only the structural emission branch
+    consumes them, so the conv/mention branches skip the cost."""
     batch = batch.combine_chunks()
     text = _chunk(batch, "text")
     n = len(batch)
@@ -136,6 +141,14 @@ def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
                        pa.string())
     chap_label = _list_column(n, c_rows[keep_c], c_label)
 
+    # chapter-location quarantine payloads (bampo/chap dialect,
+    # utils.php:707-746) — compact per-turn lists; the full parse is the
+    # separate chap_loc_rows surface (kg_chap_locations)
+    if include_chaploc:
+        (qi_rows, qi_vals), (qv_rows, qv_vals) = _chap_loc_quarantine_lists(text)
+        chaploc_invalid = _list_column(n, qi_rows, qi_vals)
+        chaploc_badvol = _list_column(n, qv_rows, qv_vals)
+
     # mentions → list column (placeholders dropped per editionxmltottl.php:33-34)
     m_rows, m_ext = extract_all(text, "@[", MENTION_TAIL)
     m_alias = pc.struct_field(m_ext, "alias")
@@ -161,6 +174,9 @@ def extract_features(batch: pa.Table, target: str = "bdrc") -> pa.Table:
         "chap_label": chap_label,
         "mentions": mentions,
     }
+    if include_chaploc:
+        cols["chaploc_invalid"] = chaploc_invalid
+        cols["chaploc_badvol"] = chaploc_badvol
     for k in ("section", "bvolname", "evolname", "bvolnum", "evolnum",
               "bpagenum", "bpageside", "blinenum", "epagenum", "epageside",
               "elinenum"):
@@ -225,7 +241,111 @@ def structural_triples(feats: pa.Table) -> pa.Table:
             turn.filter(vmask), "q:" + RULE_INVALID_VOLNAME,
             _chunk(feats, "loc_badvol").filter(vmask),
             "", "", GRAPH_QUARANTINE))
+    # quarantine: chapter-location grammar miss (invalid_chap_loc,
+    # utils.php:713-716/730-733) + bvolname whitelist (utils.php:718-719,
+    # 739-740; never fires for the chemdo dialect — whitelist skipped).
+    # Present only when the feature stage ran with include_chaploc=True.
+    from ..config import RULE_INVALID_CHAP_LOC
+
+    for col, rule in (("chaploc_invalid", RULE_INVALID_CHAP_LOC),
+                      ("chaploc_badvol", RULE_INVALID_VOLNAME)):
+        if col not in feats.column_names:
+            continue
+        lst = _chunk(feats, col)
+        flat = lst.flatten()
+        if len(flat):
+            parents = pc.list_parent_indices(lst)
+            blocks.append(_triple_block(
+                turn.take(parents), "q:" + rule, flat,
+                "", "", GRAPH_QUARANTINE))
     return pa.concat_tables(blocks).combine_chunks()
+
+
+CHAPLOC_TAIL = r"^(?P<body>[^}]*)\}"
+CHAP_LOC_FIELD_NAMES = ("section", "bvolname", "evolname", "bvolnum",
+                        "evolnum", "bpagenum", "bpageside", "blinenum",
+                        "epagenum", "epageside", "elinenum")
+
+
+def _run_ordinals(rows: np.ndarray) -> np.ndarray:
+    """1-based ordinal of each element within its run of equal row indices
+    (rows is non-decreasing, as produced by extract_all)."""
+    if len(rows) == 0:
+        return np.array([], dtype=np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(rows[1:] != rows[:-1]) + 1))
+    runlens = np.diff(np.concatenate((starts, [len(rows)])))
+    return np.arange(len(rows), dtype=np.int64) - np.repeat(starts, runlens) + 1
+
+
+def chap_loc_rows(batch: pa.Table) -> pa.Table:
+    """One flat row per chapter-location marker (M3 bampo/chapter dialect,
+    utils.php:707-746): ``chl{...}`` carries the standard bampo/chapter
+    grammar (get_chap_loc non-chemdo branch, whitelist on bvolname only);
+    ``chls{...}`` the chemdo/chemdot simple dialect (whitelist + pageline
+    sub-parse SKIPPED — the fileName conditional at utils.php:719-724 /
+    739-744, encoded at the marker level exactly like the loc{}/locs{}
+    split models the reference's per-edition dialect switch).
+
+    cidx is the 1-based ordinal of the marker within its turn — the
+    reference's per-part chapter counter (editionxmltottl.php:220,225)."""
+    from ..functions.locations import parse_loc_bampo_chap, parse_loc_chap_simple
+
+    batch = batch.combine_chunks()
+    text = _chunk(batch, "text")
+    conv = _chunk(batch, "conv_id")
+    tidx = _chunk(batch, "turn_idx")
+    out = []
+    for prefix, kind, parser in (
+            ("chl{", "chap", parse_loc_bampo_chap),
+            ("chls{", "chap_simple", parse_loc_chap_simple)):
+        rows, ext = extract_all(text, prefix, CHAPLOC_TAIL)
+        body = pc.struct_field(ext, "body")
+        parsed = parser(body)
+        take = pa.array(rows, pa.int64())
+        cols = {
+            "conv_id": conv.take(take),
+            "turn_idx": pc.cast(tidx.take(take), pa.int64()),
+            "cidx": pa.array(_run_ordinals(rows), pa.int64()),
+            "kind": _const(kind, len(rows)),
+            "body": body,
+            "valid": parsed["valid"],
+            "badvol": parsed["badvol"],
+        }
+        for k in CHAP_LOC_FIELD_NAMES:
+            cols[k] = parsed[k]
+        out.append(pa.table(cols))
+    return pa.concat_tables(out).combine_chunks()
+
+
+def _chap_loc_quarantine_lists(text: pa.Array):
+    """Per-turn compact quarantine payloads for chapter-location markers:
+    (rows, bodies) of grammar misses and (rows, letters) of whitelist
+    violations, each sorted by row so _list_column can pack them. The full
+    parse surface is chap_loc_rows; these two lists are all structural
+    emission needs."""
+    from ..functions.locations import parse_loc_bampo_chap, parse_loc_chap_simple
+
+    inv_rows, inv_vals, bad_rows, bad_vals = [], [], [], []
+    for prefix, parser in (("chl{", parse_loc_bampo_chap),
+                           ("chls{", parse_loc_chap_simple)):
+        rows, ext = extract_all(text, prefix, CHAPLOC_TAIL)
+        body = pc.struct_field(ext, "body")
+        parsed = parser(body)
+        imask = np.asarray(pc.invert(parsed["valid"])).astype(bool)
+        inv_rows.append(rows[imask])
+        inv_vals.append(pc.fill_null(body, "").filter(pa.array(imask)))
+        vmask = np.asarray(pc.is_valid(parsed["badvol"])).astype(bool)
+        bad_rows.append(rows[vmask])
+        bad_vals.append(parsed["badvol"].filter(pa.array(vmask)))
+
+    def _merge(row_parts, val_parts):
+        rows = np.concatenate(row_parts) if row_parts else np.array([], np.int64)
+        vals = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                                 else v for v in val_parts])
+        order = np.argsort(rows, kind="stable")
+        return rows[order], vals.take(pa.array(order, pa.int64()))
+
+    return _merge(inv_rows, inv_vals), _merge(bad_rows, bad_vals)
 
 
 def location_triples(feats: pa.Table) -> pa.Table:

@@ -79,3 +79,59 @@ def test_simple_dialect():
     assert out["bvolnum"][0].as_py() == 3 and out["bpagenum"][0].as_py() == 12
     assert out["evolnum"][0].as_py() == 4 and out["epagenum"][0].as_py() == 118
     assert out["bpageside"][0].as_py() is None
+
+
+def parse_one_chap(s: str) -> dict:
+    out = locations.parse_loc_bampo_chap(pa.array([s]))
+    return {k: v[0].as_py() for k, v in out.items()}
+
+
+def test_doc_test_bampo_range():
+    # get_bampo_loc("ga 107a7-116a5") — utils.php:748
+    m = parse_one_chap("ga 107a7-116a5")
+    assert m["valid"] and m["badvol"] is None
+    assert m["bvolname"] == "ga" and m["evolname"] is None
+    assert m["bpagenum"] == 107 and m["bpageside"] == "a" and m["blinenum"] == 7
+    assert m["epagenum"] == 116 and m["epageside"] == "a" and m["elinenum"] == 5
+
+
+def test_doc_test_chap_point():
+    # get_chap_loc("ga 107a7") — utils.php:749
+    m = parse_one_chap("ga 107a7")
+    assert m["valid"] and m["bvolname"] == "ga"
+    assert m["bpagenum"] == 107 and m["bpageside"] == "a" and m["blinenum"] == 7
+    assert m["epagenum"] is None and m["evolname"] is None
+
+
+def test_chap_volless_and_cross_volume():
+    m = parse_one_chap("107a7")  # bvolname optional (utils.php:566)
+    assert m["valid"] and m["bvolname"] is None and m["bpagenum"] == 107
+    m = parse_one_chap("ka 1b1-nga 302a5")
+    assert m["valid"] and m["bvolname"] == "ka" and m["evolname"] == "nga"
+    assert m["epagenum"] == 302 and m["elinenum"] == 5
+
+
+def test_chap_whitelist_bvolname_only():
+    # only bvolname runs the whitelist (utils.php:718-719/739-740); a miss
+    # does NOT invalidate the row — the reference reports and keeps going
+    m = parse_one_chap("qx 12a3")
+    assert m["valid"] and m["badvol"] == "qx" and m["bpagenum"] == 12
+    # evolname is never validated — 'qx' as END volume passes silently
+    m = parse_one_chap("ka 1b1-qx 2a1")
+    assert m["valid"] and m["badvol"] is None and m["evolname"] == "qx"
+
+
+def test_chap_invalid():
+    m = parse_one_chap("x??")  # report_error 'invalid_chap_loc'
+    assert not m["valid"] and m["badvol"] is None
+
+
+def test_chap_simple_chemdo_dialect():
+    # chemdo/chemdot: pattern_loc_simple_small + whitelist/pageline SKIP
+    # (utils.php:711-713, 719-724, 731-733, 739-744)
+    out = locations.parse_loc_chap_simple(pa.array(["398-417", "qx 12a3", ""]))
+    assert out["valid"].to_pylist() == [True, False, False]
+    assert out["bpagenum"][0].as_py() == 398
+    assert out["epagenum"][0].as_py() == 417
+    assert out["bpageside"][0].as_py() is None  # no pageline sub-parse
+    assert out["badvol"].to_pylist() == [None, None, None]  # whitelist skipped
