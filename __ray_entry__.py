@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_location_nodes": kg.location_nodes_ds,
         "kg_locations": kg.locations_ds,
         "kg_chap_locations": kg.chap_locations_ds,
+        "kg_creator_events": kg.creator_events_ds,
         "kg_role_pivot": kg.role_pivot_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,

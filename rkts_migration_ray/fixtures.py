@@ -24,6 +24,7 @@ Text grammar (markers the extractor parses):
     chap{<title>}         chapter title (editionxmltottl.php:219-245)
     chl{<loc string>}     chapter location, bampo/chap grammar (utils.php:566)
     chls{<b>-<e>}         chapter location, chemdo dialect (utils.php:572)
+    cr[<tag>]{<name>}     creator, tag ∈ tag_to_event_role (editionxmltottl.php:5-19)
     @[<alias>]            entity mention (placeholders '-', '?', 'new' included)
 """
 
@@ -43,9 +44,10 @@ FIXTURE_ROOT = "/tmp/graft_fixtures"
 # Existing tables are bit-stable across versions: new tables draw from their
 # OWN seeded generator streams, never the primary one. (v4: pagination.parquet
 # gains '::'-less bad_file_ref rows — bvm tables only. v5: turn text gains
-# chl{}/chls{} chapter-location markers — the primary DRAWS are unchanged,
-# but transcript text bytes differ from v4.)
-FIXTURE_VERSION = 5
+# chl{}/chls{} chapter-location markers. v6: turn text gains cr[tag]{name}
+# creator markers. Text-bearing bumps keep the primary DRAWS unchanged but
+# transcript text bytes differ.)
+FIXTURE_VERSION = 6
 
 N_TURNS_BY_TAG = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -238,6 +240,20 @@ def _generate(tag: str, out_dir: str) -> dict:
     chl_evpick = rng_chl.integers(0, len(VALID_VOLS), size=(n, 2))
     chl_delta = rng_chl.integers(1, 20, size=(n, 2))
 
+    # creators (tag_to_event_role, editionxmltottl.php:5-19; v6) — own
+    # stream; ~8% of turns carry 1-2 cr[tag]{name} markers; the second
+    # sometimes repeats the first name to exercise the AgentAsCreator
+    # (event,label) collapse and event-node reuse
+    from .stages.creators import TAG_TO_EVENT_ROLE
+
+    cr_tags_pool = list(TAG_TO_EVENT_ROLE)
+    rng_cr = np.random.default_rng(SEED + 101)
+    n_cr = rng_cr.choice([0, 1, 2], size=n, p=[0.92, 0.06, 0.02])
+    cr_tag = rng_cr.integers(0, len(cr_tags_pool), size=(n, 2))
+    cr_widx = rng_cr.integers(0, len(TITLE_WORDS) - 2, size=(n, 2))
+    cr_len = rng_cr.integers(1, 3, size=(n, 2))
+    cr_dup = rng_cr.random(n) < 0.15
+
     # --- assemble text (one-time generation cost; cached as parquet) ---------
     texts = np.empty(n, dtype=object)
     first_title_of_conv: dict[int, str] = {}
@@ -304,6 +320,15 @@ def _generate(tag: str, out_dir: str) -> dict:
                     s += "-%s%d%s%d" % (ev, chl_page[i, ci] + chl_delta[i, ci],
                                         chl_side[i, ci], chl_line[i, ci])
                 parts.append("chl{%s}" % s)
+        prev_nm = ""
+        for mi in range(n_cr[i]):
+            if mi == 1 and cr_dup[i]:
+                nm = prev_nm
+            else:
+                w0, ln = cr_widx[i, mi], cr_len[i, mi]
+                nm = " ".join(TITLE_WORDS[w0:w0 + ln])
+            prev_nm = nm
+            parts.append("cr[%s]{%s}" % (cr_tags_pool[cr_tag[i, mi]], nm))
         parts.extend(FILLER[j] for j in fill_idx[i, 3:])
         for m in range(n_ment[i]):
             r = ment_kind[i, m]

@@ -14,6 +14,7 @@ All queries share one WITH-block over the deterministic fixture parquet files
 from __future__ import annotations
 
 from . import fixtures
+from .stages.creators import TAG_TO_EVENT_ROLE
 from .functions.locations import (
     ALLOWED_VOL_LETTERS,
     PATTERN_BAMPO_CHAP,
@@ -33,6 +34,16 @@ CS = PATTERN_CHAP_SIMPLE
 
 ALLOWED_SQL = "(" + ", ".join(
     "'" + v.replace("'", "''") + "'" for v in sorted(ALLOWED_VOL_LETTERS)) + ")"
+
+# creator role/event CASEs generated from the shared table so the SQL can
+# never drift from the engine (editionxmltottl.php:5-19)
+CR_TAGS_SQL = "(" + ", ".join(f"'{t}'" for t in TAG_TO_EVENT_ROLE) + ")"
+CR_ORD_SQL = ("CASE tag " + " ".join(
+    f"WHEN '{t}' THEN {i}" for i, t in enumerate(TAG_TO_EVENT_ROLE)) + " END")
+CR_ROLE_SQL = ("CASE tag " + " ".join(
+    f"WHEN '{t}' THEN '{r}'" for t, (r, _) in TAG_TO_EVENT_ROLE.items()) + " END")
+CR_EVENT_SQL = ("CASE tag " + " ".join(
+    f"WHEN '{t}' THEN '{ev}'" for t, (_, ev) in TAG_TO_EVENT_ROLE.items()) + " END")
 
 BCP_CASE = (
     "CASE k WHEN 'tib' THEN 'bo-x-ewts' WHEN 'col' THEN 'bo-x-ewts' "
@@ -63,6 +74,7 @@ def with_block(sf_dir_or_tag: str) -> str:
     props = fixtures.aux_path(sf_dir_or_tag, "entity_props")
     label_expr = f"CASE WHEN bcp LIKE '%ewts' THEN {shad_sql('title')} ELSE title END"
     shad_stripped = shad_sql("stripped")
+    shad_name = shad_sql("name")
     return f"""WITH RECURSIVE
 t AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM read_parquet('{tr}')),
 u AS (SELECT 'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
@@ -230,7 +242,34 @@ cl3 AS (
     TRY_CAST(NULLIF(regexp_extract(body, '{CS}',
              ['bpagenum','epagenum'])['epagenum'],'') AS BIGINT),
     CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
-  FROM clsm)
+  FROM clsm),
+-- creator markers (tag_to_event_role, editionxmltottl.php:5-19, :118-142)
+cr0 AS (SELECT conv_id, turn_idx, 'G:'||conv_id AS graph,
+         conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS loc_local,
+         'U:'||conv_id||'/'||lpad(CAST(turn_idx AS VARCHAR),5,'0') AS turn,
+         regexp_extract_all(text, 'cr\\[[\\w-]+\\]\\{{[^}}]*\\}}') AS ml
+        FROM t),
+cr1 AS (SELECT conv_id, turn_idx, graph, loc_local, turn, i,
+         regexp_extract(ml[i], 'cr\\[([\\w-]+)\\]', 1) AS tag,
+         regexp_extract(ml[i], '\\{{([^}}]*)\\}}', 1) AS name
+        FROM (SELECT *, unnest(generate_series(1, len(ml))) AS i
+              FROM cr0 WHERE len(ml) > 0)),
+cr2 AS (SELECT *, {CR_ORD_SQL} AS tag_ord, {CR_ROLE_SQL} AS role,
+         {CR_EVENT_SQL} AS event, {shad_name} AS label
+        FROM cr1 WHERE tag IN {CR_TAGS_SQL}),
+cr3 AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, event
+          ORDER BY tag_ord, i) AS crn FROM cr2),
+crf AS (SELECT *,
+         'N:AIR'||upper(substr(sha256(loc_local||event||label),1,6))
+           ||'_'||loc_local AS air
+        FROM cr3),
+crev AS (SELECT conv_id, turn_idx, event,
+          'N:EV'||upper(substr(sha256(loc_local||event||label),1,6))
+            ||'_'||loc_local AS ev
+         FROM crf WHERE crn = 1),
+crj AS (SELECT f.*, v.ev FROM crf f JOIN crev v
+         ON v.conv_id = f.conv_id AND v.turn_idx = f.turn_idx
+        AND v.event = f.event)
 """
 
 
@@ -318,6 +357,16 @@ UNION ALL SELECT turn, 'q:invalid_chap_loc', body, '', '', 'G:quarantine'
           FROM cl3 WHERE NOT valid
 UNION ALL SELECT turn, 'q:invalid_volname', badvol, '', '', 'G:quarantine'
           FROM cl3 WHERE badvol IS NOT NULL"""
+
+SEL_CREATOR_EVENTS = """
+SELECT DISTINCT subj, pred, obj, obj_lang, obj_dt, graph FROM (
+SELECT ev AS subj, 'rdf:type' AS pred, event AS obj,
+       '' AS obj_lang, '' AS obj_dt, graph FROM crj WHERE crn = 1
+UNION ALL SELECT turn, 'tr:instanceEvent', ev, '', '', graph FROM crj WHERE crn = 1
+UNION ALL SELECT air, 'rdf:type', 'tr:AgentAsCreator', '', '', graph FROM crj
+UNION ALL SELECT air, 'tr:role', role, '', '', graph FROM crj
+UNION ALL SELECT air, 'rdfs:label', label, 'bo-x-ewts', '', graph FROM crj
+UNION ALL SELECT ev, 'tr:eventWho', air, '', '', graph FROM crj)"""
 
 SEL_CHAP_LOCATIONS = """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, CAST(cidx AS BIGINT) AS cidx,
@@ -1144,6 +1193,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_location_nodes": w + SEL_LOCNODES,
         "kg_locations": w + SEL_LOCATIONS,
         "kg_chap_locations": w + SEL_CHAP_LOCATIONS,
+        "kg_creator_events": w + SEL_CREATOR_EVENTS,
         "kg_role_pivot": w + SEL_ROLE_PIVOT,
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,

@@ -85,6 +85,18 @@ def locations_ds(sf_dir: str):
     return features_ds(sf_dir).map_batches(project, batch_format="pyarrow")
 
 
+def creator_events_ds(sf_dir: str):
+    """Creator role/event triples (tag_to_event_role,
+    editionxmltottl.php:5-19 + the commented consumer :118-142). Kept OUT of
+    kg_triples: the reference's consumer is dead code, so emitting these in
+    the headline stream would break triple-set parity. Map-only."""
+    from ..stages.creators import creator_event_triples
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+            .map_batches(creator_event_triples, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def chap_locations_ds(sf_dir: str):
     """Parsed chapter-location markers (M3 bampo/chapter dialect,
     utils.php:707-746): one row per chl{}/chls{} marker with the parsed
