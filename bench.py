@@ -133,17 +133,33 @@ def run_bench(num_cpus: int) -> dict:
     }
 
 
+def _proc_stat() -> tuple[int, int]:
+    """(busy, total) jiffies across all host CPUs from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        parts = [int(x) for x in f.readline().split()[1:]]
+    idle = parts[3] + (parts[4] if len(parts) > 4 else 0)  # idle + iowait
+    total = sum(parts)
+    return total - idle, total
+
+
 def run_fresh(num_cpus: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    b0, t0 = _proc_stat()
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    b1, t1 = _proc_stat()
     # each run writes several GB (checkpoint + graph); force writeback to
     # COMPLETE before the next timed run so one run's dirty pages don't
     # stall the next one's I/O (observed as isolated 1.5× wall-time spikes)
     subprocess.run(["sync"], check=False)
     time.sleep(5)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # host-wide busy fraction over the whole subprocess (warm-up included) —
+    # the epoch-drift evidence the round-2 verdict asked to attach: a pair
+    # whose two halves show very different host_busy ran in different epochs
+    res["host_busy"] = round((b1 - b0) / max(1, t1 - t0), 3)
+    return res
 
 
 def main() -> None:
@@ -171,10 +187,17 @@ def main() -> None:
         # 32-CPU jobs back-to-back per trial and taking the MEDIAN of the
         # per-pair efficiencies cancels the epoch drift instead of letting
         # independent best-of-N minima land in different epochs.
+        # INTERLEAVED A/B ordering (round-2 verdict #3): alternate lo-first /
+        # hi-first per pair so a monotone host-epoch trend cancels across the
+        # pair set instead of consistently flattering one level.
         pairs = []
-        for _ in range(trials):
-            lo = run_fresh(lo_cpus)
-            hi = run_fresh(hi_cpus)
+        for i in range(trials):
+            if i % 2 == 0:
+                lo = run_fresh(lo_cpus)
+                hi = run_fresh(hi_cpus)
+            else:
+                hi = run_fresh(hi_cpus)
+                lo = run_fresh(lo_cpus)
             pairs.append((lo, hi,
                           (hi["triples_per_sec"] / lo["triples_per_sec"])
                           / (hi_cpus / lo_cpus)))
@@ -196,6 +219,8 @@ def main() -> None:
             "pair_efficiencies": [round(p[2], 3) for p in pairs],
             "trials": {f"sec_{lo_cpus}": [p[0]["value"] for p in pairs],
                        f"sec_{hi_cpus}": [p[1]["value"] for p in pairs]},
+            "host_busy": {f"cpus_{lo_cpus}": [p[0].get("host_busy") for p in pairs],
+                          f"cpus_{hi_cpus}": [p[1].get("host_busy") for p in pairs]},
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
