@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
+        "text_repetition": docs.text_repetition_ds,
         "text_vocab": docs.text_vocab_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,

@@ -673,6 +673,31 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "text_repetition": """
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM s),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                         i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))
+        ELSE [] END AS grams
+      FROM s),
+w AS (SELECT doc_id, max(cnt) AS max_cnt FROM (
+        SELECT doc_id, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM s) GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+m AS (SELECT n.doc_id, n.n_tokens, n.n_distinct,
+ round(CASE WHEN n_tokens > 0 THEN n_distinct / CAST(n_tokens AS DOUBLE)
+            ELSE 0 END, 6) AS distinct_ratio,
+ round(CASE WHEN n_tokens > 0 THEN COALESCE(w.max_cnt, 0) / CAST(n_tokens AS DOUBLE)
+            ELSE 0 END, 6) AS top_word_frac,
+ round(CASE WHEN len(grams) > 0
+            THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+            ELSE 0 END, 6) AS dup_2gram_frac
+ FROM n JOIN g USING (doc_id) LEFT JOIN w USING (doc_id))
+SELECT *, (dup_2gram_frac <= 0.05 AND distinct_ratio >= 0.3) AS keep FROM m""",
         "text_guess_lt": _guess_lt_select(),
         "text_langid": f"""
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),

@@ -509,6 +509,57 @@ def text_stats_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+def text_repetition_ds(sf_dir: str,
+                       max_dup_2gram: float = 0.05,
+                       min_distinct_ratio: float = 0.3):
+    """Repetition/diversity quality signals per document (the Gopher-style
+    repetition filters a pre-training curation pass applies before mixing):
+    distinct-word ratio, most-frequent-word fraction, duplicate-2gram
+    fraction, and a keep flag over the rounded values. Pure per-batch map —
+    embarrassingly parallel, no shuffle; uses the same ``[a-z]+`` token
+    grammar as text_stats so the DuckDB twin reproduces every value exactly.
+    The keep thresholds compare the ROUNDED metrics (identically in engine
+    and SQL) so the flag can't flip on a representation boundary."""
+    from collections import Counter
+
+    def rep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n_tok, n_dis, top, dup2 = [], [], [], []
+        for x in df["text"]:
+            ws = _WORD_RE.findall(x.lower())
+            n = len(ws)
+            n_tok.append(n)
+            if n == 0:
+                n_dis.append(0)
+                top.append(0.0)
+                dup2.append(0.0)
+                continue
+            c = Counter(ws)
+            n_dis.append(len(c))
+            top.append(max(c.values()) / n)
+            if n >= 2:
+                grams = list(zip(ws, ws[1:]))
+                dup2.append(1.0 - len(set(grams)) / len(grams))
+            else:
+                dup2.append(0.0)
+        n_tok = np.array(n_tok, dtype="int64")
+        n_dis = np.array(n_dis, dtype="int64")
+        dr = np.round(np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0), 6)
+        top = np.round(np.array(top), 6)
+        dup2 = np.round(np.array(dup2), 6)
+        keep = (dup2 <= max_dup_2gram) & (dr >= min_distinct_ratio)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tok,
+            "n_distinct": n_dis,
+            "distinct_ratio": dr,
+            "top_word_frac": top,
+            "dup_2gram_frac": dup2,
+            "keep": keep}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow")
+
+
 def text_vocab_ds(sf_dir: str, k: int = 100):
     """Corpus vocabulary top-k: the canonical pre-aggregated wordcount.
 
