@@ -698,6 +698,18 @@ m AS (SELECT n.doc_id, n.n_tokens, n.n_distinct,
             ELSE 0 END, 6) AS dup_2gram_frac
  FROM n JOIN g USING (doc_id) LEFT JOIN w USING (doc_id))
 SELECT *, (dup_2gram_frac <= 0.05 AND distinct_ratio >= 0.3) AS keep FROM m""",
+        "text_unigram_logprob": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+sc AS (SELECT t.doc_id, ln(CAST(c.n AS DOUBLE) / tot.total) AS lp
+       FROM tok t JOIN cnt c USING (word) CROSS JOIN tot),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(lp) AS alp
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       round(COALESCE(agg.alp, 0), 6) AS avg_logprob
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
         "text_guess_lt": _guess_lt_select(),
         "text_langid": f"""
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),

@@ -586,6 +586,62 @@ def text_vocab_ds(sf_dir: str, k: int = 100):
             .limit(k))
 
 
+def unigram_logprob_ds(sf_dir: str):
+    """Corpus-unigram-LM quality score per document (the classic
+    perplexity-proxy a curation pass uses to rank documents against the
+    corpus language model).
+
+    Scale shape: pass 1 pre-aggregates (word, n) inside each batch and
+    groupby-sums — the aggregate is VOCABULARY-sized (natural-language
+    vocab, ~10^6-10^7 rows at 100 TB), not corpus-sized, so materializing
+    it once on the driver and ray.put-broadcasting it to a scoring actor
+    pool is the bounded small-side pattern, not a corpus collect. Pass 2 is
+    a per-batch map that averages ln(count(w)/total) over each document's
+    tokens — no further shuffle."""
+    import math
+
+    import ray
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(T.tokens_lower(x))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    total = float(counts["n"].sum())
+    lp_ref = ray.put({w: math.log(c / total)
+                      for w, c in zip(counts["word"], counts["n"])})
+
+    class Scorer:
+        def __init__(self, ref):
+            self.lp = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            scores, ntok = [], []
+            for x in df["text"]:
+                ws = T.tokens_lower(x)
+                ntok.append(len(ws))
+                scores.append(sum(self.lp[w] for w in ws) / len(ws)
+                              if ws else 0.0)
+            return from_pandas_clean(pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "n_tokens": np.array(ntok, dtype="int64"),
+                "avg_logprob": np.round(np.array(scores), 6)}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scorer, fn_constructor_kwargs={"ref": lp_ref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def langid_ds(sf_dir: str):
     """Stopword-hit language-ID heuristic (en/de/fr cascade, deterministic)."""
     sets = {"en": set(T.STOP_EN), "de": set(T.STOP_DE), "fr": set(T.STOP_FR)}
