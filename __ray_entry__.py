@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": docs.text_stats_ds,
         "text_repetition": docs.text_repetition_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
+        "text_contamination": docs.contamination_ds,
         "text_vocab": docs.text_vocab_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,

@@ -698,6 +698,24 @@ m AS (SELECT n.doc_id, n.n_tokens, n.n_distinct,
             ELSE 0 END, 6) AS dup_2gram_frac
  FROM n JOIN g USING (doc_id) LEFT JOIN w USING (doc_id))
 SELECT *, (dup_2gram_frac <= 0.05 AND distinct_ratio >= 0.3) AS keep FROM m""",
+        "text_contamination": """
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, CAST(len(toks) AS BIGINT) - 6),
+        i -> array_to_string(toks[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')))) AS gram
+      FROM s WHERE len(toks) >= 8),
+ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       (d.doc_id % 50 = 0) AS is_benchmark,
+       (COALESCE(hits.n_hits, 0) > 0 AND d.doc_id % 50 != 0) AS contaminated
+FROM documents d
+LEFT JOIN ng ON d.doc_id = ng.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id""",
         "text_unigram_logprob": """
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),

@@ -586,6 +586,69 @@ def text_vocab_ds(sf_dir: str, k: int = 100):
             .limit(k))
 
 
+CONTAM_NGRAM = 8        # words per decontamination shingle
+CONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the held-out benchmark set
+
+
+def contamination_ds(sf_dir: str,
+                     ngram: int = CONTAM_NGRAM,
+                     bench_mod: int = CONTAM_BENCH_MOD):
+    """Benchmark decontamination scan: flag corpus documents sharing any
+    word-{ngram}-gram with a held-out benchmark set (the standard
+    eval-contamination check a pre-training pipeline runs before mixing).
+
+    The benchmark set here is the deterministic doc_id % bench_mod == 0
+    slice of the corpus (the fixture has no external eval set); in
+    production it is the external benchmark corpus. Scale shape: the
+    benchmark gram set is BENCHMARK-sized, not corpus-sized — built from a
+    pushed-down filtered read, materialized once and ray.put-broadcast; the
+    scan is a per-batch set-membership count with no shuffle. A corpus-sized
+    benchmark would instead use the gram-hash co-group path (as
+    dedup_survivors does for its drop set)."""
+    import ray
+
+    def grams_of(ws: list[str]) -> set[str]:
+        if len(ws) < ngram:
+            return set()
+        return {" ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)}
+
+    bench_tbl = (_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(lambda t: t.filter(pc.equal(
+                     # integer divide truncates; doc_id >= 0 so this is mod
+                     pc.subtract(t["doc_id"],
+                                 pc.multiply(pc.divide(t["doc_id"], bench_mod),
+                                             bench_mod)), 0)),
+                     batch_format="pyarrow")).to_pandas()
+    bench: set[str] = set()
+    for x in bench_tbl["text"]:
+        bench |= grams_of(T.tokens_lower(x))
+    bench_ref = ray.put(bench)
+
+    class Scan:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            n_grams, n_hits = [], []
+            for x in df["text"]:
+                gs = grams_of(T.tokens_lower(x))
+                n_grams.append(len(gs))
+                n_hits.append(len(gs & self.bench))
+            is_bench = (df["doc_id"] % bench_mod == 0).to_numpy()
+            hits = np.array(n_hits, dtype="int64")
+            return from_pandas_clean(pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "n_grams": np.array(n_grams, dtype="int64"),
+                "n_hits": hits,
+                "is_benchmark": is_bench,
+                "contaminated": (hits > 0) & ~is_bench}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scan, fn_constructor_kwargs={"ref": bench_ref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def unigram_logprob_ds(sf_dir: str):
     """Corpus-unigram-LM quality score per document (the classic
     perplexity-proxy a curation pass uses to rank documents against the

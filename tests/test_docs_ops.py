@@ -161,6 +161,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
 
 @pytest.mark.parametrize("name", ["dedup_exact", "text_stats", "text_langid",
                                   "text_repetition", "text_unigram_logprob",
+                                  "text_contamination",
                                   "doc_fingerprint", "knn_brute",
                                   "dedup_ngram_pairs", "dedup_embed_pairs",
                                   "rel_pricing_summary", "rel_events_window",
