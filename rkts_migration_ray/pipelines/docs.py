@@ -88,7 +88,14 @@ def charset_pairs_ds(sf_dir: str, threshold: float = 0.9):
 
     groupby(source).map_groups with a vectorized presence-matrix inner join —
     the 'pairs within a partition key' shape; DuckDB's jaccard() is the oracle
-    (identical integer intersection/union → identical doubles)."""
+    (identical integer intersection/union → identical doubles).
+
+    SCALE BOUND: the per-group matrix is O(n_group²) — this op is an
+    oracle-backed SPECIFICATION over bounded fixtures (largest fixture
+    source group ~100 docs), not a production path. Production pair
+    generation is minhash_pairs_ds (bucketed banding, no all-pairs), and
+    dedup_clusters_ds / dedup_survivors_ds consume the MinHash pair stream
+    by default. Do not point this at a source group ≫10⁴ docs."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id").reset_index(drop=True)
@@ -123,7 +130,10 @@ def ngram_pairs_ds(sf_dir: str, threshold: float = 0.2, k: int = 3):
     source group — the SQL-checkable exact twin of the MinHash verify math
     (identical shingle universe as distinct shingle strings). Production
     near-dup at scale is minhash_pairs_ds; this is the oracle-backed
-    specification of its verification semantics."""
+    specification of its verification semantics.
+
+    SCALE BOUND: same O(n_group²) all-pairs shape as charset_pairs_ds —
+    bounded-fixture spec only; see that docstring."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id").reset_index(drop=True)
