@@ -112,6 +112,13 @@ class PipelineConfig:
 
     target: str = "bdrc"              # 'bdrc' applies lang policy + shad (utils.php:804-818)
     one_title_per_lang: bool = False  # ≈ oneTitleInExpression (kernelxmltottl.php:205)
+    # ≈ migrateChapters (rkts.yaml:34; editionxmltottl.php:220 `break`s out of
+    # the chapter loop): False suppresses the chapter hierarchy level (type /
+    # partOf / partIndex / treeIndex / label / hasPart chapter triples) in the
+    # conv windows. The chl{} chapter-location PARSE (kg_chap_locations) stays
+    # available standalone — in the reference the parse helpers exist
+    # independent of the flag too (utils.php:707-746).
+    migrate_chapters: bool = True
     # ≈ useAbstract (rkts.yaml:1, consumed kernelxmltottl.php:114-144): for the
     # bdrc target every curated entity (the catalogue-expression analog) also
     # emits an abstract tr:Work node linked both ways via workHasParallelsIn,

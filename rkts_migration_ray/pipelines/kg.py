@@ -129,7 +129,8 @@ def _conv_stage(feats, cfg: PipelineConfig):
                          batch_format="pyarrow")
             .groupby("conv_bucket")
             .map_groups(lambda df: conv_bucket_triples(
-                df, one_title_per_lang=cfg.one_title_per_lang),
+                df, one_title_per_lang=cfg.one_title_per_lang,
+                migrate_chapters=cfg.migrate_chapters),
                 batch_format="pandas"))
 
 

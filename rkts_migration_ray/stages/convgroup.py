@@ -74,7 +74,8 @@ def _mint_series(facet: str, local: pd.Series, content: pd.Series) -> pd.Series:
     return pd.Series(vals, index=local.index, dtype=object)
 
 
-def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> pa.Table:
+def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False,
+                        migrate_chapters: bool = True) -> pa.Table:
     """One bucket of whole conversations (arbitrary arrival order) →
     window-derived triples. All per-conv windows vectorized over the bucket."""
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
@@ -147,8 +148,10 @@ def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> p
     # (editionxmltottl.php:219-255: chapter node under its text part with
     # partIndex = per-part chapter ordinal, partTreeIndex = parent.'%02d',
     # hasPart edge from the part; label already normalized at extraction)
+    # migrateChapters=false breaks out of the reference's chapter loop
+    # (editionxmltottl.php:220) — the whole hierarchy level disappears
     has_ch = df["chap_label"].map(len).astype(int) > 0
-    if has_ch.any():
+    if migrate_chapters and has_ch.any():
         cc = pd.DataFrame({
             "conv_id": conv[has_ch], "turn_uri": turn_uris[has_ch],
             "graph": graph[has_ch], "tree": tree[has_ch],
@@ -187,7 +190,8 @@ def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> p
         [(c, pa.string()) for c in TRIPLE_COLUMNS]))
 
 
-def conv_group_triples(df: pd.DataFrame, one_title_per_lang: bool = False) -> pd.DataFrame:
+def conv_group_triples(df: pd.DataFrame, one_title_per_lang: bool = False,
+                       migrate_chapters: bool = True) -> pd.DataFrame:
     """Single-conversation reference implementation (used by unit tests and as
     the readable specification of conv_bucket_triples)."""
-    return conv_bucket_triples(df, one_title_per_lang).to_pandas()
+    return conv_bucket_triples(df, one_title_per_lang, migrate_chapters).to_pandas()

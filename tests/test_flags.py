@@ -98,3 +98,35 @@ def test_props_edges_unaffected_by_flags():
         assert list(df.loc[df["pred"] == "tr:workIsAbout", "obj"]) == ["ENT:E9"]
         q = df[df["graph"] == "G:quarantine"]
         assert list(q["pred"]) == ["q:prop_self_loop"]
+
+
+def test_migrate_chapters_off_drops_chapter_level():
+    """≈ migrateChapters=false (rkts.yaml:34): editionxmltottl.php:220 breaks
+    out of the chapter loop, so the whole chapter hierarchy level disappears
+    while every other window triple is unchanged."""
+    from rkts_migration_ray.config import T_CHAPTER
+    from rkts_migration_ray.stages import extract
+    from rkts_migration_ray.stages.convgroup import (
+        CONV_GROUP_COLUMNS,
+        conv_group_triples,
+    )
+
+    b = pa.table({
+        "conv_id": pa.array(["c0"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["sec{mdo sde} chap{1. nga ro} chap{rgyud pa}"],
+                         pa.string()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+    })
+    df = extract.extract_features(b).select(CONV_GROUP_COLUMNS).to_pandas()
+    on = conv_group_triples(df)
+    off = conv_group_triples(df, migrate_chapters=False)
+    assert (on["obj"] == T_CHAPTER).sum() == 2
+    assert not (off["obj"] == T_CHAPTER).any()
+    assert not off["subj"].str.startswith("N:CH").any()
+    keep = on[~(on["subj"].str.startswith("N:CH")
+                | on["obj"].str.startswith("N:CH"))].reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(keep, off.reset_index(drop=True))
