@@ -115,6 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": docs.doc_chunks_ds,
         "sample_stratified": docs.sample_stratified_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
+        "dedup_embed_clusters": lambda sf: docs.dedup_clusters_ds(
+            sf, pair_source="embed").map_batches(
+                lambda t: t.select(["doc_id", "component"]).rename_columns(
+                    ["vec_id", "component"]),
+                batch_format="pyarrow"),
         "dedup_survivors": docs.dedup_survivors_ds,
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,

@@ -861,6 +861,20 @@ SELECT doc_id, lang, bucket FROM h
 WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          WHEN 'es' THEN 250 WHEN 'fr' THEN 100
                          WHEN 'zh' THEN 100 ELSE 50 END""",
+        "dedup_embed_clusters": """
+WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings WHERE vec_id % 5 = 0),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM e0 a JOIN e0 b
+      ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node)
+SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node""",
         "dedup_clusters": _minhash_pair_ctes().replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
 e AS (SELECT doc_a AS a, doc_b AS b FROM p

@@ -1203,6 +1203,13 @@ def dedup_clusters_ds(sf_dir: str, max_iters: int = 16,
         pairs = minhash_pairs_ds(sf_dir)
     elif pair_source == "charset":
         pairs = charset_pairs_ds(sf_dir)
+    elif pair_source == "embed":
+        # semantic near-dup: cosine pair graph over the embedding subset
+        # (vec ids play the node role; renamed to the edge-list contract)
+        pairs = embed_pairs_ds(sf_dir).map_batches(
+            lambda t: t.select(["vec_a", "vec_b"]).rename_columns(
+                ["doc_a", "doc_b"]),
+            batch_format="pyarrow")
     else:
         raise ValueError(f"unknown pair_source {pair_source!r}")
     if isinstance(pairs, pd.DataFrame):
