@@ -670,7 +670,10 @@ def unigram_logprob_ds(sf_dir: str):
     it once on the driver and ray.put-broadcasting it to a scoring actor
     pool is the bounded small-side pattern, not a corpus collect. Pass 2 is
     a per-batch map that averages ln(count(w)/total) over each document's
-    tokens — no further shuffle."""
+    tokens — no further shuffle. If a corpus's vocabulary ever exceeds the
+    broadcast budget, score via the word-hash-bucket co-group path instead
+    (the shape tfidf_top_term_ds already uses) — token stream and counts
+    co-grouped on hash(word) % B, then a per-doc sum-reduce."""
     import math
 
     import ray
