@@ -73,3 +73,64 @@ def test_title_dedup_key_case_sep_insensitive(xs):
         variant = x.upper().replace(" ", "-")
         k2 = normalize.title_dedup_key(pa.array([variant], pa.string()))[0].as_py()
         assert k2 == k
+
+
+# ---------------------------------------------------------------------------
+# Extractor robustness: arbitrary marker soup must never raise, and the
+# per-turn list columns must keep their structural invariants. The fixture
+# generator only emits well-formed markers; real transcripts will not.
+# ---------------------------------------------------------------------------
+
+_MARKERS = ["sec{", "chap{", "ttl[", "ttl[bo]{", "@[", "loc{", "locs{",
+            "chl{", "chls{", "}", "]{", "]"]
+
+
+@st.composite
+def _marker_soup(draw):
+    parts = draw(st.lists(
+        st.one_of(st.sampled_from(_MARKERS), ascii_text), max_size=12))
+    return " ".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_marker_soup(), min_size=1, max_size=4))
+def test_extract_features_total_on_marker_soup(texts):
+    from rkts_migration_ray.stages.extract import extract_features
+
+    n = len(texts)
+    batch = pa.table({
+        "conv_id": pa.array([f"c{i % 2}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(list(range(n)), pa.int32()),
+        "role": pa.array(["user"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([""] * n, pa.string()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+    })
+    out = extract_features(batch, include_chaploc=True)
+    assert out.num_rows == n
+    for c in ("mentions", "title_bcp", "title_label", "title_key",
+              "chap_label"):
+        col = out[c].to_pylist()
+        assert len(col) == n
+        assert all(isinstance(v, list) for v in col)
+    # parallel title lists stay aligned
+    for b, l, k in zip(out["title_bcp"].to_pylist(),
+                       out["title_label"].to_pylist(),
+                       out["title_key"].to_pylist()):
+        assert len(b) == len(l) == len(k)
+
+
+@settings(max_examples=150, deadline=None)
+@given(ascii_text)
+def test_loc_parsers_total_on_arbitrary_bodies(body):
+    import pyarrow as pa
+
+    from rkts_migration_ray.functions.locations import (
+        parse_loc_full,
+        parse_loc_simple,
+    )
+
+    arr = pa.array([body, None], pa.string())
+    for parsed in (parse_loc_full(arr), parse_loc_simple(arr)):
+        assert len(parsed["valid"]) == 2
