@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,
         # --- similarity search ----------------------------------------------
+        "embed_quantize": docs.embed_quantize_ds,
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)

@@ -861,6 +861,16 @@ SELECT doc_id, lang, bucket FROM h
 WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          WHEN 'es' THEN 250 WHEN 'fr' THEN 100
                          WHEN 'zh' THEN 100 ELSE 50 END""",
+        "embed_quantize": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb,
+        sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm,
+        127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+      FROM e)
+SELECT vec_id, round(norm, 6) AS norm, round(scale, 6) AS scale,
+ array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS BIGINT)), ',')
+   AS q_csv
+FROM m""",
         "dedup_embed_clusters": """
 WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                       FROM embeddings WHERE vec_id % 5 = 0),

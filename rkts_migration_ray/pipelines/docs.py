@@ -779,6 +779,40 @@ KNN_K = 10
 KNN_N_QUERIES = 4
 
 
+def embed_quantize_ds(sf_dir: str):
+    """Embedding preprocessing for storage/serving: L2 norm and symmetric
+    int8 quantization (scale = 127 / max|x| per vector, values rounded half
+    away from zero — DuckDB's round() semantics, matched exactly via
+    sign(x)*floor(|x|+0.5)). Pure per-batch numpy map, no shuffle; the
+    quantized vector is serialized as a comma-joined string so the parity
+    comparator (and any columnar consumer) gets a flat, sortable column."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "norm": pa.array([], pa.float64()),
+                             "scale": pa.array([], pa.float64()),
+                             "q_csv": pa.array([], pa.string())})
+        norm = np.sqrt(np.sum(E * E, axis=1))
+        scale = 127.0 / np.max(np.abs(E), axis=1)
+        v = E * scale[:, None]
+        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        csv = [",".join(map(str, row)) for row in q]
+        return from_pandas_clean(pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "norm": np.round(norm, 6),
+            "scale": np.round(scale, 6),
+            "q_csv": pd.Series(csv, dtype="object")}))
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).map_batches(
+            quant, batch_format="pyarrow")
+
+
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):

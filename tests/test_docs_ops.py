@@ -172,7 +172,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "dedup_embed_clusters",
+                                  "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
                                   "text_distinct_sketch",
