@@ -1263,6 +1263,9 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_adjacency": w + _adjacency_select(full_union),
         "kg_degrees": w + _degrees_select(full_union),
+        "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
+                             "n_triples FROM (" + full_union +
+                             ") GROUP BY pred",
         "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,

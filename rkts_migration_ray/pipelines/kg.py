@@ -581,6 +581,31 @@ def kg_adjacency_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             .map_groups(adjacency, batch_format="pandas"))
 
 
+def kg_pred_stats_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                     concurrency: int = 8):
+    """Per-predicate triple counts — the schema-profile primitive over the
+    emitted graph (what a downstream consumer checks before loading).
+
+    Scale shape: each batch ships its PARTIAL per-predicate counts (bounded
+    by the predicate vocabulary, a few dozen rows per block, never the
+    triple count), so the groupby-sum shuffle is trivially small."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = np.asarray(t["pred"], dtype=object).astype(str)
+        p, c = np.unique(pred, return_counts=True)
+        return pa.table({"pred": pa.array(p, pa.string()),
+                         "n_triples": pa.array(c.astype(np.int64))})
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pred")
+            .aggregate(Sum("n_triples", alias_name="n_triples")))
+
+
 def kg_degrees_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                   concurrency: int = 8):
     """Graph degree table: per node, out-degree (rows with the node as
