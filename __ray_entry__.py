@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chap_locations": kg.chap_locations_ds,
         "kg_creator_events": kg.creator_events_ds,
         "kg_role_pivot": kg.role_pivot_ds,
+        "conv_flatten": kg.conv_flatten_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
         "kg_ntriples": kg.ntriples_lines_ds,
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": docs.text_clean_ds,
         "doc_chunks": docs.doc_chunks_ds,
         "sample_stratified": docs.sample_stratified_ds,
+        "pack_sequences": docs.pack_sequences_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
         "dedup_embed_clusters": lambda sf: docs.dedup_clusters_ds(
             sf, pair_source="embed").map_batches(

@@ -698,6 +698,19 @@ m AS (SELECT n.doc_id, n.n_tokens, n.n_distinct,
             ELSE 0 END, 6) AS dup_2gram_frac
  FROM n JOIN g USING (doc_id) LEFT JOIN w USING (doc_id))
 SELECT *, (dup_2gram_frac <= 0.05 AND distinct_ratio >= 0.3) AS keep FROM m""",
+        "pack_sequences": """
+WITH tok AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+      FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
+      FROM tok)
+SELECT doc_id, n_tokens, cum_before,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+FROM c""",
         "text_contamination": """
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
            FROM documents),
@@ -1277,6 +1290,14 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_chap_locations": w + SEL_CHAP_LOCATIONS,
         "kg_creator_events": w + SEL_CREATOR_EVENTS,
         "kg_role_pivot": w + SEL_ROLE_PIVOT,
+        "conv_flatten": w + """
+SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    string_agg(COALESCE(role,'')
+      || CASE WHEN COALESCE(tool,'') <> '' THEN '[' || tool || ']' ELSE '' END
+      || ': ' || COALESCE(text,''),
+      chr(10) ORDER BY turn_idx, role, text) AS doc
+  FROM t GROUP BY conv_id)""",
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,
         "kg_reproductions": w + _repro_select(),

@@ -813,6 +813,76 @@ def embed_quantize_ds(sf_dir: str):
             quant, batch_format="pyarrow")
 
 
+PACK_SEQ_LEN = 2048
+
+
+def pack_sequences_ds(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
+    """Sequence packing (concat-then-chunk): place every document into the
+    fixed-length training-sequence stream you'd get by concatenating the
+    corpus in doc_id order and cutting every ``seq_len`` tokens — the packing
+    step a pre-training data loader runs after curation. Emits per document
+    its global token offset (cum_before), the sequence it starts in (seq_id)
+    and the offset within that sequence (seq_offset).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a driver-side scan:
+      1. one map_batches pass tokenizes ([a-z]+ grammar shared with
+         text_stats) and tags each doc with an ORDERED range bucket
+         (doc_id // width); the (doc_id, n_tokens, rbucket) stream is
+         materialized once (16 bytes/doc) so tokenization isn't paid twice;
+      2. a groupby(rbucket) sum yields ONE row per bucket; only that tiny
+         table reaches the driver for the exclusive scan (n_buckets scalars,
+         ~CPU count — never the corpus);
+      3. the bucket-offset dict is captured by a per-bucket map_groups that
+         cumsums locally and adds its bucket's offset — embarrassingly
+         parallel, no further shuffle.
+    Docs may straddle sequence boundaries (concat-then-chunk semantics), so
+    packing is exact and order-stable across cluster sizes."""
+    import ray.data as rd  # noqa: F401  (Dataset ops below)
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    max_id = int(_docs(sf_dir, ["doc_id"]).max("doc_id"))
+    n_buckets = scale_buckets(16, 2)
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    def tok(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy("int64")
+        n = np.fromiter((len(_WORD_RE.findall(x.lower())) for x in df["text"]),
+                        dtype="int64", count=len(df))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n),
+                         "rbucket": pa.array(ids // width)})
+
+    toks = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize())
+
+    totals = (toks.groupby("rbucket")
+              .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+              .take_all())
+    totals.sort(key=lambda r: r["rbucket"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[int(r["rbucket"])] = acc
+        acc += int(r["bucket_tokens"])
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("doc_id", kind="stable")
+        base = offsets[int(df["rbucket"].iloc[0])]
+        n = df["n_tokens"].to_numpy("int64")
+        cum_before = base + np.cumsum(n) - n
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "n_tokens": n,
+            "cum_before": cum_before,
+            "seq_id": cum_before // seq_len,
+            "seq_offset": cum_before % seq_len}))
+
+    return toks.groupby("rbucket").map_groups(finalize, batch_format="pandas")
+
+
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):

@@ -243,6 +243,55 @@ def role_pivot_ds(sf_dir: str):
             .map_groups(pivot, batch_format="pandas"))
 
 
+def conv_flatten_ds(sf_dir: str):
+    """Conversation → one SFT-style training document: turns sorted by
+    turn_idx (the north-rule's per-turn-text-equality-under-stable-turn-
+    ordering invariant, made the product), each rendered as
+    ``role[tool]: text`` and newline-joined. This is the transcript analog
+    of the reference's per-resource serialization (utils.php:844-850: all of
+    a resource's triples gathered into one file) — here all of a
+    conversation's turns gathered into one training row.
+
+    Scale shape: conv_id-bucketed shuffle (same fan-out as conv windows),
+    then a vectorized per-bucket sort + groupby join — no driver
+    materialization; ties beyond turn_idx are broken by (role, text) so the
+    output is deterministic even against a malformed duplicate-turn input."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    schema = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                        ("n_chars", pa.int64()), ("doc", pa.string())])
+
+    def flatten(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"],
+                            kind="stable")
+        role = df["role"].fillna("").astype(str)
+        tool = df["tool"].fillna("").astype(str)
+        text = df["text"].fillna("").astype(str)
+        line = np.where(tool.to_numpy() != "",
+                        role + "[" + tool + "]: " + text,
+                        role + ": " + text)
+        g = (pd.DataFrame({"conv_id": df["conv_id"], "line": line})
+             .groupby("conv_id", sort=False)["line"])
+        agg = g.agg(n_turns="size", doc="\n".join).reset_index()
+        return from_pandas_clean(pd.DataFrame({
+            "conv_id": agg["conv_id"],
+            "n_turns": agg["n_turns"].astype("int64"),
+            "n_chars": agg["doc"].str.len().astype("int64"),
+            "doc": agg["doc"]}), schema=schema)
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+            .map_batches(add_conv_bucket,
+                         fn_kwargs={"n_buckets": conv_buckets()},
+                         batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(flatten, batch_format="pandas"))
+
+
 def location_nodes_ds(sf_dir: str):
     """ContentLocation facet nodes + typed edges (M12 analog) — no shuffle."""
     return features_ds(sf_dir).map_batches(location_triples,
