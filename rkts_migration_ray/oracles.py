@@ -1290,6 +1290,13 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_chap_locations": w + SEL_CHAP_LOCATIONS,
         "kg_creator_events": w + SEL_CREATOR_EVENTS,
         "kg_role_pivot": w + SEL_ROLE_PIVOT,
+        "kg_cooccurrence": w + """
+SELECT a.entity_uri AS e1, b.entity_uri AS e2,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+  ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+GROUP BY 1, 2""",
         "conv_flatten": w + """
 SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

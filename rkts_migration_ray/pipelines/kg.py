@@ -292,6 +292,74 @@ def conv_flatten_ds(sf_dir: str):
             .map_groups(flatten, batch_format="pandas"))
 
 
+def cooccurrence_ds(sf_dir: str, concurrency: int = 8):
+    """Entity co-occurrence graph: for every entity pair, the number of
+    conversations that mention both — the relation-DISCOVERY primitive a KG
+    pipeline runs after linking (candidate edges for a later typed-relation
+    pass; the reference's analog is the cross-record KTMapping parallels).
+
+    Scale shape: (conv, entity) rows are made DISTINCT per batch before the
+    conv-bucket shuffle (combiner), pairs are generated per conversation —
+    quadratic only in one conversation's distinct gazetteer entities, which
+    is bounded by conversation length, never by corpus size — and pre-summed
+    inside each conv bucket; the final per-pair sum co-groups on a PAIR-HASH
+    bucket so a globally hot pair spreads across tasks no worse than any
+    other key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    npair_buckets = scale_buckets(32, 2)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["conv_id", "entity_uri"]).aggregate([])
+
+    def conv_pairs(df: pd.DataFrame) -> pa.Table:
+        d = df[["conv_id", "entity_uri"]].drop_duplicates()
+        es1, es2 = [], []
+        for _, g in d.groupby("conv_id", sort=False):
+            ents = np.sort(g["entity_uri"].to_numpy(dtype=object))
+            if len(ents) < 2:
+                continue
+            i, j = np.triu_indices(len(ents), 1)
+            es1.append(ents[i])
+            es2.append(ents[j])
+        if not es1:
+            return pa.table({"e1": pa.array([], pa.string()),
+                             "e2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int64())})
+        pr = pd.DataFrame({"e1": np.concatenate(es1),
+                           "e2": np.concatenate(es2)})
+        agg = pr.groupby(["e1", "e2"], sort=False).size().reset_index(name="n")
+        key = pa.array((agg["e1"] + "\x1f" + agg["e2"]).to_numpy(dtype=object),
+                       pa.string())
+        return pa.table({"e1": pa.array(agg["e1"], pa.string()),
+                         "e2": pa.array(agg["e2"], pa.string()),
+                         "n": pa.array(agg["n"].to_numpy("int64")),
+                         "pbucket": hash_bucket(key, npair_buckets)})
+
+    def pair_sum(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["e1", "e2"], sort=False)["n"].sum().reset_index()
+        return from_pandas_clean(pd.DataFrame({
+            "e1": agg["e1"], "e2": agg["e2"],
+            "n_convs": agg["n"].astype("int64")}))
+
+    return (linked_mentions_ds(sf_dir, concurrency)
+            .select_columns(["conv_id", "entity_uri"])
+            .map_batches(batch_distinct, batch_format="pyarrow")
+            .map_batches(add_conv_bucket,
+                         fn_kwargs={"n_buckets": conv_buckets()},
+                         batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(conv_pairs, batch_format="pandas")
+            .groupby("pbucket")
+            .map_groups(pair_sum, batch_format="pandas"))
+
+
 def location_nodes_ds(sf_dir: str):
     """ContentLocation facet nodes + typed edges (M12 analog) — no shuffle."""
     return features_ds(sf_dir).map_batches(location_triples,
