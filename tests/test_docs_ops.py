@@ -172,6 +172,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
+                                  "pack_sequences",
                                   "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
@@ -392,3 +393,87 @@ def test_distinct_sketch_accuracy(sf_tag):
         "lower(text), '[a-z]+')) AS w FROM read_parquet("
         f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet'))").fetchone()[0]
     assert abs(est - true) / true < 0.4
+
+
+def test_pack_sequences_reference(tmp_path):
+    """Packing equals a single-process prefix sum over doc_id order, and the
+    stream is gap-free: every doc starts exactly where the previous ended."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfpack"
+    d.mkdir()
+    texts = ["alpha beta gamma", "", "one two three four five six seven",
+             "x " * 3000, "tail words"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 3, 7, 42, 99], pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+    out = (docs.pack_sequences_ds(str(d), seq_len=16).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ids = [3, 7, 10, 42, 99]
+    ntok = {i: len(re.findall(r"[a-z]+", t.lower()))
+            for i, t in zip([10, 3, 7, 42, 99], texts)}
+    cum = 0
+    for i in ids:
+        row = out[out["doc_id"] == i].iloc[0]
+        assert row["n_tokens"] == ntok[i]
+        assert row["cum_before"] == cum          # gap-free concat stream
+        assert row["seq_id"] == cum // 16
+        assert row["seq_offset"] == cum % 16
+        cum += ntok[i]
+
+
+def test_conv_flatten_roundtrip(sf_tag):
+    """The flattened doc splits back into exactly the conversation's turns in
+    turn_idx order — the north-rule per-turn-text-equality invariant."""
+    import duckdb
+
+    from rkts_migration_ray import fixtures
+    from rkts_migration_ray.pipelines import kg
+
+    out = kg.conv_flatten_ds(sf_tag).to_pandas()
+    con = duckdb.connect()
+    tr = fixtures.transcripts_glob(sf_tag)
+    truth = con.execute(
+        f"""SELECT conv_id, list(text ORDER BY turn_idx) AS texts,
+                   list(role ORDER BY turn_idx) AS roles,
+                   list(tool ORDER BY turn_idx) AS tools
+            FROM read_parquet('{tr}') GROUP BY conv_id""").df()
+    truth = truth.set_index("conv_id")
+    assert len(out) == len(truth)
+    sample = out.sort_values("conv_id").head(25)
+    for _, r in sample.iterrows():
+        texts = truth.loc[r["conv_id"], "texts"]
+        roles = truth.loc[r["conv_id"], "roles"]
+        tools = truth.loc[r["conv_id"], "tools"]
+        lines = r["doc"].split("\n")
+        # a turn's text may itself contain no newlines in the fixture, so the
+        # split is exact; each line must reproduce the turn verbatim
+        assert len(lines) == r["n_turns"] == len(texts)
+        for line, text, role, tool in zip(lines, texts, roles, tools):
+            hdr = f"{role}[{tool}]: " if tool else f"{role}: "
+            assert line == hdr + text
+
+
+def test_cooccurrence_brute_force(tmp_path):
+    """Pair counts equal the brute-force set intersection on a tiny corpus
+    routed through the real linker fixture tables."""
+    import itertools
+
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import kg
+
+    lm = kg.linked_mentions_ds("sf0.001").to_pandas()
+    truth = {}
+    for conv, g in lm.groupby("conv_id"):
+        for a, b in itertools.combinations(sorted(set(g["entity_uri"])), 2):
+            truth[(a, b)] = truth.get((a, b), 0) + 1
+    out = kg.cooccurrence_ds("sf0.001").to_pandas()
+    got = {(r["e1"], r["e2"]): r["n_convs"] for _, r in out.iterrows()}
+    assert got == truth
