@@ -673,6 +673,27 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "text_quality_bins": f"""
+WITH s AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+s2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS n_stop
+       FROM s),
+q AS (SELECT doc_id,
+       CAST(round(round((1.0 - CASE WHEN n_tokens > 0
+                    THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
+             * least(1.0, n_tokens / 200.0), 6) * 1000000) AS BIGINT) AS q_micro
+      FROM s2),
+r AS (SELECT q_micro, row_number() OVER (ORDER BY q_micro) AS rk,
+             count(*) OVER () AS n FROM q),
+th AS (SELECT g.k, min(r.q_micro) AS t
+       FROM range(1, 10) AS g(k)
+       JOIN r ON r.rk = CAST(ceil(g.k * r.n / 10.0) AS BIGINT)
+       GROUP BY g.k)
+SELECT q.doc_id, q.q_micro,
+       CAST(COALESCE(sum(CASE WHEN q.q_micro > th.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS decile
+FROM q CROSS JOIN th GROUP BY q.doc_id, q.q_micro""",
         "text_repetition": """
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
            FROM documents),

@@ -519,6 +519,58 @@ def text_stats_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+def quality_bins_ds(sf_dir: str, n_bins: int = 10):
+    """Quality-decile binning (curriculum / mixture construction: split the
+    corpus into quality tiers before weighting them into a training mix).
+    Bin thresholds use value-at-rank (percentile_disc) semantics — tie-stable
+    because the sorted multiset's value at a fixed rank is independent of tie
+    order — and all comparisons run in INTEGER micro-units
+    (round(quality·1e6)) so no float-representation edge can flip a doc
+    across a bin boundary between the engine and the SQL twin.
+
+    Distributed shape: the per-doc stream never shuffles — a per-batch
+    (q_micro, n) partial histogram feeds one tiny groupby-sum (bounded by
+    distinct rounded quality values, ≤ 1e6 rows however large the corpus);
+    the driver walks that histogram once for the n_bins−1 thresholds and
+    broadcasts them into a second pure map over the materialized stats."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def micro(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["quality"], dtype=np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "q_micro": pa.array(np.rint(q * 1e6).astype(np.int64))})
+
+    qm = (text_stats_ds(sf_dir).select_columns(["doc_id", "quality"])
+          .map_batches(micro, batch_format="pyarrow").materialize())
+
+    def hpart(t: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(t["q_micro"], dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"q_micro": pa.array(v),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = (qm.map_batches(hpart, batch_format="pyarrow")
+            .groupby("q_micro").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("q_micro"))
+    vals = hist["q_micro"].to_numpy("int64")
+    cum = np.cumsum(hist["n"].to_numpy("int64"))
+    n = int(cum[-1])
+    # value at 1-based rank ceil(k·n/n_bins), k = 1..n_bins-1 (same float
+    # ceil as the SQL twin)
+    th = np.array([vals[np.searchsorted(cum, math.ceil(k * n / float(n_bins)))]
+                   for k in range(1, n_bins)], dtype=np.int64)
+
+    def binize(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["q_micro"], dtype=np.int64)
+        dec = (q[:, None] > th[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "q_micro": t["q_micro"],
+                         "decile": pa.array(dec)})
+
+    return qm.map_batches(binize, batch_format="pyarrow")
+
+
 def text_repetition_ds(sf_dir: str,
                        max_dup_2gram: float = 0.05,
                        min_distinct_ratio: float = 0.3):

