@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": docs.sample_stratified_ds,
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
+        "sample_token_budget": docs.sample_token_budget_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
         "dedup_embed_clusters": lambda sf: docs.dedup_clusters_ds(
             sf, pair_source="embed").map_batches(

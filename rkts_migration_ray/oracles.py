@@ -673,6 +673,28 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "sample_token_budget": """
+WITH tok AS (SELECT doc_id, source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+      FROM documents),
+st AS (SELECT source, sum(n_tokens) AS t_s,
+              CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS w
+       FROM tok GROUP BY source),
+g AS (SELECT sum(t_s) AS t_total, sum(w) AS w_total FROM st),
+th AS (SELECT st.source,
+         CASE WHEN st.t_s = 0 THEN CAST(1000000 AS HUGEINT)
+              ELSE least(CAST(1000000 AS HUGEINT),
+                         (CAST(g.t_total AS HUGEINT) * st.w * 1000000)
+                         // (2 * CAST(g.w_total AS HUGEINT) * st.t_s))
+         END AS thresh
+       FROM st, g),
+h AS (SELECT t.doc_id, t.source, t.n_tokens,
+        CAST(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             % 1000000 AS BIGINT) AS bucket
+      FROM tok t)
+SELECT h.doc_id, h.source, h.n_tokens, h.bucket
+FROM h JOIN th USING (source)
+WHERE h.bucket < th.thresh""",
         "text_quality_bins": f"""
 WITH s AS (SELECT doc_id,
                   regexp_extract_all(lower(text), '[a-z]+') AS toks

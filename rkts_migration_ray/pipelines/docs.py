@@ -519,6 +519,75 @@ def text_stats_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+# domain-mix weights for the token-budget sampler (relative, unnormalized)
+MIX_WEIGHTS = {"src0": 4, "src1": 2}
+MIX_DEFAULT_WEIGHT = 1
+
+
+def sample_token_budget_ds(sf_dir: str):
+    """Domain-mixture sampling to a TOKEN budget: keep each source at the
+    deterministic rate that makes the kept corpus approximate the target mix
+    (MIX_WEIGHTS) inside half the corpus's total tokens — the step that
+    turns "we want 4 parts src0 : 2 parts src1 : 1 part rest, B tokens
+    total" into per-doc keep decisions. Unlike sample_stratified (config
+    rates), the rates here are DERIVED FROM DATA: per-source token totals.
+
+    Distributed shape: pass 1 is a per-batch (source, token) partial sum
+    into a tiny groupby (one row per source — never per doc); the driver
+    computes thresholds in EXACT integer arithmetic (Python bigints here,
+    HUGEINT in the DuckDB twin — no float division anywhere, so no
+    representation edge can flip a doc) and broadcasts them into a pure
+    hash-filter map. Keep decisions are md5-hash based, so the sample is
+    reproducible across runs, shards and cluster sizes."""
+    from ray.data.aggregate import Sum
+
+    def tokp(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = np.fromiter((len(_WORD_RE.findall(x.lower())) for x in df["text"]),
+                        dtype="int64", count=len(df))
+        agg = (pd.DataFrame({"source": df["source"], "n_tokens": n})
+               .groupby("source", as_index=False)["n_tokens"].sum())
+        return pa.table({"source": pa.array(agg["source"], pa.string()),
+                         "t_s": pa.array(agg["n_tokens"].to_numpy("int64"))})
+
+    st = (_docs(sf_dir, ["doc_id", "source", "text"])
+          .map_batches(tokp, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby("source").aggregate(Sum("t_s", alias_name="t_s"))
+          .to_pandas())
+    t_total = int(st["t_s"].sum())
+    weights = {s: MIX_WEIGHTS.get(s, MIX_DEFAULT_WEIGHT) for s in st["source"]}
+    w_total = sum(weights.values())
+    # budget = t_total // 2; thresh_s/1e6 ≈ min(1, budget·w_s/(W·t_s)) —
+    # exact bigint math, identical to the twin's HUGEINT expression
+    thresh = {}
+    for _, r in st.iterrows():
+        s, t_s = r["source"], int(r["t_s"])
+        thresh[s] = (1_000_000 if t_s == 0 else
+                     min(1_000_000,
+                         (t_total * weights[s] * 1_000_000)
+                         // (2 * w_total * t_s)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = np.fromiter((len(_WORD_RE.findall(x.lower())) for x in df["text"]),
+                        dtype="int64", count=len(df))
+        buckets = pd.Series(
+            [int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+             % 1_000_000 for d in df["doc_id"]],
+            index=df.index, dtype="int64")
+        lim = df["source"].map(thresh).astype("int64")
+        mask = (buckets < lim).to_numpy()
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df.loc[mask, "doc_id"].astype("int64"),
+            "source": df.loc[mask, "source"],
+            "n_tokens": pd.Series(n[mask], index=df.index[mask],
+                                  dtype="int64"),
+            "bucket": buckets[mask]}))
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def quality_bins_ds(sf_dir: str, n_bins: int = 10):
     """Quality-decile binning (curriculum / mixture construction: split the
     corpus into quality tiers before weighting them into a training mix).

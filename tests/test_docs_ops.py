@@ -172,7 +172,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "pack_sequences", "text_quality_bins",
+                                  "pack_sequences", "text_quality_bins", "sample_token_budget",
                                   "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
@@ -493,3 +493,30 @@ def test_quality_bins_properties(sf_tag):
     sizes = out.groupby("decile").size()
     assert sizes.max() <= len(out)  # sanity
     assert sizes.idxmin() in range(10)
+
+
+def test_sample_token_budget_tracks_mix(sf_tag):
+    """Kept token mass lands near the per-source target shares: a weighted
+    source keeps ~w_s/W of the half-corpus budget (within hash-sampling
+    noise) and never exceeds its own full token mass."""
+    import duckdb
+
+    from rkts_migration_ray.pipelines import docs
+
+    out = docs.sample_token_budget_ds(sf_tag).to_pandas()
+    con = duckdb.connect()
+    full = con.execute(
+        "SELECT source, sum(len(regexp_extract_all(lower(text), '[a-z]+')))"
+        " AS t FROM read_parquet("
+        f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet') GROUP BY source"
+    ).df().set_index("source")["t"]
+    kept = out.groupby("source")["n_tokens"].sum()
+    t_total = int(full.sum())
+    w = {s: docs.MIX_WEIGHTS.get(s, docs.MIX_DEFAULT_WEIGHT)
+         for s in full.index}
+    w_total = sum(w.values())
+    for s in full.index:
+        target = min(full[s], t_total * w[s] / (2 * w_total))
+        assert kept.get(s, 0) <= full[s]
+        # hash sampling is binomial over ~25 docs/source: loose 2x band
+        assert kept.get(s, 0) <= 2.2 * target + 200
