@@ -532,26 +532,42 @@ def sample_token_budget_ds(sf_dir: str):
     total" into per-doc keep decisions. Unlike sample_stratified (config
     rates), the rates here are DERIVED FROM DATA: per-source token totals.
 
-    Distributed shape: pass 1 is a per-batch (source, token) partial sum
-    into a tiny groupby (one row per source — never per doc); the driver
-    computes thresholds in EXACT integer arithmetic (Python bigints here,
-    HUGEINT in the DuckDB twin — no float division anywhere, so no
-    representation edge can flip a doc) and broadcasts them into a pure
-    hash-filter map. Keep decisions are md5-hash based, so the sample is
+    Distributed shape: the text is read and tokenized ONCE — the per-doc
+    (doc_id, source, n_tokens, bucket) stats stream (≈24 bytes/doc, no
+    text) is materialized, a per-batch (source, tokens) partial sum feeds a
+    tiny groupby (one row per source — never per doc), the driver computes
+    thresholds in EXACT integer arithmetic (Python bigints here, HUGEINT in
+    the DuckDB twin — no float division anywhere, so no representation edge
+    can flip a doc) and the final stage is a pure filter over the already-
+    materialized stats. Keep decisions are md5-hash based, so the sample is
     reproducible across runs, shards and cluster sizes."""
     from ray.data.aggregate import Sum
 
-    def tokp(t: pa.Table) -> pa.Table:
+    def stats(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         n = np.fromiter((len(_WORD_RE.findall(x.lower())) for x in df["text"]),
                         dtype="int64", count=len(df))
-        agg = (pd.DataFrame({"source": df["source"], "n_tokens": n})
-               .groupby("source", as_index=False)["n_tokens"].sum())
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+             % 1_000_000 for d in df["doc_id"]),
+            dtype="int64", count=len(df))
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy("int64")),
+                         "source": pa.array(df["source"], pa.string()),
+                         "n_tokens": pa.array(n),
+                         "bucket": pa.array(buckets)})
+
+    per_doc = (_docs(sf_dir, ["doc_id", "source", "text"])
+               .map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .materialize())
+
+    def tokp(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        agg = df.groupby("source", as_index=False)["n_tokens"].sum()
         return pa.table({"source": pa.array(agg["source"], pa.string()),
                          "t_s": pa.array(agg["n_tokens"].to_numpy("int64"))})
 
-    st = (_docs(sf_dir, ["doc_id", "source", "text"])
-          .map_batches(tokp, batch_format="pyarrow", zero_copy_batch=True)
+    st = (per_doc.map_batches(tokp, batch_format="pyarrow")
           .groupby("source").aggregate(Sum("t_s", alias_name="t_s"))
           .to_pandas())
     t_total = int(st["t_s"].sum())
@@ -569,23 +585,11 @@ def sample_token_budget_ds(sf_dir: str):
 
     def keep(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        n = np.fromiter((len(_WORD_RE.findall(x.lower())) for x in df["text"]),
-                        dtype="int64", count=len(df))
-        buckets = pd.Series(
-            [int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
-             % 1_000_000 for d in df["doc_id"]],
-            index=df.index, dtype="int64")
         lim = df["source"].map(thresh).astype("int64")
-        mask = (buckets < lim).to_numpy()
-        return from_pandas_clean(pd.DataFrame({
-            "doc_id": df.loc[mask, "doc_id"].astype("int64"),
-            "source": df.loc[mask, "source"],
-            "n_tokens": pd.Series(n[mask], index=df.index[mask],
-                                  dtype="int64"),
-            "bucket": buckets[mask]}))
+        mask = (df["bucket"] < lim).to_numpy()
+        return from_pandas_clean(df.loc[mask].reset_index(drop=True))
 
-    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
-        keep, batch_format="pyarrow")
+    return per_doc.map_batches(keep, batch_format="pyarrow")
 
 
 def quality_bins_ds(sf_dir: str, n_bins: int = 10):
