@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["vec_id", "component"]),
                 batch_format="pyarrow"),
         "dedup_survivors": docs.dedup_survivors_ds,
+        "docs_curated": docs.docs_curated_ds,
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,

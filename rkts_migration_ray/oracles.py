@@ -998,6 +998,52 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, p.p_brand""",
+        "docs_curated": _minhash_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+nn AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+rt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       FROM documents),
+rn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM rt),
+rg AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                         i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))
+        ELSE [] END AS grams
+       FROM rt),
+rkeep AS (SELECT rn.doc_id,
+   (round(CASE WHEN len(grams) > 0
+          THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+          ELSE 0 END, 6) <= 0.05
+    AND round(CASE WHEN n_tokens > 0
+          THEN n_distinct / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) >= 0.3)
+   AS rep_keep
+  FROM rn JOIN rg USING (doc_id)),
+cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, CAST(len(toks) AS BIGINT) - 6),
+        i -> array_to_string(toks[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')))) AS gram
+       FROM rt WHERE len(toks) >= 8),
+cbench AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0),
+chits AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM cg JOIN cbench USING (gram) GROUP BY cg.doc_id)
+SELECT d.doc_id, rkeep.rep_keep,
+  (COALESCE(chits.n_hits, 0) > 0 AND d.doc_id % 50 != 0) AS contaminated,
+  (d.doc_id % 50 = 0) AS is_benchmark,
+  (d.doc_id IN (SELECT node FROM comp WHERE node <> component)) AS dedup_drop,
+  (rkeep.rep_keep
+   AND NOT (COALESCE(chits.n_hits, 0) > 0 AND d.doc_id % 50 != 0)
+   AND d.doc_id % 50 != 0
+   AND d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)) AS kept
+FROM documents d
+JOIN rkeep ON d.doc_id = rkeep.doc_id
+LEFT JOIN chits ON d.doc_id = chits.doc_id""",
         "dedup_survivors": _minhash_pair_ctes().replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
 e AS (SELECT doc_a AS a, doc_b AS b FROM p

@@ -519,6 +519,78 @@ def text_stats_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+def docs_curated_ds(sf_dir: str, n_buckets: int | None = None):
+    """End-to-end curation verdict per document — the keep set a
+    pre-training build feeds to sequence packing: repetition-quality keep
+    AND not benchmark-contaminated AND not a benchmark member AND a
+    near-dup survivor (min-id per MinHash cluster). Composes three
+    already-verified stages instead of re-implementing their semantics.
+
+    Scale shape: each input stream is scale-shaped on its own (see
+    text_repetition_ds / contamination_ds / dedup_clusters_ds); combining
+    them is ONE doc-id-hash bucketed tagged co-group — the drop set travels
+    as rows (it scales with the corpus, like dedup_survivors), nothing
+    corpus-sized is broadcast or collected."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16,
+                                                               per_cpu=2)
+
+    def tag(src: int, f1: pa.Array, f2: pa.Array, ids: pa.Array) -> pa.Table:
+        b = (np.asarray(ids) % np.int64(nb)).astype(np.int32)
+        n = len(b)
+        return pa.table({"kbucket": pa.array(b, pa.int32()),
+                         "src": pa.array(np.full(n, src, np.int8)),
+                         "doc_id": pc.cast(ids, pa.int64()),
+                         "f1": f1, "f2": f2})
+
+    def rep_rows(t: pa.Table) -> pa.Table:
+        return tag(0, t["keep"], pa.nulls(t.num_rows, pa.bool_()),
+                   t["doc_id"])
+
+    def con_rows(t: pa.Table) -> pa.Table:
+        return tag(1, t["contaminated"], t["is_benchmark"], t["doc_id"])
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["doc_id"], t["component"])))
+        return tag(2, pa.nulls(t.num_rows, pa.bool_()),
+                   pa.nulls(t.num_rows, pa.bool_()), t["doc_id"])
+
+    def verdict(df: pd.DataFrame) -> pa.Table:
+        rep = (df[df["src"] == 0][["doc_id", "f1"]]
+               .rename(columns={"f1": "rep_keep"}))
+        con = (df[df["src"] == 1][["doc_id", "f1", "f2"]]
+               .rename(columns={"f1": "contaminated", "f2": "is_benchmark"}))
+        dropped = df.loc[df["src"] == 2, "doc_id"].unique()
+        m = rep.merge(con, on="doc_id")
+        m["dedup_drop"] = m["doc_id"].isin(dropped)
+        # the tagged union's nulls make f1/f2 OBJECT dtype in the group df;
+        # on object, pandas `~` is bitwise (~True == -2, truthy) while `&`
+        # is logical — cast to real bools FIRST or a flag silently drops out
+        m["doc_id"] = m["doc_id"].astype("int64")
+        for c in ("rep_keep", "contaminated", "is_benchmark"):
+            m[c] = m[c].astype(bool)
+        m["kept"] = (m["rep_keep"] & ~m["contaminated"] & ~m["is_benchmark"]
+                     & ~m["dedup_drop"])
+        schema = pa.schema([("doc_id", pa.int64()), ("rep_keep", pa.bool_()),
+                            ("contaminated", pa.bool_()),
+                            ("is_benchmark", pa.bool_()),
+                            ("dedup_drop", pa.bool_()), ("kept", pa.bool_())])
+        return from_pandas_clean(
+            m[["doc_id", "rep_keep", "contaminated", "is_benchmark",
+               "dedup_drop", "kept"]], schema=schema)
+
+    rep = text_repetition_ds(sf_dir).map_batches(rep_rows,
+                                                 batch_format="pyarrow")
+    con = contamination_ds(sf_dir).map_batches(con_rows,
+                                               batch_format="pyarrow")
+    drops = dedup_clusters_ds(sf_dir).map_batches(drop_rows,
+                                                  batch_format="pyarrow")
+    return (rep.union(con).union(drops)
+            .groupby("kbucket")
+            .map_groups(verdict, batch_format="pandas"))
+
+
 # domain-mix weights for the token-budget sampler (relative, unnormalized)
 MIX_WEIGHTS = {"src0": 4, "src1": 2}
 MIX_DEFAULT_WEIGHT = 1

@@ -172,7 +172,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_order_ranks", "rel_quantity_median",
                                   "text_clean", "doc_chunks",
                                   "sample_stratified", "dedup_clusters",
-                                  "pack_sequences", "text_quality_bins", "sample_token_budget",
+                                  "pack_sequences", "text_quality_bins", "sample_token_budget", "docs_curated",
                                   "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
@@ -520,3 +520,24 @@ def test_sample_token_budget_tracks_mix(sf_tag):
         assert kept.get(s, 0) <= full[s]
         # hash sampling is binomial over ~25 docs/source: loose 2x band
         assert kept.get(s, 0) <= 2.2 * target + 200
+
+
+def test_docs_curated_composes_stages(sf_tag):
+    """The verdict table must equal the AND of its three input stages
+    computed independently (and benchmark members are never kept)."""
+    from rkts_migration_ray.pipelines import docs
+
+    out = (docs.docs_curated_ds(sf_tag).to_pandas()
+           .set_index("doc_id").sort_index())
+    rep = (docs.text_repetition_ds(sf_tag).to_pandas()
+           .set_index("doc_id")["keep"])
+    con = (docs.contamination_ds(sf_tag).to_pandas().set_index("doc_id"))
+    lab = docs.dedup_clusters_ds(sf_tag).to_pandas()
+    drop = set(lab.loc[lab["doc_id"] != lab["component"], "doc_id"])
+    assert (out["rep_keep"] == rep.loc[out.index]).all()
+    assert (out["contaminated"] == con.loc[out.index, "contaminated"]).all()
+    assert (out["dedup_drop"] == out.index.isin(drop)).all()
+    want = (out["rep_keep"] & ~out["contaminated"] & ~out["is_benchmark"]
+            & ~out["dedup_drop"])
+    assert (out["kept"] == want).all()
+    assert not out.loc[out["is_benchmark"], "kept"].any()
