@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_pivot": kg.role_pivot_ds,
         "conv_flatten": kg.conv_flatten_ds,
         "kg_cooccurrence": kg.cooccurrence_ds,
+        "sft_examples": kg.sft_examples_ds,
         "kg_validate": lambda sf: validate_transcripts(readers.read_transcripts(sf)),
         "kg_triples": kg.kg_triples_ds,
         "kg_ntriples": kg.ntriples_lines_ds,

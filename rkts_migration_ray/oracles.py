@@ -1386,6 +1386,18 @@ FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
 JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
   ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2""",
+        "sft_examples": w + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       n_context_turns, COALESCE(context, '') AS context, target
+FROM (
+  SELECT conv_id, turn_idx, role,
+    CAST(count(*) OVER win AS BIGINT) AS n_context_turns,
+    string_agg(role || ': ' || COALESCE(text, ''), chr(10)) OVER win AS context,
+    COALESCE(text, '') AS target
+  FROM t
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, role, text
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+WHERE role = 'assistant'""",
         "conv_flatten": w + """
 SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
   SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -292,6 +292,65 @@ def conv_flatten_ds(sf_dir: str):
             .map_groups(flatten, batch_format="pandas"))
 
 
+SFT_CONTEXT_TURNS = 4
+
+
+def sft_examples_ds(sf_dir: str, k: int = SFT_CONTEXT_TURNS):
+    """SFT example extraction: one training example per ASSISTANT turn —
+    the up-to-``k`` preceding turns rendered ``role: text`` as the context,
+    the assistant text as the target. The per-turn-text-equality-under-
+    stable-turn-ordering invariant again, now as the supervised-pair
+    product.
+
+    Scale shape: the same conv-bucketed shuffle as every per-conversation
+    stage; inside a bucket each conversation is sorted once and its sliding
+    windows joined locally (window size is a constant, conversations are
+    bounded — no cross-conv state, no second shuffle)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int64()),
+                        ("n_context_turns", pa.int64()),
+                        ("context", pa.string()), ("target", pa.string())])
+
+    def examples(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"],
+                            kind="stable")
+        out = {"conv_id": [], "turn_idx": [], "n_context_turns": [],
+               "context": [], "target": []}
+        for conv, g in df.groupby("conv_id", sort=False):
+            roles = g["role"].to_numpy(dtype=object)
+            texts = g["text"].fillna("").to_numpy(dtype=object)
+            idxs = g["turn_idx"].to_numpy()
+            lines = [f"{r}: {t}" for r, t in zip(roles, texts)]
+            for i in np.nonzero(roles == "assistant")[0]:
+                lo = max(0, i - k)
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(int(idxs[i]))
+                out["n_context_turns"].append(i - lo)
+                out["context"].append("\n".join(lines[lo:i]))
+                out["target"].append(texts[i])
+        return from_pandas_clean(pd.DataFrame({
+            "conv_id": pd.Series(out["conv_id"], dtype="object"),
+            "turn_idx": pd.Series(out["turn_idx"], dtype="int64"),
+            "n_context_turns": pd.Series(out["n_context_turns"],
+                                         dtype="int64"),
+            "context": pd.Series(out["context"], dtype="object"),
+            "target": pd.Series(out["target"], dtype="object")}),
+            schema=schema)
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+            .map_batches(add_conv_bucket,
+                         fn_kwargs={"n_buckets": conv_buckets()},
+                         batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(examples, batch_format="pandas"))
+
+
 def cooccurrence_ds(sf_dir: str, concurrency: int = 8):
     """Entity co-occurrence graph: for every entity pair, the number of
     conversations that mention both — the relation-DISCOVERY primitive a KG

@@ -27,7 +27,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ["kg_structural", "kg_conv_triples",
                                   "kg_locations", "kg_validate",
-                                  "conv_flatten", "kg_cooccurrence"])
+                                  "conv_flatten", "kg_cooccurrence",
+                                  "sft_examples"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -152,3 +153,35 @@ def test_reproductions_non_bdrc_branch(sf_tag):
     assert sa["obj"].str.startswith("C:").all()
     assert set(bdrc.loc[bdrc["pred"] == "tr:script", "obj"]) == {
         DEFAULT_CONFIG.script}
+
+
+def test_sft_examples_window_semantics(sf_tag):
+    """Each example's context is exactly the ≤4 turns preceding the
+    assistant turn, in turn order, and the target is the turn's own text."""
+    import duckdb
+
+    from rkts_migration_ray import fixtures
+    from rkts_migration_ray.pipelines import kg
+
+    out = kg.sft_examples_ds(sf_tag).to_pandas()
+    con = duckdb.connect()
+    tr = fixtures.transcripts_glob(sf_tag)
+    full = con.execute(
+        f"""SELECT conv_id, list(role ORDER BY turn_idx) AS roles,
+                   list(text ORDER BY turn_idx) AS texts,
+                   list(turn_idx ORDER BY turn_idx) AS idxs
+            FROM read_parquet('{tr}') GROUP BY conv_id""").df()
+    full = full.set_index("conv_id")
+    sample = out.sort_values(["conv_id", "turn_idx"]).head(60)
+    for _, r in sample.iterrows():
+        roles = full.loc[r["conv_id"], "roles"]
+        texts = full.loc[r["conv_id"], "texts"]
+        idxs = list(full.loc[r["conv_id"], "idxs"])
+        i = idxs.index(r["turn_idx"])
+        assert roles[i] == "assistant"
+        assert r["target"] == texts[i]
+        lo = max(0, i - 4)
+        want = "\n".join(f"{ro}: {tx}" for ro, tx in
+                         zip(roles[lo:i], texts[lo:i]))
+        assert r["context"] == want
+        assert r["n_context_turns"] == i - lo
