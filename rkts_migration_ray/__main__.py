@@ -2,6 +2,7 @@
 
     python -m rkts_migration_ray run      --sf sf0.001 --out /tmp/graph [--buckets 64] [--no-resume]
     python -m rkts_migration_ray validate --sf sf0.001
+    python -m rkts_migration_ray query    --name text_tfidf --sf sf0.01 [--out /tmp/x] [--list]
     python -m rkts_migration_ray bench    --sf sf0.01
 
 Owns its Ray session (the only places allowed to: CLI, bench.py, tests).
@@ -32,6 +33,16 @@ def main(argv: list[str] | None = None) -> int:
     val.add_argument("--sf", default="sf0.001")
     val.add_argument("--num-cpus", type=int, default=None)
 
+    qry = sub.add_parser("query", help="run any driver query "
+                                       "(__ray_entry__.queries()) by name")
+    qry.add_argument("--name", required=True)
+    qry.add_argument("--sf", default="sf0.001")
+    qry.add_argument("--out", default=None,
+                     help="Parquet output path (omit = print row count only)")
+    qry.add_argument("--list", action="store_true", dest="list_only",
+                     help="ignore --name and list available query names")
+    qry.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -61,6 +72,46 @@ def main(argv: list[str] | None = None) -> int:
                 "skipped": int(manifest["skipped"].sum()),
                 "out": args.out,
             }))
+        elif args.cmd == "query":
+            # the query registry lives in the repo-root driver contract file;
+            # load it by path so the CLI needs no sys.path assumptions
+            import importlib.util
+            import os
+
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__", os.path.join(root, "__ray_entry__.py"))
+            entry = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(entry)
+            registry = entry.queries()
+            if args.list_only:
+                print(json.dumps(sorted(registry)))
+                return 0
+            if args.name not in registry:
+                print(json.dumps({"error": f"unknown query {args.name!r}",
+                                  "available": sorted(registry)}))
+                return 2
+            res = registry[args.name](args.sf)
+            import pandas as pd
+            import pyarrow as pa_
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                if args.out:
+                    res.write_parquet(args.out)
+                    n = res.count()
+                else:
+                    n = res.count()
+            else:
+                tbl = (pa_.Table.from_pandas(res, preserve_index=False)
+                       if isinstance(res, pd.DataFrame) else res)
+                n = tbl.num_rows
+                if args.out:
+                    import pyarrow.parquet as pq_
+
+                    pq_.write_table(tbl, args.out)
+            print(json.dumps({"query": args.name, "rows": int(n),
+                              "out": args.out}))
         elif args.cmd == "validate":
             from .sources import readers
             from .stages.validate import validate_transcripts

@@ -65,3 +65,20 @@ def test_yaml_config(tmp_path):
     p.write_text(json.dumps({"target": "rkts", "n_subj_buckets": 32, "junk": 1}))
     cfg = aux_readers.load_yaml_config(str(p))
     assert cfg.target == "rkts" and cfg.n_subj_buckets == 32
+
+
+def test_cli_query_subcommand(sf_tag, tmp_path):
+    """`python -m rkts_migration_ray query` runs a registry query in-process
+    (the CLI owns its own Ray session, so here we drive main() directly
+    against the already-running test session via the registry path)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "rkts_migration_ray", "query", "--name",
+         "text_vocab", "--sf", sf_tag, "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["query"] == "text_vocab" and res["rows"] > 0
