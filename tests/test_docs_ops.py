@@ -541,3 +541,34 @@ def test_docs_curated_composes_stages(sf_tag):
             & ~out["dedup_drop"])
     assert (out["kept"] == want).all()
     assert not out.loc[out["is_benchmark"], "kept"].any()
+
+
+def test_pack_sequences_sparse_ids(tmp_path):
+    """Range bucketing must hold for sparse, huge doc_ids (bucket width is
+    derived from max_id, not from row count) and for a single-doc corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfsparse"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7, 1_000_000_000, 999_999_999_999], pa.int64()),
+        "text": pa.array(["a b c", "d e", "f"]),
+    }), str(d / "documents.parquet"))
+    out = (docs.pack_sequences_ds(str(d), seq_len=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [7, 1_000_000_000, 999_999_999_999]
+    assert list(out["cum_before"]) == [0, 3, 5]
+    assert list(out["seq_id"]) == [0, 0, 1]
+    assert list(out["seq_offset"]) == [0, 3, 1]
+
+    d2 = tmp_path / "sfone"
+    d2.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([42], pa.int64()),
+        "text": pa.array(["just one doc"]),
+    }), str(d2 / "documents.parquet"))
+    one = docs.pack_sequences_ds(str(d2), seq_len=4).to_pandas()
+    assert len(one) == 1 and one["cum_before"].iloc[0] == 0
