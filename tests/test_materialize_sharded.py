@@ -153,3 +153,26 @@ def test_resume_refuses_changed_hash_function(sf_tag, tmp_path):
     m = materialize.write_graph_sharded(ds, out, n_buckets=4, resume=True,
                                         source="/input/v1")
     assert m["skipped"].all()
+
+
+def test_sharded_resume_rewrites_truncated_fragment(sf_tag, tmp_path):
+    """A fragment damaged AFTER its manifest committed (truncated footer)
+    must fail manifest verification on resume and be rewritten — this is the
+    parquet-sink twin of the .nt truncation test."""
+    import glob
+
+    out = str(tmp_path / "g")
+    m1 = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), out,
+                                         n_buckets=8, resume=False)
+    total = int(m1["rows"].sum())
+    sums = dict(zip(m1["bucket"], m1["checksum"]))
+    victim = sorted(glob.glob(os.path.join(out, "bucket=00003", "frag-*.parquet")))[0]
+    with open(victim, "r+b") as fh:
+        fh.truncate(10)
+    m2 = materialize.write_graph_sharded(kg.structural_ds(sf_tag, True), out,
+                                         n_buckets=8, resume=True)
+    assert int(m2["rows"].sum()) == total
+    assert dict(zip(m2["bucket"], m2["checksum"])) == sums
+    assert 3 not in set(m2[m2["skipped"]]["bucket"])  # damaged bucket re-ran
+    df = materialize.read_graph(out).to_pandas()
+    assert len(df) == total
