@@ -137,6 +137,10 @@ def _proc_stat() -> tuple[int, int]:
     """(busy, total) jiffies across all host CPUs from /proc/stat line 1."""
     with open("/proc/stat") as f:
         parts = [int(x) for x in f.readline().split()[1:]]
+    # fields: user nice system idle iowait irq softirq steal guest guest_nice;
+    # guest/guest_nice are already folded into user/nice by the kernel, so
+    # summing them would double-count VM time and overstate busy and total
+    parts = parts[:8]
     idle = parts[3] + (parts[4] if len(parts) > 4 else 0)  # idle + iowait
     total = sum(parts)
     return total - idle, total

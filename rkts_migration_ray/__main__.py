@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
 
     qry = sub.add_parser("query", help="run any driver query "
                                        "(__ray_entry__.queries()) by name")
-    qry.add_argument("--name", required=True)
+    qry.add_argument("--name", default=None)
     qry.add_argument("--sf", default="sf0.001")
     qry.add_argument("--out", default=None,
                      help="Parquet output path (omit = print row count only)")
@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.list_only:
                 print(json.dumps(sorted(registry)))
                 return 0
+            if args.name is None:
+                qry.error("--name is required unless --list is given")
             if args.name not in registry:
                 print(json.dumps({"error": f"unknown query {args.name!r}",
                                   "available": sorted(registry)}))
@@ -98,10 +100,11 @@ def main(argv: list[str] | None = None) -> int:
 
             if isinstance(res, rd.Dataset):
                 if args.out:
+                    # materialize once: write_parquet would otherwise run the
+                    # lineage and the following count() would run it again
+                    res = res.materialize()
                     res.write_parquet(args.out)
-                    n = res.count()
-                else:
-                    n = res.count()
+                n = res.count()
             else:
                 tbl = (pa_.Table.from_pandas(res, preserve_index=False)
                        if isinstance(res, pd.DataFrame) else res)

@@ -223,7 +223,7 @@ def _generate(tag: str, out_dir: str) -> dict:
     ch_len = rng_ch.integers(1, 4, size=(n, 2))
     ch_style = rng_ch.random((n, 2))
 
-    # chapter locations (get_chap_loc utils.php:729-746; v4) — own stream so
+    # chapter locations (get_chap_loc utils.php:729-746; v5) — own stream so
     # the chapter draws above stay bit-identical. chemdo (simple-dialect)
     # conversations use the chls{N-N} dialect; others the bampo/chapter
     # grammar with occasional invalid bodies and out-of-whitelist letters.

@@ -129,3 +129,17 @@ def empty_string_to_null(arr: pa.Array) -> pa.Array:
 def to_int64(arr: pa.Array) -> pa.Array:
     """'' → null, then cast to int64 (intval coercions, utils.php:419,424,688)."""
     return pc.cast(empty_string_to_null(arr), pa.int64())
+
+
+def round_half_away(x, decimals: int = 6) -> np.ndarray:
+    """Round half AWAY from zero, matching DuckDB's ``round(x, d)``.
+
+    ``np.round`` is half-to-even, so an exactly-representable decimal tie
+    (e.g. 1/128 = 0.0078125 at 6 decimals) diverges from the SQL oracle twin
+    and fails the exact-value parity gate. ``floor(|x|*10^d + 0.5)`` matches
+    DuckDB bit-for-bit on 252k sampled values incl. dyadic ties; use this
+    for every engine value whose oracle twin applies SQL ``round``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    p = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p

@@ -921,7 +921,8 @@ WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 m AS (SELECT vec_id, emb,
         sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm,
-        127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+        CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 0.0
+             ELSE 127.0 / list_max(list_transform(emb, x -> abs(x))) END AS scale
       FROM e)
 SELECT vec_id, round(norm, 6) AS norm, round(scale, 6) AS scale,
  array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS BIGINT)), ',')
@@ -1392,7 +1393,8 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM (
   SELECT conv_id, turn_idx, role,
     CAST(count(*) OVER win AS BIGINT) AS n_context_turns,
-    string_agg(role || ': ' || COALESCE(text, ''), chr(10)) OVER win AS context,
+    string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''), chr(10))
+      OVER win AS context,
     COALESCE(text, '') AS target
   FROM t
   WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, role, text

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
-from ..functions.arrowutils import from_pandas_clean
+from ..functions.arrowutils import from_pandas_clean, round_half_away
 
 
 def resolve_sf_dir(sf_dir_or_tag: str) -> str:
@@ -112,12 +112,12 @@ def charset_pairs_ds(sf_dir: str, threshold: float = 0.9):
         with np.errstate(invalid="ignore"):
             jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         ii, jj = np.triu_indices(len(sets), k=1)
-        keep = np.round(jac[ii, jj], 6) >= threshold
+        keep = round_half_away(jac[ii, jj]) >= threshold
         ids = df["doc_id"].to_numpy()
         return pd.DataFrame({
             "source": df["source"].iloc[0] if len(df) else "",
             "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
-            "jac": np.round(jac[ii, jj][keep], 6),
+            "jac": round_half_away(jac[ii, jj][keep]),
         })
 
     return (_docs(sf_dir, ["doc_id", "source", "text"])
@@ -154,12 +154,12 @@ def ngram_pairs_ds(sf_dir: str, threshold: float = 0.2, k: int = 3):
         with np.errstate(invalid="ignore"):
             jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         ii, jj = np.triu_indices(len(sets), k=1)
-        keep = (inter[ii, jj] > 0) & (np.round(jac[ii, jj], 6) >= threshold)
+        keep = (inter[ii, jj] > 0) & (round_half_away(jac[ii, jj]) >= threshold)
         ids = df["doc_id"].to_numpy()
         return pd.DataFrame({
             "source": df["source"].iloc[0] if len(df) else "",
             "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
-            "jaccard": np.round(jac[ii, jj][keep], 6),
+            "jaccard": round_half_away(jac[ii, jj][keep]),
         })
 
     return (_docs(sf_dir, ["doc_id", "source", "text"])
@@ -211,7 +211,7 @@ def embed_pairs_ds(sf_dir: str, threshold: float = EMBED_PAIR_THRESHOLD):
             return from_pandas_clean(pd.DataFrame({
                 "vec_a": pd.Series(eids[bi], dtype="int64"),
                 "vec_b": pd.Series(self.ids[qi], dtype="int64"),
-                "cos_sim": np.round(sims[bi, qi], 6)}))
+                "cos_sim": round_half_away(sims[bi, qi])}))
 
     return (rd.read_parquet(path, columns=["vec_id", "embedding"])
             .map_batches(Pairs, batch_format="pyarrow",
@@ -513,8 +513,8 @@ def text_stats_ds(sf_dir: str):
             "n_chars2": df["text"].str.len().astype("int64"),
             "n_tokens": n_tok,
             "n_stop": n_stop,
-            "stop_ratio": np.round(ratio, 6),
-            "quality": np.round(quality, 6)}))
+            "stop_ratio": round_half_away(ratio),
+            "quality": round_half_away(quality)}))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
@@ -751,9 +751,9 @@ def text_repetition_ds(sf_dir: str,
                 dup2.append(0.0)
         n_tok = np.array(n_tok, dtype="int64")
         n_dis = np.array(n_dis, dtype="int64")
-        dr = np.round(np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0), 6)
-        top = np.round(np.array(top), 6)
-        dup2 = np.round(np.array(dup2), 6)
+        dr = round_half_away(np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0))
+        top = round_half_away(np.array(top))
+        dup2 = round_half_away(np.array(dup2))
         keep = (dup2 <= max_dup_2gram) & (dr >= min_distinct_ratio)
         return from_pandas_clean(pd.DataFrame({
             "doc_id": df["doc_id"],
@@ -908,7 +908,7 @@ def unigram_logprob_ds(sf_dir: str):
             return from_pandas_clean(pd.DataFrame({
                 "doc_id": df["doc_id"],
                 "n_tokens": np.array(ntok, dtype="int64"),
-                "avg_logprob": np.round(np.array(scores), 6)}))
+                "avg_logprob": round_half_away(np.array(scores))}))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         Scorer, fn_constructor_kwargs={"ref": lp_ref},
@@ -992,14 +992,18 @@ def embed_quantize_ds(sf_dir: str):
                              "scale": pa.array([], pa.float64()),
                              "q_csv": pa.array([], pa.string())})
         norm = np.sqrt(np.sum(E * E, axis=1))
-        scale = 127.0 / np.max(np.abs(E), axis=1)
+        # An all-zero vector would give scale = 127/0 = inf and q = NaN
+        # (cast to the int64 sentinel) — define scale = 0 instead so the
+        # quantized row is all zeros, mirrored in the SQL twin's CASE.
+        maxabs = np.max(np.abs(E), axis=1)
+        scale = np.where(maxabs > 0, 127.0 / np.maximum(maxabs, 1e-300), 0.0)
         v = E * scale[:, None]
         q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         csv = [",".join(map(str, row)) for row in q]
         return from_pandas_clean(pd.DataFrame({
             "vec_id": pd.Series(ids, dtype="int64"),
-            "norm": np.round(norm, 6),
-            "scale": np.round(scale, 6),
+            "norm": round_half_away(norm),
+            "scale": round_half_away(scale),
             "q_csv": pd.Series(csv, dtype="object")}))
 
     import ray.data as rd
@@ -1035,13 +1039,18 @@ def pack_sequences_ds(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
     Docs may straddle sequence boundaries (concat-then-chunk semantics), so
     packing is exact and order-stable across cluster sizes."""
     import ray.data as rd  # noqa: F401  (Dataset ops below)
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.arrowutils import scale_buckets
 
-    max_id = int(_docs(sf_dir, ["doc_id"]).max("doc_id"))
+    # Bucket by offset from min_id, not by raw doc_id: dense ids on a large
+    # base (e.g. [10^12, 10^12+10^6]) would otherwise all land in the last
+    # raw-range bucket, collapsing the distributed prefix sum into one task.
+    span = _docs(sf_dir, ["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    min_id = int(span["min(doc_id)"])
+    max_id = int(span["max(doc_id)"])
     n_buckets = scale_buckets(16, 2)
-    width = max(1, (max_id + n_buckets) // n_buckets)
+    width = max(1, (max_id - min_id + n_buckets) // n_buckets)
 
     def tok(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -1050,7 +1059,7 @@ def pack_sequences_ds(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
                         dtype="int64", count=len(df))
         return pa.table({"doc_id": pa.array(ids),
                          "n_tokens": pa.array(n),
-                         "rbucket": pa.array(ids // width)})
+                         "rbucket": pa.array((ids - min_id) // width)})
 
     toks = (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
@@ -1124,7 +1133,7 @@ def _final_topk(df: pd.DataFrame, k: int = KNN_K) -> pd.DataFrame:
     df = df.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
                         kind="stable").head(k).reset_index(drop=True)
     df["rank"] = pd.Series(range(1, len(df) + 1), dtype="int64")
-    df["cos_sim"] = df["cos_sim"].round(6)
+    df["cos_sim"] = round_half_away(df["cos_sim"].to_numpy())
     return df[["query_id", "neighbor_id", "rank", "cos_sim"]]
 
 
@@ -1676,7 +1685,7 @@ def tfidf_top_term_ds(sf_dir: str):
         r = df.iloc[:1]
         return pd.DataFrame({"doc_id": r["doc_id"].astype("int64"),
                              "top_term": r["word"].astype("object"),
-                             "tfidf": np.round(r["score"].astype("float64"), 6)})
+                             "tfidf": round_half_away(r["score"].astype("float64"))})
 
     tagged = (tf.map_batches(tag_tf, batch_format="pyarrow")
               .union(dfreq.map_batches(tag_df, batch_format="pyarrow")))

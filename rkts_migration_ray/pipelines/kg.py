@@ -322,7 +322,9 @@ def sft_examples_ds(sf_dir: str, k: int = SFT_CONTEXT_TURNS):
         out = {"conv_id": [], "turn_idx": [], "n_context_turns": [],
                "context": [], "target": []}
         for conv, g in df.groupby("conv_id", sort=False):
-            roles = g["role"].to_numpy(dtype=object)
+            # fillna like conv_flatten: a null role must render '' (and the
+            # SQL twin COALESCEs), never the Python literal 'None'
+            roles = g["role"].fillna("").to_numpy(dtype=object)
             texts = g["text"].fillna("").to_numpy(dtype=object)
             idxs = g["turn_idx"].to_numpy()
             lines = [f"{r}: {t}" for r, t in zip(roles, texts)]

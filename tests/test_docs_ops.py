@@ -572,3 +572,87 @@ def test_pack_sequences_sparse_ids(tmp_path):
     }), str(d2 / "documents.parquet"))
     one = docs.pack_sequences_ds(str(d2), seq_len=4).to_pandas()
     assert len(one) == 1 and one["cum_before"].iloc[0] == 0
+
+
+def test_round_half_away_matches_duckdb():
+    """Half-even (np.round) vs half-away (SQL round) diverge on exactly-
+    representable 6-decimal ties; every oracle-twinned rounding site goes
+    through round_half_away, which must match DuckDB bit-for-bit."""
+    import duckdb
+
+    from rkts_migration_ray.functions.arrowutils import round_half_away
+
+    ties = np.array([0.0078125, -0.0078125, 1 / 128, 3 / 256, 0.1234565,
+                     -0.9999995, 0.0, 1.5e-7, 123.4567895])
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([ties, rng.normal(0, 10, 2000),
+                         rng.random(2000) / 64.0])
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT round(x, 6) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [list(xs)]).df().iloc[:, 0].to_numpy()
+    got = round_half_away(xs)
+    assert np.array_equal(got, want)
+    # the tie that half-even gets wrong
+    assert round_half_away(np.array([0.0078125]))[0] == 0.007813
+    assert np.round(0.0078125, 6) == 0.007812  # the bug this guards against
+
+
+def test_embed_quantize_zero_vector(tmp_path):
+    """An all-zero embedding must quantize to scale=0 / all-zero q_csv (not
+    inf scale and NaN→int64-sentinel garbage), identically in the SQL twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray import oracles
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfz"
+    d.mkdir()
+    emb = pa.array([[0.0, 0.0, 0.0, 0.0], [0.5, -1.0, 0.25, 0.0]],
+                   pa.list_(pa.float64()))
+    pq.write_table(pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                             "embedding": emb}),
+                   str(d / "embeddings.parquet"))
+    out = (docs.embed_quantize_ds(str(d)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    z = out.iloc[0]
+    assert z["norm"] == 0.0 and z["scale"] == 0.0
+    assert z["q_csv"] == "0,0,0,0"
+    assert out.iloc[1]["q_csv"] == "64,-127,32,0"
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')")
+    sql_df = (con.sql(oracles.doc_rel_oracle_sql()["embed_quantize"]).df()
+              .sort_values("vec_id").reset_index(drop=True))
+    assert sql_df.equals(out)
+
+
+def test_pack_sequences_offset_dense_ids(tmp_path):
+    """Dense doc_ids on a huge base offset (the range-bucket collapse case:
+    raw doc_id // width puts everything in the last bucket) still pack into
+    the exact doc_id-ordered prefix sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    base = 10 ** 12
+    n = 64
+    ids = [base + i for i in range(n)]
+    texts = [" ".join(["w"] * (i % 5 + 1)) for i in range(n)]
+    d = tmp_path / "sfoffset"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(d / "documents.parquet"))
+    out = (docs.pack_sequences_ds(str(d), seq_len=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cum = 0
+    for i in range(n):
+        assert out["doc_id"].iloc[i] == ids[i]
+        assert out["cum_before"].iloc[i] == cum
+        cum += i % 5 + 1
+    assert out["n_tokens"].sum() == cum

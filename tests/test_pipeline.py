@@ -185,3 +185,31 @@ def test_sft_examples_window_semantics(sf_tag):
                          zip(roles[lo:i], texts[lo:i]))
         assert r["context"] == want
         assert r["n_context_turns"] == i - lo
+
+
+def test_sft_examples_null_role(sf_tag, monkeypatch):
+    """A NULL role in a context turn renders as an empty speaker tag
+    (fillna, like conv_flatten) — never the Python literal 'None' — and the
+    turn still counts toward n_context_turns, matching the SQL twin's
+    COALESCE(role, '')."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+    from rkts_migration_ray.sources import readers
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 3,
+        "turn_idx": pd.Series([0, 1, 2], dtype="int64"),
+        "role": pd.Series(["user", None, "assistant"], dtype="object"),
+        "text": pd.Series(["hi", "interjection", "answer"], dtype="object"),
+    })
+    monkeypatch.setattr(readers, "read_transcripts",
+                        lambda sf, columns=None: rd.from_pandas(df))
+    out = kg.sft_examples_ds(sf_tag).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_context_turns"] == 2
+    assert r["context"] == "user: hi\n: interjection"
+    assert "None" not in r["context"]
+    assert r["target"] == "answer"
