@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": docs.text_stats_ds,
         "text_repetition": docs.text_repetition_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
+        "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,
         "text_vocab": docs.text_vocab_ds,
         "text_langid": docs.langid_ds,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
+        "rel_events_range": relational.events_range_join_ds,
         "rel_orders_by_nation": relational.orders_by_nation_ds,
         "rel_lineitem_supplier": relational.lineitem_supplier_ds,
         "rel_customers_no_orders": relational.customers_no_orders_ds,

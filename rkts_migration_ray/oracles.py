@@ -876,6 +876,13 @@ SELECT e.event_id, e.user_id, e.ts,
        CAST(o.o_orderkey AS DOUBLE) AS o_orderkey, o.o_orderdate
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "rel_events_range": """
+SELECT a.event_id, a.user_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_follow
+FROM events a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 6 HOUR
+GROUP BY 1, 2""",
         "rel_lineitem_supplier": """
 SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
  CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))
@@ -889,6 +896,25 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        "text_dup_spans": """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM w),
+g0 AS (SELECT doc_id,
+        array_to_string(ws[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS gram
+       FROM (SELECT doc_id, ws, unnest(range(1, nw - 3)) AS i FROM n)),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+per_doc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+            FROM g JOIN dfq USING (gram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+ COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+ round(CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_dup_grams AS DOUBLE) / p.n_grams ELSE 0.0 END, 6)
+   AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
         "text_clean": f"""
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
            FROM documents),

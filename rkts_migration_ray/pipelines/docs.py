@@ -1832,3 +1832,97 @@ def dedup_survivors_ds(sf_dir: str, n_buckets: int | None = None,
     return (corpus.union(drops)
             .groupby("kbucket")
             .map_groups(anti_bucket, batch_format="pandas"))
+
+
+DUP_SPAN_K = 5
+
+
+def dup_spans_ds(sf_dir: str, k: int = DUP_SPAN_K,
+                 n_buckets: int | None = None):
+    """Cross-document repeated n-gram spans — per document, how much of it
+    is text that also appears verbatim (as a k-word shingle) in at least one
+    OTHER document. The C4/RefinedWeb-style span-level dedup signal that
+    near-dup pair generation (doc granularity) cannot see: boilerplate and
+    template fragments spread across many otherwise-distinct documents.
+
+    Emits one row per document: ``n_grams`` (distinct k-word shingles),
+    ``n_dup_grams`` (those shared with ≥1 other document) and ``dup_frac``.
+
+    Scale shape — one tokenize pass, one gram-keyed shuffle, one tiny
+    doc-keyed sum:
+      1. map_batches emits each document's DISTINCT shingles once (in-doc
+         distinct is the map-side combiner; a doc never straddles a batch
+         row so the distinct is exact), bucketed by a shingle hash so the
+         shuffle key is dense and skew-proof;
+      2. groupby(gbucket) counts, per shingle, how many documents carry it
+         (all copies of a shingle land in one bucket) and immediately
+         re-aggregates per document WITHIN the bucket — so the second
+         shuffle carries ≤ n_buckets rows per doc, never per-gram rows;
+      3. groupby(doc_id) sums the per-bucket partials; zero-gram docs
+         (fewer than k tokens) come from a column-pruned doc_id stream.
+    At 100 TB the gram STRING rides the first shuffle; swapping it for a
+    128-bit digest halves payload without changing counts (collision odds
+    ~n²/2¹²⁸) — kept as the string here so the DuckDB twin is exact."""
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(16, 2)
+
+    def grams(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g_doc: list[int] = []
+        g_gram: list[str] = []
+        for did, x in zip(df["doc_id"].to_numpy("int64"), df["text"]):
+            toks = T.tokens_lower(x)
+            gs = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+            g_doc.extend([did] * len(gs))
+            g_gram.extend(gs)
+        gram_arr = pa.array(g_gram, pa.string())
+        return pa.table({
+            "gbucket": hash_bucket(gram_arr, nb),
+            "gram": gram_arr,
+            "doc_id": pa.array(g_doc, pa.int64())})
+
+    def bucket_partials(df: pd.DataFrame) -> pa.Table:
+        # per-gram document frequency, then per-doc partial counts — the
+        # in-bucket combiner that keeps the doc-keyed shuffle tiny
+        dfreq = df.groupby("gram")["doc_id"].transform("size")
+        agg = (pd.DataFrame({"doc_id": df["doc_id"],
+                             "dup": (dfreq >= 2).astype("int64")})
+               .groupby("doc_id", as_index=False)
+               .agg(n_grams=("dup", "size"), n_dup_grams=("dup", "sum")))
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy("int64")),
+            "n_grams": pa.array(agg["n_grams"].to_numpy("int64")),
+            "n_dup_grams": pa.array(agg["n_dup_grams"].to_numpy("int64"))})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_grams": pa.array(np.zeros(n, np.int64)),
+                         "n_dup_grams": pa.array(np.zeros(n, np.int64))})
+
+    partials = (_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(grams, batch_format="pyarrow")
+                .groupby("gbucket")
+                .map_groups(bucket_partials, batch_format="pandas"))
+    base = _docs(sf_dir, ["doc_id"]).map_batches(zero_rows,
+                                                 batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = np.asarray(t["n_grams"], dtype=np.int64)
+        nd = np.asarray(t["n_dup_grams"], dtype=np.int64)
+        frac = round_half_away(
+            np.where(ng > 0, nd / np.maximum(ng, 1), 0.0))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_grams": pa.array(ng),
+                         "n_dup_grams": pa.array(nd),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return (partials.union(base)
+            .groupby("doc_id")
+            .aggregate(Sum("n_grams", alias_name="n_grams"),
+                       Sum("n_dup_grams", alias_name="n_dup_grams"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -580,3 +580,78 @@ def region_part_revenue_ds(sf_dir: str):
             .groupby(["r_name", "p_brand"])
             .aggregate(Sum("revenue_c", alias_name="revenue_c"),
                        Sum("n_items", alias_name="n_items")))
+
+
+RANGE_JOIN_WINDOW_HOURS = 6
+
+
+def events_range_join_ds(sf_dir: str, window_hours: int = RANGE_JOIN_WINDOW_HOURS,
+                         n_buckets: int | None = None):
+    """Keyed band (range) self-join: for every event, how many events by the
+    SAME user fall within the following ``window_hours`` hours — strictly
+    after the event, inclusive of the window end. The follow-up-activity /
+    burst-detection primitive that needs a true range join: as-of picks one
+    row, fixed windows snap to a grid, this counts over a per-row interval.
+
+    Scale shape — the textbook distributed band join, NOT a per-user hash
+    join (one user's full history can exceed a task at corpus scale):
+      * both sides co-locate on (user-hash, time-bucket) with bucket width
+        == the window, so a group holds at most 2 windows of one hash-slice;
+      * every event is REPLICATED ONCE as a probe-side row into the
+        PRECEDING time bucket (a probe event can only serve anchors in its
+        own or the previous bucket when bucket width == window) — shuffle
+        volume is a flat 2× the events table no matter the window;
+      * inside a group, each user's probes are sorted once and every anchor
+        answers with two binary searches (searchsorted) — no all-pairs.
+    Anchors are always emitted, so events with no follow-up appear with
+    n_follow = 0 (the SQL twin's LEFT JOIN)."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+    w_us = np.int64(window_hours) * 3_600_000_000
+
+    def rows(t: pa.Table) -> pa.Table:
+        ts_us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        eid = np.asarray(t["event_id"], dtype=np.int64)
+        kb = (uid % np.int64(nb)).astype(np.int32)
+        tb = ts_us // w_us
+        # side 0 = anchor (own bucket); side 1 = probe (own + previous)
+        return pa.table({
+            "kbucket": pa.array(np.concatenate([kb, kb, kb])),
+            "tb": pa.array(np.concatenate([tb, tb, tb - 1])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(eid), np.int8),
+                 np.ones(len(eid), np.int8),
+                 np.ones(len(eid), np.int8)])),
+            "user_id": pa.array(np.concatenate([uid, uid, uid])),
+            "event_id": pa.array(np.concatenate([eid, eid, eid])),
+            "ts_us": pa.array(np.concatenate([ts_us, ts_us, ts_us])),
+        })
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        anchors = df[df["side"] == 0]
+        probes = df[df["side"] == 1]
+        out_eid, out_uid, out_n = [], [], []
+        probe_by_user = {u: np.sort(g["ts_us"].to_numpy(np.int64))
+                         for u, g in probes.groupby("user_id", sort=False)}
+        for u, g in anchors.groupby("user_id", sort=False):
+            ats = g["ts_us"].to_numpy(np.int64)
+            rts = probe_by_user.get(u)
+            if rts is None:
+                n = np.zeros(len(ats), np.int64)
+            else:
+                n = (np.searchsorted(rts, ats + w_us, side="right")
+                     - np.searchsorted(rts, ats, side="right"))
+            out_eid.extend(g["event_id"].to_numpy(np.int64))
+            out_uid.extend([u] * len(ats))
+            out_n.extend(n)
+        return pd.DataFrame({
+            "event_id": pd.Series(out_eid, dtype="int64"),
+            "user_id": pd.Series(out_uid, dtype="int64"),
+            "n_follow": pd.Series(out_n, dtype="int64")})
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(rows, batch_format="pyarrow")
+            .groupby(["kbucket", "tb"])
+            .map_groups(count_bucket, batch_format="pandas"))

@@ -176,6 +176,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "dedup_embed_clusters", "embed_quantize",
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
+                                  "rel_events_range", "text_dup_spans",
                                   "text_distinct_sketch",
                                   "rel_region_part_revenue",
                                   "dedup_survivors"])
@@ -656,3 +657,76 @@ def test_pack_sequences_offset_dense_ids(tmp_path):
         assert out["cum_before"].iloc[i] == cum
         cum += i % 5 + 1
     assert out["n_tokens"].sum() == cum
+
+
+def test_dup_spans_semantics(tmp_path):
+    """Shared 5-gram spans count per document; unique docs score 0; docs
+    shorter than k tokens emit a zero row (never disappear)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    shared = "alpha beta gamma delta epsilon"
+    d = tmp_path / "sfspans"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"{shared} one two three four five",  # shares the 5-gram with 2
+            f"zz yy {shared}",                    # 3 distinct 5-grams
+            "totally different words here now forever",
+            "too short",                          # < 5 tokens → 0 grams
+        ]),
+    }), str(d / "documents.parquet"))
+    out = (docs.dup_spans_ds(str(d)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    # doc1: 6 grams, 1 shared; doc2: 3 grams, 1 shared; doc3: 2 grams unique
+    assert list(out["n_grams"]) == [6, 3, 2, 0]
+    assert list(out["n_dup_grams"]) == [1, 1, 0, 0]
+    assert out["dup_frac"].iloc[3] == 0.0
+    assert out["dup_frac"].iloc[0] == round(1 / 6, 6)
+
+
+def test_events_range_join_boundaries(tmp_path):
+    """Band-join window semantics: strictly after the anchor, inclusive of
+    anchor+window; other users never count; probes that sit just across a
+    time-bucket boundary are still found (the backward replication)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import relational
+
+    W = 6 * 3_600_000_000  # 6h in us
+    base = 1_700_000_000_000_000
+    # anchor at the very end of its bucket so every follower crosses into
+    # the next time bucket
+    anchor = (base // W + 1) * W - 1
+    ts = np.array([
+        anchor,          # e1: the anchor
+        anchor,          # e2: same user, SAME ts → excluded (strict >)
+        anchor + 1,      # e3: next bucket, inside window
+        anchor + W,      # e4: exactly anchor+W → inclusive end
+        anchor + W + 1,  # e5: just past the window → excluded
+        anchor + 1,      # e6: other user → excluded
+    ], dtype="int64")
+    uid = np.array([7, 7, 7, 7, 7, 8], dtype="int64")
+    eid = np.arange(1, 7, dtype="int64")
+    d = tmp_path / "sfrange"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "user_id": pa.array(uid),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    }), str(d / "events.parquet"))
+    out = (relational.events_range_join_ds(str(d)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(out) == 6                      # every anchor emitted
+    follows = dict(zip(out["event_id"], out["n_follow"]))
+    assert follows[1] == 2                    # e3 and e4 (inclusive end)
+    assert follows[2] == 2                    # same window as e1
+    assert follows[3] == 2                    # e4 inside, e5 exactly at e3+W
+    assert follows[4] == 1                    # e5 within (e4, e4+W]
+    assert follows[5] == 0 and follows[6] == 0
