@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow"),
         "dedup_survivors": docs.dedup_survivors_ds,
         "docs_curated": docs.docs_curated_ds,
+        # drop the writer's partition column: bucket count scales with the
+        # cluster, and driver results must be cluster-size independent
+        "docs_curated_corpus": lambda sf: docs.curated_corpus_ds(sf)
+            .drop_columns(["part"]),
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,

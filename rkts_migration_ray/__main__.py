@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="graph sink: bucketed Parquet edge tables or "
                           "N-Triples text fragments (same manifests/resume)")
 
+    cur = sub.add_parser("curate", help="curation verdict → kept corpus as "
+                                        "hash-partitioned Parquet")
+    cur.add_argument("--sf", default="sf0.001")
+    cur.add_argument("--out", required=True)
+    cur.add_argument("--buckets", type=int, default=None,
+                     help="partition count (default: CPU-scaled)")
+    cur.add_argument("--num-cpus", type=int, default=None)
+
     val = sub.add_parser("validate", help="transcript invariant validation")
     val.add_argument("--sf", default="sf0.001")
     val.add_argument("--num-cpus", type=int, default=None)
@@ -72,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
                 "skipped": int(manifest["skipped"].sum()),
                 "out": args.out,
             }))
+        elif args.cmd == "curate":
+            from .pipelines import docs
+
+            ds = docs.curated_corpus_ds(args.sf, n_buckets=args.buckets)
+            # dir-per-bucket layout: each partition commits independently,
+            # so a re-run after failure rewrites only missing partitions
+            ds = ds.materialize()
+            ds.write_parquet(args.out, partition_cols=["part"])
+            print(json.dumps({"rows": int(ds.count()), "out": args.out}))
         elif args.cmd == "query":
             # the query registry lives in the repo-root driver contract file;
             # load it by path so the CLI needs no sys.path assumptions

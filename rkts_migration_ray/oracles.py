@@ -595,6 +595,17 @@ FROM m"""
 
 
 def doc_rel_oracle_sql() -> dict[str, str]:
+    sqls = _doc_rel_oracle_sql_base()
+    # the kept-corpus rewrite: the curated verdict SQL as a CTE, semi-joined
+    # back to the full document rows (DuckDB allows a nested WITH RECURSIVE
+    # inside a CTE body)
+    sqls["docs_curated_corpus"] = ("WITH v AS (" + sqls["docs_curated"] + """)
+SELECT d.doc_id, d.text, d.lang, d.source
+FROM documents d JOIN v USING (doc_id) WHERE v.kept""")
+    return sqls
+
+
+def _doc_rel_oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_simhash": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),

@@ -1926,3 +1926,60 @@ def dup_spans_ds(sf_dir: str, k: int = DUP_SPAN_K,
             .aggregate(Sum("n_grams", alias_name="n_grams"),
                        Sum("n_dup_grams", alias_name="n_dup_grams"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def curated_corpus_ds(sf_dir: str, n_buckets: int | None = None):
+    """The kept corpus itself — full document rows for every doc whose
+    composed curation verdict (docs_curated_ds) says ``kept`` — plus a
+    ``part`` hash-bucket column so the writer can partition the output into
+    independently-committed directories (dir-per-bucket layout == the resume
+    unit; a failed write re-runs only missing partitions).
+
+    Scale shape: the verdict stream already ends in a doc-hash co-group;
+    joining it back to the text is ONE more tagged co-group on the same key
+    (verdict rows carry no text, so the second shuffle moves the corpus
+    text exactly once — the unavoidable minimum for a filtered rewrite)."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16,
+                                                               per_cpu=2)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        b = (np.asarray(ids) % np.int64(nb)).astype(np.int32)
+        return pa.table({"kbucket": pa.array(b, pa.int32()),
+                         "src": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "doc_id": ids, "text": t["text"],
+                         "lang": t["lang"], "source": t["source"]})
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kept"], True))
+        ids = pc.cast(t["doc_id"], pa.int64())
+        b = (np.asarray(ids) % np.int64(nb)).astype(np.int32)
+        n = t.num_rows
+        return pa.table({"kbucket": pa.array(b, pa.int32()),
+                         "src": pa.array(np.ones(n, np.int8)),
+                         "doc_id": ids,
+                         "text": pa.nulls(n, pa.string()),
+                         "lang": pa.nulls(n, pa.string()),
+                         "source": pa.nulls(n, pa.string())})
+
+    def semi_bucket(df: pd.DataFrame) -> pa.Table:
+        docs_side = df[df["src"] == 0]
+        kept = df.loc[df["src"] == 1, "doc_id"].unique()
+        out = docs_side.loc[docs_side["doc_id"].isin(kept),
+                            ["kbucket", "doc_id", "text", "lang", "source"]]
+        return pa.table({
+            "part": pa.array(out["kbucket"].to_numpy("int32"), pa.int32()),
+            "doc_id": pa.array(out["doc_id"].to_numpy("int64")),
+            "text": pa.array(out["text"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string())})
+
+    corpus = (_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+              .map_batches(doc_rows, batch_format="pyarrow"))
+    keeps = (docs_curated_ds(sf_dir, n_buckets=nb)
+             .map_batches(keep_rows, batch_format="pyarrow"))
+    return (corpus.union(keeps)
+            .groupby("kbucket")
+            .map_groups(semi_bucket, batch_format="pandas"))
