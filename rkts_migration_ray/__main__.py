@@ -84,10 +84,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines import docs
 
             ds = docs.curated_corpus_ds(args.sf, n_buckets=args.buckets)
-            # dir-per-bucket layout: each partition commits independently,
-            # so a re-run after failure rewrites only missing partitions
+            # overwrite = idempotent re-runs (append would duplicate rows
+            # next to a failed run's partial files); the dir-per-bucket
+            # layout lets downstream consumers read/retry per partition
             ds = ds.materialize()
-            ds.write_parquet(args.out, partition_cols=["part"])
+            ds.write_parquet(args.out, partition_cols=["part"],
+                             mode="overwrite")
             print(json.dumps({"rows": int(ds.count()), "out": args.out}))
         elif args.cmd == "query":
             # the query registry lives in the repo-root driver contract file;

@@ -1932,8 +1932,8 @@ def curated_corpus_ds(sf_dir: str, n_buckets: int | None = None):
     """The kept corpus itself — full document rows for every doc whose
     composed curation verdict (docs_curated_ds) says ``kept`` — plus a
     ``part`` hash-bucket column so the writer can partition the output into
-    independently-committed directories (dir-per-bucket layout == the resume
-    unit; a failed write re-runs only missing partitions).
+    per-bucket directories (downstream consumers prune/retry per partition;
+    the CLI writes with mode="overwrite" so re-runs are idempotent).
 
     Scale shape: the verdict stream already ends in a doc-hash co-group;
     joining it back to the text is ONE more tagged co-group on the same key
