@@ -731,3 +731,40 @@ def test_events_range_join_boundaries(tmp_path):
     assert follows[3] == 2                    # e4 inside, e5 exactly at e3+W
     assert follows[4] == 1                    # e5 within (e4, e4+W]
     assert follows[5] == 0 and follows[6] == 0
+
+
+def test_events_range_join_random_crosscheck(tmp_path):
+    """Randomized adversarial spans vs an O(n²) reference: tiny span (every
+    event in one time bucket), span >> window (many buckets, heavy
+    replication), and duplicate timestamps."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import relational
+
+    W = 6 * 3_600_000_000
+    rng = np.random.default_rng(13)
+    cases = [
+        ("tiny", rng.integers(0, W // 2, 200)),            # one bucket
+        ("wide", rng.integers(0, 400 * W, 200)),           # many buckets
+        ("dup", np.repeat(rng.integers(0, 3 * W, 50), 4)),  # tied ts
+    ]
+    for name, offs in cases:
+        ts = (1_600_000_000_000_000 + offs).astype("int64")
+        uid = rng.integers(1, 12, len(ts)).astype("int64")
+        eid = np.arange(len(ts), dtype="int64")
+        d = tmp_path / f"sfr_{name}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array(eid), "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }), str(d / "events.parquet"))
+        out = (relational.events_range_join_ds(str(d)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        want = np.array([
+            int(np.sum((uid == uid[i]) & (ts > ts[i]) & (ts <= ts[i] + W)))
+            for i in range(len(ts))], dtype="int64")
+        assert len(out) == len(ts), name
+        got = out["n_follow"].to_numpy()
+        assert np.array_equal(got, want), (name, np.nonzero(got != want)[0][:5])
