@@ -907,6 +907,15 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        "text_bpe_merges": """
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             FROM documents),
+ch AS (SELECT w, regexp_extract_all(w, '.') AS cs FROM tok),
+pr AS (SELECT unnest(list_transform(range(1, CAST(len(cs) AS BIGINT)),
+        i -> list_extract(cs, i) || list_extract(cs, i + 1))) AS pair
+       FROM ch WHERE len(cs) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pr GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
         "text_dup_spans": """
 WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
            FROM documents),

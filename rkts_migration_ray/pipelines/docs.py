@@ -1983,3 +1983,37 @@ def curated_corpus_ds(sf_dir: str, n_buckets: int | None = None):
     return (corpus.union(keeps)
             .groupby("kbucket")
             .map_groups(semi_bucket, batch_format="pandas"))
+
+
+BPE_MERGE_TOPK = 50
+
+
+def bpe_merge_candidates_ds(sf_dir: str, k: int = BPE_MERGE_TOPK):
+    """Tokenizer-vocabulary induction, step one: corpus-wide counts of
+    adjacent in-word character pairs — the statistic the first BPE merge is
+    chosen from (each subsequent merge re-runs the same aggregate over the
+    re-segmented corpus). Emits the top-k pairs (count desc, pair asc).
+
+    Scale shape: identical to text_vocab_ds — each batch ships PARTIAL
+    (pair, n) counts bounded by its distinct pair alphabet (≤ 26² here,
+    ≤ |alphabet|² generally — tiny regardless of corpus size), the
+    groupby-sum moves one row per (pair, block), and only the aggregated
+    pair table is sorted."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            for w in T.tokens_lower(x):
+                c.update(w[i:i + 2] for i in range(len(w) - 1))
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(k))

@@ -177,7 +177,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_tfidf", "text_bpe_tokens",
                                   "rel_events_sliding",
                                   "rel_events_range", "text_dup_spans",
-                                  "docs_curated_corpus",
+                                  "docs_curated_corpus", "text_bpe_merges",
                                   "text_distinct_sketch",
                                   "rel_region_part_revenue",
                                   "dedup_survivors"])
