@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nquads": kg.nquads_lines_ds,
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,
+        "kg_pagerank": kg.kg_pagerank_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         "kg_reproductions": kg.reproduction_triples_ds,

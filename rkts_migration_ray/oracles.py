@@ -1312,6 +1312,46 @@ FULL OUTER JOIN (SELECT obj AS node, count(*) AS in_deg FROM (
 ON o.node = i.node"""
 
 
+def _pagerank_select(full_union: str, iters: int = 5) -> str:
+    """kg_pagerank oracle: fixed-iteration PageRank in integer micro-units
+    (×10^12) — r0 = SCALE // N, contribution (r*85) // (100*outdeg), next
+    rank = (15*SCALE) // (100*N) + Σ contributions. All-integer arithmetic
+    is associative, so this matches the distributed engine bit-for-bit.
+    Unrolled CTEs (DuckDB's recursive CTE allows only one self-reference,
+    which can't express join-with-ranks + keep-all-nodes in one term). Every
+    CTE is AS MATERIALIZED: each pr{{i}} references pre/prn/pro and
+    pr{{i-1}}, so default inlining re-expands the full triple union once per
+    reference — exponential plan growth that OOMs DuckDB at sf0.001."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    s = f""",
+pre AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM (
+{full_union}
+) WHERE pred IN ({preds})),
+prn AS MATERIALIZED (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM pre UNION ALL SELECT dst FROM pre)),
+prc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM prn),
+pro AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        FROM pre GROUP BY 1),
+pr0 AS MATERIALIZED (SELECT node,
+        CAST(1000000000000 // prc.n AS BIGINT) AS r
+        FROM prn CROSS JOIN prc)"""
+    for i in range(1, iters + 1):
+        s += f""",
+pr{i} AS MATERIALIZED (
+ SELECT nd.node,
+  CAST((15 * 1000000000000) // (100 * prc.n) AS BIGINT)
+   + COALESCE(c.contrib, 0) AS r
+ FROM prn nd CROSS JOIN prc
+ LEFT JOIN (SELECT pre.dst,
+             CAST(SUM((p.r * 85) // (100 * pro.outdeg)) AS BIGINT) AS contrib
+            FROM pre JOIN pr{i - 1} p ON pre.src = p.node
+            JOIN pro ON pro.src = pre.src
+            GROUP BY pre.dst) c ON c.dst = nd.node)"""
+    return s + f"\nSELECT node, r AS pagerank FROM pr{iters}"
+
+
 def _img_numbers_select(sf_dir_or_tag: str) -> str:
     """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
     utils.php:280-404): volume index reconstruction (missing→next,
@@ -1412,6 +1452,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_adjacency": w + _adjacency_select(full_union),
         "kg_degrees": w + _degrees_select(full_union),
+        "kg_pagerank": w + _pagerank_select(full_union),
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",

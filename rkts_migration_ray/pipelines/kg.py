@@ -823,3 +823,162 @@ def kg_degrees_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             .groupby("node")
             .aggregate(Sum("out_deg", alias_name="out_deg"),
                        Sum("in_deg", alias_name="in_deg")))
+
+
+PR_SCALE = 10 ** 12   # ranks as integer micro-units: exact, order-independent
+PR_ITERS = 5
+
+
+def kg_pagerank_ds(sf_dir: str, iters: int = PR_ITERS,
+                   cfg: PipelineConfig = DEFAULT_CONFIG,
+                   concurrency: int = 8):
+    """Fixed-iteration PageRank over the emitted resource graph (edges =
+    OBJ_URI_PREDS triples, nodes = edge endpoints) — the canonical iterative
+    graph-analytics op next to the connected-components machinery.
+
+    EXACT by construction: ranks live in integer micro-units (×10^12) and
+    every step is integer arithmetic — r0 = SCALE // N, per-edge
+    contribution (r_src * 85) // (100 * outdeg_src), next rank =
+    (15 * SCALE) // (100 * N) + Σ contributions. Integer sums are
+    associative, so the distributed result is bit-equal to the SQL twin
+    regardless of summation order — the trick that lets an ITERATIVE
+    floating-point-native algorithm pass a hash-exact oracle gate. Dangling
+    mass is dropped (spec'd identically on both sides).
+
+    Scale shape: a matrix-vector multiply per iteration, as two vectorized
+    hash-bucket co-groups — (1) ranks join edges on hash(src) (outdeg was
+    attached in-bucket at setup: a bucket holds every edge of its sources),
+    emit (dst, contrib); (2) contribs + a zero row per node co-group on
+    hash(node), vectorized per-bucket sum. The edge set is materialized
+    once with its bucket ids; each round ships one int64 per edge plus one
+    per node, and the new rank vector is CHECKPOINTED to Parquet and
+    re-read (_checkpoint): on this Ray version, .materialize() of a
+    union-rooted plan re-executes the whole chain per downstream consumer
+    (measured: per-iteration wall doubled every round, 6→42 s at
+    sf0.01/8 cpus), while the parquet round-trip keeps iterations flat
+    (~4.5 s) and stays distributed — the rank vector never visits the
+    driver."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        t = t.filter(keep)
+        src = pc.cast(t["subj"].combine_chunks(), pa.string())
+        dst = pc.cast(t["obj"].combine_chunks(), pa.string())
+        return pa.table({"kbucket": hash_bucket(src, nb),
+                         "src": src, "dst": dst})
+
+    def add_outdeg(df: pd.DataFrame) -> pa.Table:
+        # hash(src) co-location ⇒ a bucket holds EVERY edge of its sources,
+        # so out-degree is an in-bucket transform, not a separate join
+        od = df.groupby("src")["dst"].transform("size").astype("int64")
+        return pa.table({"kbucket": pa.array(df["kbucket"].to_numpy("int32")),
+                         "src": pa.array(df["src"], pa.string()),
+                         "dst": pa.array(df["dst"], pa.string()),
+                         "outdeg": pa.array(od.to_numpy("int64"))})
+
+    edges = (kg_triples_ds(sf_dir, cfg, concurrency)
+             .map_batches(edge_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("kbucket")
+             .map_groups(add_outdeg, batch_format="pandas")
+             .materialize())
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["src"].combine_chunks(),
+                                 t["dst"].combine_chunks()])
+        both = pc.unique(both)
+        return pa.table({"nbucket": hash_bucket(both, nb), "node": both})
+
+    def uniq_nodes(df: pd.DataFrame) -> pa.Table:
+        u = df["node"].unique()
+        return pa.table({"nbucket": pa.array(
+            np.full(len(u), df["nbucket"].iloc[0], np.int32)),
+            "node": pa.array(u, pa.string())})
+
+    nodes = (edges.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("nbucket")
+             .map_groups(uniq_nodes, batch_format="pandas")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "pagerank": pa.array([], pa.int64())}))
+    r0 = PR_SCALE // n_nodes
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                            "r": pa.array(np.full(t.num_rows, r0, np.int64))}),
+        batch_format="pyarrow").materialize()
+    ckpt_dir = _session_ckpt_root()
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["kbucket"],
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"],
+                         "outdeg": t["outdeg"],
+                         "r": pa.array(np.zeros(n, np.int64))})
+
+    def r_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["nbucket"],  # same hash, same nb
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": t["node"], "dst": pa.nulls(n, pa.string()),
+                         "outdeg": pa.array(np.zeros(n, np.int64)),
+                         "r": t["r"]})
+
+    def contrib_bucket(df: pd.DataFrame) -> pa.Table:
+        e = df[df["tag"] == 0]
+        rr = df[df["tag"] == 1][["key", "r"]]
+        m = e[["key", "dst", "outdeg"]].merge(rr, on="key", how="left")
+        r = m["r"].fillna(0).astype("int64").to_numpy()
+        c = (r * 85) // (100 * m["outdeg"].to_numpy("int64"))
+        return pa.table({
+            "nbucket": hash_bucket(pa.array(m["dst"], pa.string()), nb),
+            "node": pa.array(m["dst"], pa.string()),
+            "c": pa.array(c.astype("int64"))})
+
+    def sum_bucket(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("node", as_index=False)["c"].sum()
+        return pa.table({
+            "nbucket": pa.array(np.full(len(agg), df["nbucket"].iloc[0],
+                                        np.int32)),
+            "node": pa.array(agg["node"], pa.string()),
+            "r": pa.array(base + agg["c"].to_numpy("int64"))})
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                            "c": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    tagged_edges = edges.map_batches(e_tag, batch_format="pyarrow")
+    for it in range(iters):
+        contribs = (tagged_edges
+                    .union(ranks.map_batches(r_tag, batch_format="pyarrow"))
+                    .groupby("kbucket")
+                    .map_groups(contrib_bucket, batch_format="pandas"))
+        ranks = _checkpoint(
+            contribs.union(zeros)
+            .groupby("nbucket")
+            .map_groups(sum_bucket, batch_format="pandas"),
+            os.path.join(ckpt_dir, f"pr_iter_{it}"))
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "pagerank": pc.cast(t["r"], pa.int64())}),
+        batch_format="pyarrow")

@@ -28,7 +28,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", ["kg_structural", "kg_conv_triples",
                                   "kg_locations", "kg_validate",
                                   "conv_flatten", "kg_cooccurrence",
-                                  "sft_examples"])
+                                  "sft_examples", "kg_pagerank"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
