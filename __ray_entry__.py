@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,
         "kg_pagerank": kg.kg_pagerank_ds,
+        "kg_triangles": kg.kg_triangles_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         "kg_reproductions": kg.reproduction_triples_ds,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": docs.text_clean_ds,
         "doc_chunks": docs.doc_chunks_ds,
         "sample_stratified": docs.sample_stratified_ds,
+        "sample_group_topk": docs.sample_group_topk_ds,
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
         "sample_token_budget": docs.sample_token_budget_ds,
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated_corpus": lambda sf: docs.curated_corpus_ds(sf)
             .drop_columns(["part"]),
         "text_tfidf": docs.tfidf_top_term_ds,
+        "text_postings": docs.text_postings_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_bpe_merges": docs.bpe_merge_candidates_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,
@@ -148,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
+        "rel_events_window_users": relational.events_window_users_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,

@@ -843,6 +843,16 @@ SELECT event_type,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2""",
+        "rel_events_window_users": """
+SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
+ CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
+        "sample_group_topk": """
+WITH r AS (SELECT lang, doc_id,
+  row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+ FROM documents)
+SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 20""",
         "text_vocab": """
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),
@@ -1011,6 +1021,17 @@ s AS (SELECT tf.doc_id, tf.word,
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, word) AS rk FROM s)
 SELECT doc_id, word AS top_term, round(score, 6) AS tfidf FROM r WHERE rk = 1""",
+        "text_postings": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY word
+                                   ORDER BY tf DESC, doc_id) AS rnk FROM tf),
+d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT d.word AS word, d.df AS df,
+ string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.tf DESC, r.doc_id) AS postings
+FROM d JOIN r ON r.word = d.word AND r.rnk <= 50
+GROUP BY 1, 2""",
         "text_bpe_tokens": _bpe_tokens_select(),
         "rel_events_sliding": """
 WITH b AS (SELECT event_type,
@@ -1474,6 +1495,18 @@ FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
 JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
   ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2""",
+        "kg_triangles": w + """
+, co AS MATERIALIZED (
+  SELECT a.entity_uri AS a, b.entity_uri AS b
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+tri AS MATERIALIZED (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM co x JOIN co y ON y.a = x.b JOIN co z ON z.a = x.a AND z.b = y.b)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS entity FROM tri) GROUP BY 1""",
         "sft_examples": w + """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
        n_context_turns, COALESCE(context, '') AS context, target

@@ -2017,3 +2017,140 @@ def bpe_merge_candidates_ds(sf_dir: str, k: int = BPE_MERGE_TOPK):
             .aggregate(Sum("n", alias_name="n"))
             .sort(["n", "pair"], descending=[True, False])
             .limit(k))
+
+
+POSTINGS_CAP = 50   # impact-ordered postings: top docs by tf kept per term
+
+
+def text_postings_ds(sf_dir: str, cap: int = POSTINGS_CAP):
+    """Inverted-index build: per term, exact document frequency plus a
+    capped impact-ordered postings list ("doc:tf" joined by commas, ordered
+    tf desc then doc_id asc) — the retrieval primitive a search/RAG corpus
+    pipeline materializes next to the text.
+
+    Scale shape: per-batch (doc, word, tf) partials are CAPPED per word
+    before the shuffle — top-``cap`` rows by (tf desc, doc asc) per batch is
+    a monoid under that order (each (doc, word) exists once globally), so
+    the global top-``cap`` survives and a stopword ships ≤ cap rows per
+    block instead of one row per document. Document frequency rides the same
+    tagged union as a map-side-combined Sum (one row per (word, block)).
+    Both streams co-group on a WORD-HASH BUCKET (skew-safe: a hot term
+    cannot concentrate a task, same shape as tfidf_top_term_ds); one
+    vectorized per-bucket merge emits the final rows. Full (uncapped)
+    postings at 100 TB would instead shard the list per (term, doc-range)
+    the way write_bucket_adjacency shards subjects."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=32, per_cpu=2)
+
+    def tf_capped(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = {"doc_id": [], "word": [], "tf": []}
+        for did, x in zip(df["doc_id"], df["text"]):
+            c: dict[str, int] = {}
+            for w in _WORD_RE.findall(x.lower()):
+                c[w] = c.get(w, 0) + 1
+            rows["doc_id"].extend([int(did)] * len(c))
+            rows["word"].extend(c.keys())
+            rows["tf"].extend(c.values())
+        out = pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "word": pd.Series(rows["word"], dtype="object"),
+            "tf": pd.Series(rows["tf"], dtype="int64")})
+        out = out.sort_values(["word", "tf", "doc_id"],
+                              ascending=[True, False, True], kind="stable")
+        keep = out.groupby("word", sort=False).cumcount() < cap
+        out = out[keep]
+        return from_pandas_clean(out)
+
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_capped, batch_format="pyarrow").materialize()
+
+    # exact df cannot be counted from the capped rows (the cap drops
+    # (doc, word) rows); it comes from an uncapped distinct-per-doc stream
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        agg: dict[str, int] = {}
+        for x in df["text"]:
+            for w in set(_WORD_RE.findall(x.lower())):
+                agg[w] = agg.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(agg.keys()), pa.string()),
+                         "df": pa.array(list(agg.values()), pa.int64())})
+
+    dfreq = (_docs(sf_dir, ["text"])
+             .map_batches(df_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("df", alias_name="df")))
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "wbucket": hash_bucket(t["word"].combine_chunks(), nb),
+            "word": t["word"], "doc_id": t["doc_id"], "tf": t["tf"],
+            "df": pa.nulls(t.num_rows, pa.int64())})
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "wbucket": hash_bucket(t["word"].combine_chunks(), nb),
+            "word": t["word"],
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "tf": pa.nulls(t.num_rows, pa.int64()),
+            "df": t["df"]})
+
+    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["df"].notna(), ["word", "df"]]
+        t = df.loc[df["tf"].notna(), ["word", "doc_id", "tf"]]
+        t = t.sort_values(["word", "tf", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        t = t[t.groupby("word", sort=False).cumcount() < cap]
+        posting = (t["doc_id"].astype("int64").astype(str) + ":"
+                   + t["tf"].astype("int64").astype(str))
+        plist = posting.groupby(t["word"], sort=False).agg(",".join)
+        out = d.copy()
+        out["df"] = out["df"].astype("int64")
+        out["postings"] = out["word"].map(plist)
+        return out.reset_index(drop=True)
+
+    tagged = (tf.map_batches(tag_tf, batch_format="pyarrow")
+              .union(dfreq.map_batches(tag_df, batch_format="pyarrow")))
+    return (tagged.groupby("wbucket")
+            .map_groups(build_bucket, batch_format="pandas")
+            .select_columns(["word", "df", "postings"]))
+
+
+GROUP_TOPK_K = 20   # docs kept per language stratum
+
+
+def sample_group_topk_ds(sf_dir: str, k: int = GROUP_TOPK_K):
+    """Exact-k deterministic sample per language stratum: the k docs with
+    the smallest md5(doc_id) per lang — the fixed-size counterpart of
+    sample_stratified_ds's rate-based filter (a mixture recipe that says
+    "exactly k of each" rather than "p% of each"), reproducible across
+    runs, shards and cluster sizes because rank is a content hash, not RNG.
+
+    Scale shape: top-k by (md5, doc_id) is a monoid — each batch ships at
+    most k rows per group present in it, the final per-group merge sees
+    ≤ k × n_blocks rows, and groups are languages (bounded), so the last
+    groupby is tiny. No corpus-sized shuffle, no driver materialization."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = pd.Series(
+            [hashlib.md5(str(int(d)).encode()).hexdigest()
+             for d in df["doc_id"]], index=df.index, dtype="object")
+        out = pd.DataFrame({"lang": df["lang"], "doc_id":
+                            df["doc_id"].astype("int64"), "h": h})
+        out = out.sort_values(["lang", "h", "doc_id"], kind="stable")
+        out = out[out.groupby("lang", sort=False).cumcount() < k]
+        return from_pandas_clean(out)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="stable").iloc[:k]
+        return pd.DataFrame({
+            "lang": df["lang"], "doc_id": df["doc_id"].astype("int64"),
+            "rnk": pd.Series(np.arange(1, len(df) + 1, dtype="int64"),
+                             index=df.index)})
+
+    return (_docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(final, batch_format="pandas"))

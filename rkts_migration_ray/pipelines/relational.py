@@ -673,3 +673,38 @@ def events_range_join_ds(sf_dir: str, window_hours: int = RANGE_JOIN_WINDOW_HOUR
             .map_batches(rows, batch_format="pyarrow")
             .groupby(["kbucket", "tb"])
             .map_groups(count_bucket, batch_format="pandas"))
+
+
+def events_window_users_ds(sf_dir: str):
+    """Exact distinct users per tumbling 1-hour window (the audience /
+    reach counterpart of events_window_ds; KMV in text_distinct_sketch is
+    the approximate cousin).
+
+    Scale shape: count-distinct as two cascaded hash aggregates, both with
+    map-side combining — per-batch distinct (window, user) rows collapse
+    duplicates before the first shuffle, the (window, user) groupby ships
+    one row per pair per block, and the second groupby counts one row per
+    surviving pair. A hot window spreads over its users in the first
+    exchange, so skew cannot concentrate a task."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        window = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                            3_600_000_000.0)), pa.int64())
+        pairs = pa.table({"window": window, "user_id": t["user_id"]})
+        return pairs.group_by(["window", "user_id"]).aggregate([])
+
+    distinct = (_table(sf_dir, "events", ["ts", "user_id"])
+                .map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["window", "user_id"])
+                .aggregate(Sum("user_id", alias_name="_drop")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"window": t["window"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return (distinct.map_batches(ones, batch_format="pyarrow")
+            .groupby("window")
+            .aggregate(Sum("one", alias_name="n_users")))

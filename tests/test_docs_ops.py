@@ -768,3 +768,93 @@ def test_events_range_join_random_crosscheck(tmp_path):
         assert len(out) == len(ts), name
         got = out["n_follow"].to_numpy()
         assert np.array_equal(got, want), (name, np.nonzero(got != want)[0][:5])
+
+
+def test_triangles_random_graph_crosscheck(tmp_path):
+    """kg_triangles per-node counts equal brute-force enumeration on random
+    G(n, p) graphs — exercises the degree-ordered orientation (hub nodes,
+    degree ties, isolated nodes) independent of the cooccurrence fixture."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    rng = np.random.default_rng(23)
+    for n, p in ((12, 0.5), (40, 0.15), (25, 0.9)):
+        nodes = [f"N{i:03d}" for i in range(n)]
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < p]
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        truth: dict[str, int] = {}
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:  # a < b < c: count each triangle once
+                    for v in (a, b, c):
+                        truth[v] = truth.get(v, 0) + 1
+        eds = rd.from_pandas(pd.DataFrame(
+            {"e1": [a for a, _ in edges], "e2": [b for _, b in edges]}))
+        out = kg.kg_triangles_ds("sf0.001", edges=eds).to_pandas()
+        got = dict(zip(out["entity"], out["n_triangles"]))
+        assert got == truth, (n, p)
+
+
+def test_group_topk_exact_and_deterministic(sf_tag):
+    """sample_group_topk keeps exactly min(k, group size) docs per lang,
+    ranks 1..n by md5 order, and two runs agree row-for-row."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    a = docs.sample_group_topk_ds(sf_tag).to_pandas()
+    b = docs.sample_group_topk_ds(sf_tag).to_pandas()
+    key = ["lang", "doc_id", "rnk"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key])
+    full = duckdb.sql(
+        f"SELECT lang, doc_id FROM read_parquet("
+        f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet')").df()
+    for lang, g in full.groupby("lang"):
+        want = sorted(
+            (hashlib.md5(str(int(d)).encode()).hexdigest(), int(d))
+            for d in g["doc_id"])[:docs.GROUP_TOPK_K]
+        got = a[a["lang"] == lang].sort_values("rnk")
+        assert list(got["doc_id"]) == [d for _, d in want]
+        assert list(got["rnk"]) == list(range(1, len(want) + 1))
+
+
+def test_postings_cap_and_df(sf_tag):
+    """text_postings: df is the exact uncapped document frequency while the
+    postings list is capped, impact-ordered, and prefix-consistent with the
+    full tf table."""
+    import duckdb
+
+    from rkts_migration_ray.pipelines import docs
+
+    out = docs.text_postings_ds(sf_tag).to_pandas()
+    tf = duckdb.sql(f"""
+        WITH tok AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                     FROM read_parquet(
+                       '{docs.resolve_sf_dir(sf_tag)}/documents.parquet'))
+        SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2""").df()
+    bywords = {w: g for w, g in tf.groupby("word")}
+    assert set(out["word"]) == set(bywords)
+    for _, row in out.iterrows():
+        g = bywords[row["word"]]
+        assert row["df"] == len(g)
+        want = g.sort_values(["tf", "doc_id"], ascending=[False, True])
+        want = want.head(docs.POSTINGS_CAP)
+        expect = ",".join(f"{int(d)}:{int(t)}"
+                          for d, t in zip(want["doc_id"], want["tf"]))
+        assert row["postings"] == expect
