@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
         "rel_events_window_users": relational.events_window_users_ds,
+        "rel_events_rolling": relational.events_rolling_ds,
+        "rel_revenue_rollup": relational.revenue_rollup_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,

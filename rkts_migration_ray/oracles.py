@@ -847,6 +847,22 @@ FROM events GROUP BY 1, 2""",
 SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1""",
+        "rel_events_rolling": """
+SELECT event_id, user_id,
+ CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_c,
+ CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_frame
+FROM events""",
+        "rel_revenue_rollup": """
+SELECT r.r_name AS region, n.n_name AS nation,
+ CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+ CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)""",
         "sample_group_topk": """
 WITH r AS (SELECT lang, doc_id,
   row_number() OVER (PARTITION BY lang

@@ -708,3 +708,133 @@ def events_window_users_ds(sf_dir: str):
     return (distinct.map_batches(ones, batch_format="pyarrow")
             .groupby("window")
             .aggregate(Sum("one", alias_name="n_users")))
+
+
+def events_rolling_ds(sf_dir: str, frame: int = 5,
+                      n_buckets: int | None = None):
+    """Per-user rolling sum over the last ``frame`` events (ROWS-frame
+    window aggregate — the per-row moving statistic that tumbling /
+    hopping / session windows don't cover).
+
+    Scale shape: same user-hash bucketing as sessionization — a ROWS frame
+    only needs per-user order, so each bucket does ONE vectorized pandas
+    pass (sort + per-user rolling sum); no global sort, no per-row Python.
+    Sums stay in integer cents so the distributed result is bit-equal to
+    the SQL window twin."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(
+        floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts": t["ts"], "val_c": _cents(t["value"]),
+        })
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["val_c"]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "roll_sum_c": g.rolling(frame, min_periods=1).sum()
+                           .reset_index(level=0, drop=True).astype("int64"),
+            "n_frame": g.rolling(frame, min_periods=1).count()
+                        .reset_index(level=0, drop=True).astype("int64"),
+        })
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(roll, batch_format="pandas"))
+
+
+def revenue_rollup_ds(sf_dir: str):
+    """Order revenue by region and nation with ROLLUP subtotals (leaf rows,
+    per-region subtotal with nation NULL, grand total with both NULL) — the
+    hierarchical re-aggregation shape: the fact table is scanned ONCE for
+    the leaf aggregate; the two coarser tiers re-aggregate the tiny leaf
+    dataset, never the facts.
+
+    Dimension chain customer→nation→region is composed on the driver into
+    one custkey-indexed array and broadcast (ray.put) — the standard
+    small-side join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    d = resolve_sf_dir(sf_dir)
+    cust = pq.read_table(os.path.join(d, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(d, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(os.path.join(d, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rnames = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    nkey_to_pair = {int(k): (rnames[int(r)], n) for k, n, r in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+        nation["n_regionkey"].to_pylist())}
+    ckeys = np.asarray(cust["c_custkey"])
+    reg = np.empty(int(ckeys.max()) + 1, dtype=object)
+    nat = np.empty(int(ckeys.max()) + 1, dtype=object)
+    pairs = [nkey_to_pair[int(n)] for n in cust["c_nationkey"].to_pylist()]
+    reg[ckeys] = [p[0] for p in pairs]
+    nat[ckeys] = [p[1] for p in pairs]
+    ref = ray.put((reg, nat))
+
+    class Leaf:
+        def __init__(self, ref):
+            self.reg, self.nat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t["o_custkey"])
+            df = pd.DataFrame({"region": self.reg[ck], "nation": self.nat[ck],
+                               "rev": np.asarray(_cents(t["o_totalprice"]))})
+            g = df.groupby(["region", "nation"], sort=False)["rev"]
+            agg = g.agg(["sum", "count"]).reset_index()
+            return pa.table({
+                "region": pa.array(agg["region"], pa.string()),
+                "nation": pa.array(agg["nation"], pa.string()),
+                "revenue_c": pa.array(agg["sum"].to_numpy("int64")),
+                "n_orders": pa.array(agg["count"].to_numpy("int64"))})
+
+    leaf = (_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(Leaf, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": ref},
+                         concurrency=(1, 2))
+            .groupby(["region", "nation"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .materialize())
+
+    def null_nation(t: pa.Table) -> pa.Table:
+        return pa.table({"region": t["region"],
+                         "nation": pa.nulls(t.num_rows, pa.string()),
+                         "revenue_c": t["revenue_c"],
+                         "n_orders": t["n_orders"]})
+
+    def null_both(t: pa.Table) -> pa.Table:
+        return pa.table({"region": pa.nulls(t.num_rows, pa.string()),
+                         "nation": pa.nulls(t.num_rows, pa.string()),
+                         "revenue_c": t["revenue_c"],
+                         "n_orders": t["n_orders"]})
+
+    by_region = (leaf.groupby("region")
+                 .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                            Sum("n_orders", alias_name="n_orders"))
+                 .map_batches(null_nation, batch_format="pyarrow"))
+    total = (leaf.map_batches(
+        lambda t: pa.table({"k": pa.array(np.zeros(t.num_rows, np.int8)),
+                            "revenue_c": t["revenue_c"],
+                            "n_orders": t["n_orders"]}),
+        batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .map_batches(lambda t: null_both(t), batch_format="pyarrow"))
+    return leaf.union(by_region, total)

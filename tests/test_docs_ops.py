@@ -858,3 +858,43 @@ def test_postings_cap_and_df(sf_tag):
         expect = ",".join(f"{int(d)}:{int(t)}"
                           for d, t in zip(want["doc_id"], want["tf"]))
         assert row["postings"] == expect
+
+
+def test_events_rolling_boundaries(tmp_path):
+    """ROWS-frame rolling sum: frames shorter than 5 at the head, exact
+    5-row frames afterwards, tied timestamps broken by event_id, users
+    isolated from each other, and a user with fewer events than the frame."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import relational
+
+    base = 1_700_000_000_000_000
+    # user 7: eight events, two of them with the SAME ts (order by event_id);
+    # user 8: two events (never reaches a full frame)
+    ts = np.array([base + i * 1_000_000 for i in range(8)], dtype="int64")
+    ts[3] = ts[2]  # tie: event 4 shares event 3's timestamp
+    uid = np.array([7] * 8 + [8] * 2, dtype="int64")
+    eid = np.arange(1, 11, dtype="int64")
+    val = np.array([1, 2, 4, 8, 16, 32, 64, 128, 5, 11], dtype="float64")
+    d = tmp_path / "sfroll"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "user_id": pa.array(uid),
+        "ts": pa.array(np.concatenate([ts, [base, base + 1]])).cast(
+            pa.timestamp("us")),
+        "value": pa.array(val),
+    }), str(d / "events.parquet"))
+    out = (relational.events_rolling_ds(str(d)).to_pandas()
+           .set_index("event_id"))
+    # cents; rolling window of 5 rows inclusive of current
+    w = [100, 300, 700, 1500, 3100,   # growing head frames (cumsums)
+         6200, 12400, 24800]          # full 5-row frames drop the oldest
+    for i, expect in enumerate(w, start=1):
+        assert out.loc[i, "roll_sum_c"] == expect, i
+    assert list(out.loc[[1, 2, 3, 4, 5, 6, 7, 8], "n_frame"]) == \
+        [1, 2, 3, 4, 5, 5, 5, 5]
+    assert out.loc[9, "roll_sum_c"] == 500 and out.loc[10, "roll_sum_c"] == 1600
+    assert list(out.loc[[9, 10], "n_frame"]) == [1, 2]
