@@ -1389,6 +1389,27 @@ pr{i} AS MATERIALIZED (
     return s + f"\nSELECT node, r AS pagerank FROM pr{iters}"
 
 
+def _clean_text_select() -> str:
+    """conv_clean_text oracle: per-family marker counts on the raw text
+    (families never overlap there), then sequential regexp_replace — both
+    sides run RE2 (Arrow kernels ↔ DuckDB), so match semantics agree."""
+    from .pipelines.kg import MARKER_PATTERNS
+
+    cleaned = "COALESCE(text, '')"
+    counts = []
+    for p in MARKER_PATTERNS:
+        lit = p.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all(COALESCE(text, ''), '{lit}'))")
+        cleaned = f"regexp_replace({cleaned}, '{lit}', '', 'g')"
+    total = " + ".join(counts)
+    return f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+ trim(regexp_replace({cleaned}, '\\s+', ' ', 'g')) AS clean_text,
+ CAST({total} AS BIGINT) AS n_markers
+FROM t"""
+
+
 def _img_numbers_select(sf_dir_or_tag: str) -> str:
     """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
     utils.php:280-404): volume index reconstruction (missing→next,
@@ -1511,6 +1532,7 @@ FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
 JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
   ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2""",
+        "conv_clean_text": w + _clean_text_select(),
         "kg_triangles": w + """
 , co AS MATERIALIZED (
   SELECT a.entity_uri AS a, b.entity_uri AS b

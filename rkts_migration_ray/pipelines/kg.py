@@ -1122,14 +1122,12 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
                              "v": pa.array([], pa.string()),
                              "w": pa.array([], pa.string()),
                              "u": pa.array([], pa.string())})
-        u_a = np.concatenate(us)
-        v_a = np.concatenate(vs)
-        w_a = np.concatenate(ws)
-        key = pa.array([a + SEP + b for a, b in zip(v_a, w_a)], pa.string())
+        u_a = pa.array(np.concatenate(us), pa.string())
+        v_a = pa.array(np.concatenate(vs), pa.string())
+        w_a = pa.array(np.concatenate(ws), pa.string())
+        key = pc.binary_join_element_wise(v_a, w_a, SEP)
         return pa.table({"pb": pc.cast(hash_bucket(key, nb), pa.int64()),
-                         "v": pa.array(v_a, pa.string()),
-                         "w": pa.array(w_a, pa.string()),
-                         "u": pa.array(u_a, pa.string())})
+                         "v": v_a, "w": w_a, "u": u_a})
 
     wedges = (oriented.map_batches(tag_src, batch_format="pyarrow")
               .groupby("sb").map_groups(wedge_rows, batch_format="pandas"))
@@ -1144,12 +1142,11 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
                          "u": pa.nulls(t.num_rows, pa.string())})
 
     def match_bucket(df: pd.DataFrame) -> pa.Table:
-        ek = set((df.loc[df["u"].isna(), "v"] + SEP
-                  + df.loc[df["u"].isna(), "w"]).to_numpy(dtype=object))
-        wd = df[df["u"].notna()]
-        wk = (wd["v"] + SEP + wd["w"]).to_numpy(dtype=object)
-        mask = np.fromiter((k in ek for k in wk), bool, len(wk))
-        hit = wd[mask]
+        # vectorized hash semi-join (C speed) — a Python membership loop
+        # here would walk tens of millions of wedge rows at sf0.01
+        probe = df.loc[df["u"].isna(), ["v", "w"]]
+        wd = df.loc[df["u"].notna(), ["u", "v", "w"]]
+        hit = wd.merge(probe, on=["v", "w"], how="inner")
         corners = pd.concat([hit["u"], hit["v"], hit["w"]])
         vc = corners.value_counts()
         return pa.table({"entity": pa.array(vc.index.to_numpy(dtype=object),
@@ -1162,3 +1159,54 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
             .groupby("pb").map_groups(match_bucket, batch_format="pandas")
             .groupby("entity")
             .aggregate(Sum("n", alias_name="n_triangles")))
+
+
+# transcript markup families (fixtures.py:20-28 grammar; the reference's
+# analogs are the inline markers editionxmltottl.php/kernelxmltottl.php
+# parse out of catalog text). Order is irrelevant: no pattern's match can
+# produce another's (loc{ never matches inside locs{ — next char differs).
+MARKER_PATTERNS = (
+    r"ttl\[\w+\]\{[^}]*\}",     # titles
+    r"cr\[[^\]]*\]\{[^}]*\}",   # creators
+    r"chls\{[^}]*\}",           # chapter locations, chemdo dialect
+    r"chl\{[^}]*\}",            # chapter locations, bampo/chap dialect
+    r"locs\{[^}]*\}",           # simple-dialect locations
+    r"loc\{[^}]*\}",            # full-dialect locations
+    r"sec\{[^}]*\}",            # section rollovers
+    r"@\[[^\]]*\]",             # entity mentions
+)
+
+
+def conv_clean_text_ds(sf_dir: str):
+    """Markup-stripped per-turn training text: every inline marker family
+    removed, whitespace collapsed, plus the removed-marker count — the
+    clean-text EXPORT step a training pipeline runs on an annotated corpus
+    before packing (conv_flatten/sft_examples keep the markers because the
+    KG passes need them; this is the text a tokenizer should see).
+
+    Pure map over Arrow string kernels (count_substring_regex /
+    replace_substring_regex — RE2, the same engine as the DuckDB twin), no
+    shuffle, no Python in the row path."""
+    import numpy as np
+    import pyarrow as pa
+
+    def clean(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        text = pc.if_else(pc.is_valid(text), text, pa.scalar("", pa.string()))
+        # counts over the ORIGINAL text (families never overlap there);
+        # replacements run sequentially afterwards
+        n = pa.array(np.zeros(len(text), np.int64))
+        for pat in MARKER_PATTERNS:
+            n = pc.add(n, pc.cast(pc.count_substring_regex(text, pat),
+                                  pa.int64()))
+        for pat in MARKER_PATTERNS:
+            text = pc.replace_substring_regex(text, pat, "")
+        text = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(text, r"\s+", " "))
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "clean_text": text, "n_markers": n})
+
+    return readers.read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]).map_batches(
+            clean, batch_format="pyarrow", zero_copy_batch=True)

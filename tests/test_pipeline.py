@@ -28,7 +28,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", ["kg_structural", "kg_conv_triples",
                                   "kg_locations", "kg_validate",
                                   "conv_flatten", "kg_cooccurrence",
-                                  "sft_examples", "kg_pagerank"])
+                                  "sft_examples", "kg_pagerank",
+                                  "conv_clean_text"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
