@@ -1389,6 +1389,27 @@ pr{i} AS MATERIALIZED (
     return s + f"\nSELECT node, r AS pagerank FROM pr{iters}"
 
 
+def _khop_select(full_union: str, k: int = 4) -> str:
+    """kg_khop oracle: depth-limited BFS from the C:* conversation roots
+    over the symmetric resource graph — recursive CTE with UNION (dedup)
+    and a dist < k guard, min(dist) per node. MATERIALIZED pre-CTEs for
+    the same inlining-explosion reason as _pagerank_select."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+ke0 AS MATERIALIZED (SELECT subj AS s, obj AS d FROM (
+{full_union}
+) WHERE pred IN ({preds})),
+ke AS MATERIALIZED (SELECT s, d FROM ke0 UNION ALL SELECT d, s FROM ke0),
+kseed AS MATERIALIZED (SELECT DISTINCT s AS node FROM ke WHERE s LIKE 'C:%'),
+kbfs AS (SELECT node, 0 AS dist FROM kseed
+ UNION
+ SELECT ke.d, kbfs.dist + 1 FROM kbfs JOIN ke ON ke.s = kbfs.node
+ WHERE kbfs.dist < {k})
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM kbfs GROUP BY 1"""
+
+
 def _clean_text_select() -> str:
     """conv_clean_text oracle: per-family marker counts on the raw text
     (families never overlap there), then sequential regexp_replace — both
@@ -1511,6 +1532,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_adjacency": w + _adjacency_select(full_union),
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
+        "kg_khop": w + _khop_select(full_union),
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",

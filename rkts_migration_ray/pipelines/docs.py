@@ -2066,7 +2066,7 @@ def text_postings_ds(sf_dir: str, cap: int = POSTINGS_CAP):
         return from_pandas_clean(out)
 
     tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tf_capped, batch_format="pyarrow").materialize()
+        tf_capped, batch_format="pyarrow")
 
     # exact df cannot be counted from the capped rows (the cap drops
     # (doc, word) rows); it comes from an uncapped distinct-per-doc stream

@@ -1019,8 +1019,7 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
 
     if edges is None:
         edges = (cooccurrence_ds(sf_dir, concurrency)
-                 .select_columns(["e1", "e2"])
-                 .materialize())
+                 .select_columns(["e1", "e2"]))
     # `edges` contract: distinct undirected edges, e1 < e2, no self-loops
     # (cooccurrence_ds guarantees all three; tests inject random graphs)
 
@@ -1210,3 +1209,105 @@ def conv_clean_text_ds(sf_dir: str):
     return readers.read_transcripts(
         sf_dir, columns=["conv_id", "turn_idx", "text"]).map_batches(
             clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KHOP_K = 4          # BFS depth bound
+KHOP_SEED_PREFIX = "C:"   # conversation root nodes seed the frontier
+
+
+def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
+               cfg: PipelineConfig = DEFAULT_CONFIG, concurrency: int = 8):
+    """K-hop BFS over the (undirected) resource graph: min distance ≤ ``k``
+    from any conversation root node — the bounded-depth reachability
+    primitive (impact radius / neighborhood extraction) next to
+    kg_pagerank's fixed-iteration ranking.
+
+    EXACT and bounded: distances are integers, the depth bound makes both
+    sides finite, and min-reduce is order-independent, so the distributed
+    result hash-matches the depth-limited recursive-CTE twin.
+
+    Scale shape (same skeleton as kg_pagerank): the symmetric edge set is
+    bucketed on hash(src) and materialized once; each of the k rounds is
+    ONE tagged co-group (current labels join edges in-bucket, emitting
+    dist+1 candidates) followed by a min-reduce groupby(node), with the
+    label vector CHECKPOINTED to Parquet between rounds (materialize() of
+    a union-rooted plan re-executes per consumer on this Ray version).
+    Payload per round: one int64 per discovered node + one per edge whose
+    source is discovered."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        t = t.filter(keep)
+        a = pc.cast(t["subj"].combine_chunks(), pa.string())
+        b = pc.cast(t["obj"].combine_chunks(), pa.string())
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        return pa.table({"kb": hash_bucket(src, nb), "src": src, "dst": dst})
+
+    edges = (kg_triples_ds(sf_dir, cfg, concurrency)
+             .map_batches(edge_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .materialize())
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        both = pc.unique(pa.concat_arrays([t["src"].combine_chunks(),
+                                           t["dst"].combine_chunks()]))
+        seeds = both.filter(pc.starts_with(both, KHOP_SEED_PREFIX))
+        return pa.table({"node": seeds,
+                         "dist": pa.array(np.zeros(len(seeds), np.int64))})
+
+    labels = (edges.map_batches(seed_rows, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("dist", alias_name="dist"))
+              .materialize())
+    ckpt_dir = _session_ckpt_root()
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"],
+                         "dist": pa.array(np.zeros(n, np.int64))})
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        n = t.num_rows
+        return pa.table({"kb": hash_bucket(node, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": node, "dst": pa.nulls(n, pa.string()),
+                         "dist": t["dist"]})
+
+    def relax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["tag"] == 1, ["key", "dist"]]
+        e = df.loc[df["tag"] == 0, ["key", "dst"]]
+        m = e.merge(lab, on="key", how="inner")
+        return pd.DataFrame({
+            "node": pd.concat([lab["key"], m["dst"]], ignore_index=True),
+            "dist": pd.concat([lab["dist"],
+                               m["dist"] + 1], ignore_index=True)
+            .astype("int64")})
+
+    for it in range(k):
+        labels = _checkpoint(
+            edges.map_batches(e_tag, batch_format="pyarrow")
+            .union(labels.map_batches(l_tag, batch_format="pyarrow"))
+            .groupby("kb").map_groups(relax_bucket, batch_format="pandas")
+            .groupby("node").aggregate(Min("dist", alias_name="dist")),
+            os.path.join(ckpt_dir, f"khop_{it}"))
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "dist": pc.cast(t["dist"], pa.int64())})
+        .filter(pc.less_equal(pc.cast(t["dist"], pa.int64()),
+                              pa.scalar(k, pa.int64()))),
+        batch_format="pyarrow")

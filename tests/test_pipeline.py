@@ -29,7 +29,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_locations", "kg_validate",
                                   "conv_flatten", "kg_cooccurrence",
                                   "sft_examples", "kg_pagerank",
-                                  "conv_clean_text"])
+                                  "conv_clean_text", "kg_khop"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
