@@ -1533,6 +1533,34 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_components": w + """
+, ce0 AS MATERIALIZED (
+  SELECT a.entity_uri AS a, b.entity_uri AS b
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+ce AS MATERIALIZED (SELECT a, b FROM ce0 UNION ALL SELECT b, a FROM ce0),
+creach AS (
+  SELECT a AS node, a AS member FROM ce
+  UNION
+  SELECT c.node, ce.b FROM creach c JOIN ce ON ce.a = c.member)
+SELECT node AS entity_uri,
+       min(CAST(CAST(('0x' || substr(md5(member), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS component
+FROM creach GROUP BY 1""",
+        "kg_entity_lifespan": w + """
+SELECT entity_uri,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n) AS BIGINT) AS n_turns,
+       min(f) AS first_ts_us, max(l) AS last_ts_us
+FROM (
+  SELECT d.entity_uri, d.conv_id,
+         min(epoch_us(t.ts)) AS f, max(epoch_us(t.ts)) AS l, count(*) AS n
+  FROM (SELECT DISTINCT conv_id, turn_idx, entity_uri FROM linked) d
+  JOIN t ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+  GROUP BY 1, 2)
+GROUP BY 1""",
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",

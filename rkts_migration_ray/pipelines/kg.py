@@ -1311,3 +1311,204 @@ def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
         .filter(pc.less_equal(pc.cast(t["dist"], pa.int64()),
                               pa.scalar(k, pa.int64()))),
         batch_format="pyarrow")
+
+
+def kg_entity_lifespan_ds(sf_dir: str, concurrency: int = 8):
+    """Per-entity temporal profile over the mention stream: first/last
+    mention timestamp (epoch micros), distinct-conversation count, and
+    mention-turn count — the freshness/coverage signal a KG build feeds to
+    entity ranking and staleness pruning (the reference's analog is the
+    per-work instance census ST4 builds across the edition pass,
+    migrate.php:99 + editionxmltottl.php:49-53, with `ts` as the engine's
+    temporal axis per the input_hint schema).
+
+    EXACT: min/max/count over integers (epoch micros), order-independent.
+
+    Scale shape: the linked mention rows (conv_id, turn_idx, entity_uri —
+    already deduped per turn inside the linker actor) meet the pruned
+    (conv_id, turn_idx, ts) stream in ONE tagged co-group on a
+    CONV-HASH-BUCKET key; because every row of a conversation lands in its
+    conv's bucket, the per-(entity, conv) partial computed inside the bucket
+    is globally complete — the final groupby(entity_uri) then ships ONE row
+    per (entity, conv), never per mention. A hub entity spreads over its
+    conversations in the first exchange, so key skew cannot concentrate
+    mention rows into one task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def m_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pc.cast(t["entity_uri"].combine_chunks(),
+                                  pa.string()),
+            "ts_us": pa.nulls(n, pa.int64()),
+        })
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pa.nulls(n, pa.string()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.loc[df["tag"] == 0, ["conv_id", "turn_idx", "entity_uri"]]
+        ts = df.loc[df["tag"] == 1, ["conv_id", "turn_idx", "ts_us"]].copy()
+        ts["ts_us"] = ts["ts_us"].astype("int64")  # NaN-free after the split
+        j = m.merge(ts, on=["conv_id", "turn_idx"], how="inner")
+        g = (j.groupby(["entity_uri", "conv_id"], sort=False)["ts_us"]
+             .agg(first_ts_us="min", last_ts_us="max", n_turns="size")
+             .reset_index())
+        return from_pandas_clean(pd.DataFrame({
+            "entity_uri": g["entity_uri"],
+            "first_ts_us": g["first_ts_us"].astype("int64"),
+            "last_ts_us": g["last_ts_us"].astype("int64"),
+            "n_turns": g["n_turns"].astype("int64"),
+            "n_convs": pd.Series(np.ones(len(g), np.int64)),
+        }))
+
+    linked = linked_mentions_ds(sf_dir, concurrency).select_columns(
+        ["conv_id", "turn_idx", "entity_uri"])
+    ts = readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                                   "ts"])
+    agg = (linked.map_batches(m_tag, batch_format="pyarrow")
+           .union(ts.map_batches(t_tag, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+           .groupby("cb").map_groups(per_bucket, batch_format="pandas")
+           .groupby("entity_uri")
+           .aggregate(Sum("n_convs", alias_name="n_convs"),
+                      Sum("n_turns", alias_name="n_turns"),
+                      Min("first_ts_us", alias_name="first_ts_us"),
+                      Max("last_ts_us", alias_name="last_ts_us")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "entity_uri": t["entity_uri"],
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+            "n_turns": pc.cast(t["n_turns"], pa.int64()),
+            "first_ts_us": pc.cast(t["first_ts_us"], pa.int64()),
+            "last_ts_us": pc.cast(t["last_ts_us"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def kg_components_ds(sf_dir: str, max_iters: int = 32, concurrency: int = 8):
+    """Connected components over the entity co-occurrence graph — the
+    entity-clustering step after relation discovery (the KG-side analog of
+    docs.dedup_clusters_ds; the reference's KTMapping alias merging J1/J2 is
+    the 1-hop special case of this transitive closure).
+
+    Component id = min 60-bit md5 of the member URIs, the repo's standard
+    SQL-replicable hash (collision odds ~n²/2⁶¹ — negligible, and the oracle
+    applies the SAME hash, so parity is exact regardless).
+
+    Scale shape (same skeleton as kg_khop, plus the dedup_clusters
+    convergence loop): symmetric edges bucketed on hash(src) and
+    materialized once; each round is ONE tagged co-group (labels meet edges
+    in-bucket, each edge forwards its source's label to its target) followed
+    by a min-reduce groupby(node), the label vector checkpointed to Parquet
+    between rounds. Convergence is a driver-side SCALAR — sum(lbl) strictly
+    decreases until fixpoint (labels only ever decrease under min-reduce) —
+    and exhausting max_iters RAISES (no silent caps). Rounds needed = graph
+    diameter; payload per round = one int64 per node + one per edge."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def h60(vals) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in vals),
+            dtype=np.int64, count=len(vals))
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["e1"].combine_chunks(), pa.string())
+        b = pc.cast(t["e2"].combine_chunks(), pa.string())
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        return pa.table({"kb": hash_bucket(src, nb), "src": src, "dst": dst})
+
+    edges = (cooccurrence_ds(sf_dir, concurrency)
+             .select_columns(["e1", "e2"])
+             .map_batches(sym, batch_format="pyarrow")
+             .materialize())
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pylist()
+        # seed = min(h(self), h(neighbor)) per edge row — saves one round
+        lbl = np.minimum(h60(src), h60(t["dst"].to_pylist()))
+        return pa.table({"node": t["src"], "lbl": pa.array(lbl)})
+
+    labels = _checkpoint(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("lbl", alias_name="lbl")),
+        os.path.join(_session_ckpt_root(), "comp_init"))
+    prev_sum = labels.sum("lbl")
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"],
+                         "lbl": pa.array(np.zeros(n, np.int64))})
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        n = t.num_rows
+        return pa.table({"kb": hash_bucket(node, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": node, "dst": pa.nulls(n, pa.string()),
+                         "lbl": t["lbl"]})
+
+    def relax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["tag"] == 1, ["key", "lbl"]]
+        e = df.loc[df["tag"] == 0, ["key", "dst"]]
+        m = e.merge(lab, on="key", how="inner")
+        return pd.DataFrame({
+            "node": pd.concat([lab["key"], m["dst"]], ignore_index=True),
+            "lbl": pd.concat([lab["lbl"], m["lbl"]],
+                             ignore_index=True).astype("int64")})
+
+    converged = False
+    for it in range(max_iters):
+        labels = _checkpoint(
+            edges.map_batches(e_tag, batch_format="pyarrow")
+            .union(labels.map_batches(l_tag, batch_format="pyarrow"))
+            .groupby("kb").map_groups(relax_bucket, batch_format="pandas")
+            .groupby("node").aggregate(Min("lbl", alias_name="lbl")),
+            os.path.join(_session_ckpt_root(), f"comp_{it}"))
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"kg_components: min-label propagation did not reach a fixpoint "
+            f"within max_iters={max_iters} rounds; raise max_iters")
+
+    return labels.map_batches(
+        lambda t: pa.table({"entity_uri": t["node"],
+                            "component": pc.cast(t["lbl"], pa.int64())}),
+        batch_format="pyarrow")

@@ -29,7 +29,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_locations", "kg_validate",
                                   "conv_flatten", "kg_cooccurrence",
                                   "sft_examples", "kg_pagerank",
-                                  "conv_clean_text", "kg_khop"])
+                                  "conv_clean_text", "kg_khop",
+                                  "kg_entity_lifespan", "kg_components"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
