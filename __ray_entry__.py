@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": docs.minhash_pairs_ds,      # oracle (md5 MinHash)
         "minhash_signatures": docs.minhash_signatures_ds,  # oracle (md5 MinHash)
         "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
+        "dedup_simhash_pairs": docs.simhash_pairs_ds,      # banded Hamming ≤ 3
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
         "text_repetition": docs.text_repetition_ds,

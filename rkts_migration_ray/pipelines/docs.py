@@ -2154,3 +2154,93 @@ def sample_group_topk_ds(sf_dir: str, k: int = GROUP_TOPK_K):
             .map_batches(partial, batch_format="pyarrow")
             .groupby("lang")
             .map_groups(final, batch_format="pandas"))
+
+
+SIMHASH_MAX_HAMMING = 3
+_POP16 = None  # 16-bit popcount table, built once per process
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.uint8)
+    v = v.astype(np.uint64)
+    out = np.zeros(len(v), dtype=np.int64)
+    for s in (0, 16, 32, 48):
+        out += _POP16[((v >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+def simhash_pairs_ds(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """SimHash near-dup PAIRS: (doc_a, doc_b, hamming) for every pair whose
+    64-bit SimHash fingerprints differ in ≤ ``max_hamming`` bits — the scale
+    path that turns dedup_simhash's fingerprints into dedup decisions
+    without an all-pairs scan (Manku, Jain & Das Sarma, WWW'07).
+
+    Pigeonhole banding: the fingerprint splits into ``max_hamming + 1``
+    bands (4 × 16 bits at the default), so any pair within distance 3 agrees
+    EXACTLY on at least one band. Candidates = docs sharing a (band, value)
+    bucket; each bucket verifies popcount(a XOR b) locally (both
+    fingerprints are already in the bucket row — no second lookup), and a
+    final (doc_a, doc_b) groupby drops the multi-band duplicate hits.
+
+    Scale shape: the ×4 band explode ships (band, value, doc_id, bits) only;
+    random 16-bit bands keep buckets near-uniform (≈ n/2¹⁶ docs each — at
+    10⁹ docs widen the bands / add permuted tables per the paper; the
+    verify-inside-bucket and pair-dedup stages are unchanged). Within a
+    bucket, work is quadratic only in that bucket's size, which for
+    non-adversarial corpora is the near-dup cluster size — the same bound
+    the MinHash banding path accepts. EXACT for the declared semantics:
+    banding guarantees recall at ≤ max_hamming, verification guarantees
+    precision, so the all-pairs DuckDB twin matches row-for-row."""
+    n_bands = max_hamming + 1
+    assert 64 % n_bands == 0, "band width must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = np.array([int(h, 16) for h in df["simhash"]], dtype=np.uint64)
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        bands, vals, docs, bits = [], [], [], []
+        for j in range(n_bands):
+            bands.append(np.full(len(v), j, dtype=np.int8))
+            vals.append(((v >> np.uint64(j * width)) &
+                         np.uint64(mask)).astype(np.int64))
+            docs.append(doc)
+            bits.append(v.astype(np.int64))  # two's-complement carrier
+        return pa.table({"band": np.concatenate(bands),
+                         "val": np.concatenate(vals),
+                         "doc_id": np.concatenate(docs),
+                         "bits": np.concatenate(bits)})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        d = df.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(d)
+        if n < 2:
+            return empty
+        doc = d["doc_id"].to_numpy(dtype=np.int64)
+        v = d["bits"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        ham = _popcount64(v[ia] ^ v[ib])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": doc[ia[keep]], "doc_b": doc[ib[keep]],
+                             "hamming": ham[keep]})
+
+    from ray.data.aggregate import Min
+
+    pairs = (simhash_ds(sf_dir)
+             .map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band", "val"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Min("hamming", alias_name="hamming")))
+    return pairs.map_batches(
+        lambda t: pa.table({"doc_a": pc.cast(t["doc_a"], pa.int64()),
+                            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                            "hamming": pc.cast(t["hamming"], pa.int64())}),
+        batch_format="pyarrow")

@@ -180,7 +180,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_curated_corpus", "text_bpe_merges",
                                   "text_distinct_sketch",
                                   "rel_region_part_revenue",
-                                  "dedup_survivors"])
+                                  "dedup_survivors", "dedup_simhash_pairs"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -898,3 +898,41 @@ def test_events_rolling_boundaries(tmp_path):
         [1, 2, 3, 4, 5, 5, 5, 5]
     assert out.loc[9, "roll_sum_c"] == 500 and out.loc[10, "roll_sum_c"] == 1600
     assert list(out.loc[[9, 10], "n_frame"]) == [1, 2]
+
+
+def test_simhash_pairs_brute_force(tmp_path):
+    """Banded Hamming-pair generation == brute force over the fingerprints:
+    pigeonhole banding must lose nothing at ham ≤ 3, verification must add
+    nothing, and the pair dedup must collapse multi-band hits."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfsim"
+    d.mkdir()
+    # exact dups (ham 0), one-word tweaks (small ham), distinct docs, empties
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base,
+             base.replace("lazy", "sleepy"),
+             base.replace("again and again", "often"),
+             "completely different content about sorting networks",
+             "", " ", base + " " + base]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+
+    fp = docs.simhash_ds(str(d)).to_pandas()
+    v = {int(r.doc_id): int(r.simhash, 16) for r in fp.itertuples()}
+    want = sorted(
+        (a, b, bin(v[a] ^ v[b]).count("1"))
+        for a, b in itertools.combinations(sorted(v), 2)
+        if bin(v[a] ^ v[b]).count("1") <= docs.SIMHASH_MAX_HAMMING)
+    got = docs.simhash_pairs_ds(str(d)).to_pandas()
+    got = sorted(map(tuple, got[["doc_a", "doc_b", "hamming"]]
+                     .astype("int64").to_numpy()))
+    assert got == want
+    assert (1, 2, 0) in got  # the exact-dup pair must be found
