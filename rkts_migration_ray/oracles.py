@@ -1551,6 +1551,23 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_pmi": w + """
+, dce AS MATERIALIZED (SELECT DISTINCT conv_id, entity_uri FROM linked),
+pecnt AS MATERIALIZED (SELECT entity_uri, CAST(count(*) AS BIGINT) AS n
+                       FROM dce GROUP BY 1),
+pnv AS MATERIALIZED (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS nn
+                     FROM t),
+pco AS MATERIALIZED (
+  SELECT a.entity_uri AS e1, b.entity_uri AS e2,
+         CAST(count(*) AS BIGINT) AS n_convs
+  FROM dce a JOIN dce b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2)
+SELECT c.e1, c.e2, c.n_convs,
+       round(ln((CAST(c.n_convs AS DOUBLE) * (SELECT nn FROM pnv)) /
+                CAST(na.n * nb.n AS DOUBLE)), 6) AS pmi
+FROM pco c JOIN pecnt na ON na.entity_uri = c.e1
+           JOIN pecnt nb ON nb.entity_uri = c.e2""",
         "kg_components": w + """
 , ce0 AS MATERIALIZED (
   SELECT a.entity_uri AS a, b.entity_uri AS b

@@ -1512,3 +1512,84 @@ def kg_components_ds(sf_dir: str, max_iters: int = 32, concurrency: int = 8):
         lambda t: pa.table({"entity_uri": t["node"],
                             "component": pc.cast(t["lbl"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
+    """Pointwise mutual information per co-occurring entity pair —
+    pmi = ln(n_ab·N / (n_a·n_b)) over conversation counts — the association
+    score that separates systematically-related entity pairs from pairs
+    that merely share popular conversations (relation-strength ranking on
+    top of kg_cooccurrence's raw counts).
+
+    Float parity: DuckDB's ``ln`` is libm-exact, numpy's vectorized log is
+    not (≈20% of values differ in the last ulp), so the score uses scalar
+    ``math.log`` per pair; ``round_half_away`` then matches SQL round().
+
+    Scale shape: per-entity conversation counts are a conv-bucket co-group
+    (distinct-per-conv complete in-bucket, one (entity, n) partial per
+    bucket) → tiny groupby(entity) sum; the resulting entity-count table is
+    BOUNDED BY THE ALIAS VOCABULARY (the same bound as the ST2 gazetteer
+    broadcast), so it ships driver → ray.put → per-batch dict lookup, and
+    the pair stream is scored in one map — no pair-side shuffle at all.
+    N (distinct conversations) is one tiny aggregate."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        round_half_away, scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    # N: exact distinct-conversation count (per-batch unique combiner →
+    # one row per (conv, block) into the count shuffle)
+    n_convs = (readers.read_transcripts(sf_dir, columns=["conv_id"])
+               .map_batches(lambda t: pa.table(
+                   {"conv_id": pc.unique(t["conv_id"].combine_chunks())}),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .groupby("conv_id").count().count())
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "entity_uri": t["entity_uri"]})
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[["conv_id", "entity_uri"]].drop_duplicates()
+             .groupby("entity_uri", sort=False).size())
+        return pd.DataFrame({"entity_uri": g.index.to_numpy(dtype=object),
+                             "n": g.to_numpy(dtype="int64")})
+
+    ecnt = (linked_mentions_ds(sf_dir, concurrency)
+            .select_columns(["conv_id", "entity_uri"])
+            .map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("cb").map_groups(count_bucket, batch_format="pandas")
+            .groupby("entity_uri").aggregate(Sum("n", alias_name="n"))
+            ).to_pandas()
+    ecnt_ref = ray.put(dict(zip(ecnt["entity_uri"], ecnt["n"].astype(int))))
+    n_f = float(n_convs)
+
+    def score(t: pa.Table) -> pa.Table:
+        # stateless task + ray.get of the broadcast dict (~ms; plasma caches
+        # the object per node) — an actor pool here would STACK a second
+        # min-sized pool on top of cooccurrence's linker pool and can starve
+        # a small cluster (observed executor wedge at num_cpus=4)
+        n_by_ent = ray.get(ecnt_ref)
+        df = t.to_pandas()
+        na = df["e1"].map(n_by_ent).to_numpy(dtype="int64")
+        nb_ = df["e2"].map(n_by_ent).to_numpy(dtype="int64")
+        nab = df["n_convs"].to_numpy(dtype="int64")
+        pmi = np.fromiter(
+            (math.log((float(c) * n_f) / float(x * y))
+             for c, x, y in zip(nab, na, nb_)),
+            dtype=np.float64, count=len(df))
+        return from_pandas_clean(pd.DataFrame({
+            "e1": df["e1"], "e2": df["e2"],
+            "n_convs": nab, "pmi": round_half_away(pmi)}))
+
+    return cooccurrence_ds(sf_dir, concurrency).map_batches(
+        score, batch_format="pyarrow")

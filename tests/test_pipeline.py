@@ -30,7 +30,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "conv_flatten", "kg_cooccurrence",
                                   "sft_examples", "kg_pagerank",
                                   "conv_clean_text", "kg_khop",
-                                  "kg_entity_lifespan", "kg_components"])
+                                  "kg_entity_lifespan", "kg_components",
+                                  "kg_pmi"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
