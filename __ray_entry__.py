@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lifespan": kg.kg_entity_lifespan_ds,
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,
+        "kg_pair_formation": kg.kg_pair_formation_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         "kg_reproductions": kg.reproduction_triples_ds,

@@ -1551,6 +1551,18 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_pair_formation": w + """
+, pfm AS MATERIALIZED (
+  SELECT d.entity_uri, d.conv_id, min(epoch_us(t.ts)) AS f
+  FROM (SELECT DISTINCT conv_id, turn_idx, entity_uri FROM linked) d
+  JOIN t ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+  GROUP BY 1, 2)
+SELECT a.entity_uri AS e1, b.entity_uri AS e2,
+       min(greatest(a.f, b.f)) AS formed_ts_us,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM pfm a JOIN pfm b
+  ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+GROUP BY 1, 2""",
         "kg_pmi": w + """
 , dce AS MATERIALIZED (SELECT DISTINCT conv_id, entity_uri FROM linked),
 pecnt AS MATERIALIZED (SELECT entity_uri, CAST(count(*) AS BIGINT) AS n

@@ -1593,3 +1593,104 @@ def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
 
     return cooccurrence_ds(sf_dir, concurrency).map_batches(
         score, batch_format="pyarrow")
+
+
+def kg_pair_formation_ds(sf_dir: str, concurrency: int = 8):
+    """Temporal edge formation: for every co-occurring entity pair, the
+    earliest moment BOTH had been mentioned inside one conversation —
+    formed_ts_us = min over shared convs of greatest(first-mention(a),
+    first-mention(b)) — plus the shared-conv count (which must equal
+    kg_cooccurrence's n_convs, a built-in cross-check). This is the
+    edge-dating primitive a temporal KG needs to order relation discovery.
+
+    EXACT: min/max over epoch-micros integers, order-independent.
+
+    Scale shape: ONE conv-bucket tagged co-group does everything local to a
+    conversation — the per-(entity, conv) first-mention reduce is complete
+    in-bucket (a conv never straddles buckets), and pair generation is
+    quadratic only in one conversation's distinct entities (the same bound
+    kg_cooccurrence accepts). The only global shuffle is the final
+    groupby(e1, e2) min/sum over one row per (pair, conv)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def m_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pc.cast(t["entity_uri"].combine_chunks(),
+                                  pa.string()),
+            "ts_us": pa.nulls(n, pa.int64()),
+        })
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pa.nulls(n, pa.string()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.loc[df["tag"] == 0, ["conv_id", "turn_idx", "entity_uri"]]
+        ts = df.loc[df["tag"] == 1, ["conv_id", "turn_idx", "ts_us"]].copy()
+        ts["ts_us"] = ts["ts_us"].astype("int64")
+        j = m.merge(ts, on=["conv_id", "turn_idx"], how="inner")
+        f = (j.groupby(["conv_id", "entity_uri"], sort=False)["ts_us"]
+             .min().reset_index())
+        e1s, e2s, fs = [], [], []
+        for _, g in f.groupby("conv_id", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            g = g.sort_values("entity_uri")
+            ents = g["entity_uri"].to_numpy(dtype=object)
+            fv = g["ts_us"].to_numpy(dtype="int64")
+            ia, ib = np.triu_indices(n, k=1)
+            e1s.append(ents[ia])
+            e2s.append(ents[ib])
+            fs.append(np.maximum(fv[ia], fv[ib]))
+        if not e1s:
+            return from_pandas_clean(pd.DataFrame({
+                "e1": pd.Series(dtype="object"),
+                "e2": pd.Series(dtype="object"),
+                "formed": pd.Series(dtype="int64"),
+                "one": pd.Series(dtype="int64")}))
+        out = pd.DataFrame({"e1": np.concatenate(e1s),
+                            "e2": np.concatenate(e2s),
+                            "formed": np.concatenate(fs)})
+        out["one"] = np.int64(1)
+        return from_pandas_clean(out)
+
+    linked = linked_mentions_ds(sf_dir, concurrency).select_columns(
+        ["conv_id", "turn_idx", "entity_uri"])
+    ts = readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                                   "ts"])
+    agg = (linked.map_batches(m_tag, batch_format="pyarrow")
+           .union(ts.map_batches(t_tag, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+           .groupby("cb").map_groups(per_bucket, batch_format="pandas")
+           .groupby(["e1", "e2"])
+           .aggregate(Min("formed", alias_name="formed_ts_us"),
+                      Sum("one", alias_name="n_convs")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "e1": t["e1"], "e2": t["e2"],
+            "formed_ts_us": pc.cast(t["formed_ts_us"], pa.int64()),
+            "n_convs": pc.cast(t["n_convs"], pa.int64())}),
+        batch_format="pyarrow")
