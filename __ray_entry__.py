@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,
         "kg_pair_formation": kg.kg_pair_formation_ds,
+        "conv_tool_stats": kg.conv_tool_stats_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         "kg_reproductions": kg.reproduction_triples_ds,
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_bins": docs.quality_bins_ds,
         "sample_token_budget": docs.sample_token_budget_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
+        "dedup_simhash_clusters": lambda sf: docs.dedup_clusters_ds(
+            sf, pair_source="simhash"),
         "dedup_embed_clusters": lambda sf: docs.dedup_clusters_ds(
             sf, pair_source="embed").map_batches(
                 lambda t: t.select(["doc_id", "component"]).rename_columns(

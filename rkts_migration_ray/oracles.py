@@ -605,6 +605,29 @@ FROM documents d JOIN v USING (doc_id) WHERE v.kept""")
     return sqls
 
 
+def _simhash_pair_ctes() -> str:
+    """SimHash fingerprint CTEs (dedup_simhash twin) + the Hamming ≤ 3 pair
+    edge list `p(doc_a, doc_b)` — the exact edge list of simhash_pairs_ds,
+    shared by the pairs oracle's clusters variant."""
+    return """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+wh AS (SELECT doc_id, c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
+bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (hv >> j) & 1 = 1 THEN c ELSE -c END) AS acc
+         FROM wh, (SELECT unnest(generate_series(0, 63)) AS j)
+         GROUP BY 1, 2),
+sh64 AS (SELECT doc_id,
+          sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END) AS v
+         FROM bits GROUP BY 1),
+shx AS (SELECT t.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) AS v
+        FROM tk t LEFT JOIN sh64 s USING (doc_id)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.v, b.v)) <= 3)"""
+
+
 def _doc_rel_oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_simhash": """
@@ -1031,6 +1054,17 @@ reach(node, r) AS (
   UNION
   SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node)
 SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node""",
+        "dedup_simhash_clusters": _simhash_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
 FROM reach GROUP BY node""",
         "dedup_clusters": _minhash_pair_ctes().replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
@@ -1551,6 +1585,15 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "conv_tool_stats": w + """
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n) AS BIGINT) AS n_calls,
+       min(f) AS first_ts_us, max(l) AS last_ts_us
+FROM (SELECT tool, conv_id, count(*) AS n,
+             min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+      FROM t WHERE tool IS NOT NULL AND tool <> '' GROUP BY 1, 2)
+GROUP BY 1""",
         "kg_pair_formation": w + """
 , pfm AS MATERIALIZED (
   SELECT d.entity_uri, d.conv_id, min(epoch_us(t.ts)) AS f

@@ -1523,6 +1523,11 @@ def dedup_clusters_ds(sf_dir: str, max_iters: int = 16,
             lambda t: t.select(["vec_a", "vec_b"]).rename_columns(
                 ["doc_a", "doc_b"]),
             batch_format="pyarrow")
+    elif pair_source == "simhash":
+        # Hamming-banded fingerprint pair graph (the other production-scale
+        # pair generator next to minhash)
+        pairs = simhash_pairs_ds(sf_dir).map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
     else:
         raise ValueError(f"unknown pair_source {pair_source!r}")
     if isinstance(pairs, pd.DataFrame):

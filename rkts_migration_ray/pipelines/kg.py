@@ -1694,3 +1694,69 @@ def kg_pair_formation_ds(sf_dir: str, concurrency: int = 8):
             "formed_ts_us": pc.cast(t["formed_ts_us"], pa.int64()),
             "n_convs": pc.cast(t["n_convs"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def conv_tool_stats_ds(sf_dir: str):
+    """Per-tool usage census over the transcript stream: call count,
+    distinct-conversation count and first/last call time (epoch micros) for
+    every non-empty `tool` value — the agent-invoked-tool axis of the
+    input_hint schema as an aggregate product (the reference analog is the
+    per-edition volume census exportvolumemap.php:11-59 derives by scanning
+    the catalog).
+
+    Scale shape: per-batch partial (tool, conv, n, min, max) rows (Arrow
+    int64 micros BEFORE pandas — datetime64[ns] would silently change the
+    unit) → map-side-combined groupby(tool, conv) → tiny groupby(tool).
+    The second shuffle ships one row per (tool, conv); tool-name skew is
+    bounded by the tool vocabulary."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("ts"), "ts_us",
+                         pc.cast(t["ts"], pa.int64()))
+        df = t.to_pandas()
+        df = df[df["tool"].notna() & (df["tool"] != "")]
+        if len(df) == 0:
+            return pa.table({"tool": pa.array([], pa.string()),
+                             "conv_id": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "l": pa.array([], pa.int64())})
+        g = (df.groupby(["tool", "conv_id"], sort=False)["ts_us"]
+             .agg(n="size", f="min", l="max").reset_index())
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g)
+
+    per_conv = (readers.read_transcripts(sf_dir,
+                                         columns=["conv_id", "tool", "ts"])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["tool", "conv_id"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Min("f", alias_name="f"),
+                           Max("l", alias_name="l")))
+
+    def add_one(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("one", pa.array(np.ones(t.num_rows,
+                                                       np.int64)))
+
+    agg = (per_conv.map_batches(add_one, batch_format="pyarrow")
+           .groupby("tool")
+           .aggregate(Sum("one", alias_name="n_convs"),
+                      Sum("n", alias_name="n_calls"),
+                      Min("f", alias_name="first_ts_us"),
+                      Max("l", alias_name="last_ts_us")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "tool": t["tool"],
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+            "n_calls": pc.cast(t["n_calls"], pa.int64()),
+            "first_ts_us": pc.cast(t["first_ts_us"], pa.int64()),
+            "last_ts_us": pc.cast(t["last_ts_us"], pa.int64())}),
+        batch_format="pyarrow")

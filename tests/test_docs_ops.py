@@ -180,7 +180,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_curated_corpus", "text_bpe_merges",
                                   "text_distinct_sketch",
                                   "rel_region_part_revenue",
-                                  "dedup_survivors", "dedup_simhash_pairs"])
+                                  "dedup_survivors", "dedup_simhash_pairs",
+                                  "dedup_simhash_clusters"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd

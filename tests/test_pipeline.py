@@ -31,7 +31,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "sft_examples", "kg_pagerank",
                                   "conv_clean_text", "kg_khop",
                                   "kg_entity_lifespan", "kg_components",
-                                  "kg_pmi", "kg_pair_formation"])
+                                  "kg_pmi", "kg_pair_formation",
+                                  "conv_tool_stats"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
