@@ -935,6 +935,21 @@ SELECT l_returnflag,
  median(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS median_qty_c,
  CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY 1""",
+        "rel_quantity_quartiles": """
+WITH qh AS (SELECT l_returnflag,
+             CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qty_c,
+             count(*) AS n
+            FROM lineitem GROUP BY 1, 2),
+qc AS (SELECT *,
+        sum(n) OVER (PARTITION BY l_returnflag ORDER BY qty_c) AS cum,
+        sum(n) OVER (PARTITION BY l_returnflag) AS tot
+       FROM qh)
+SELECT l_returnflag,
+ CAST(min(CASE WHEN cum >= ceil(tot * 0.25) THEN qty_c END) AS BIGINT) AS p25_qty_c,
+ CAST(min(CASE WHEN cum >= ceil(tot * 0.5) THEN qty_c END) AS BIGINT) AS p50_qty_c,
+ CAST(min(CASE WHEN cum >= ceil(tot * 0.75) THEN qty_c END) AS BIGINT) AS p75_qty_c,
+ CAST(min(tot) AS BIGINT) AS n_rows
+FROM qc GROUP BY 1""",
         "rel_events_sessions": """
 WITH m AS (SELECT user_id, event_id, ts,
             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS val_c,

@@ -838,3 +838,50 @@ def revenue_rollup_ds(sf_dir: str):
                    Sum("n_orders", alias_name="n_orders"))
         .map_batches(lambda t: null_both(t), batch_format="pyarrow"))
     return leaf.union(by_region, total)
+
+
+def quantity_quartiles_ds(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped p25/p50/p75 from the SAME one-pass distributed value
+    histogram as quantity_median_ds — the point of the histogram shape is
+    that EVERY additional quantile is free (one more cumulative lookup over
+    the tiny driver-side table, zero extra passes over the data).
+
+    Quantile semantics are value-at-rank with rank = ceil(q·n) (the smallest
+    value whose cumulative count reaches the rank), stated explicitly in
+    both engines rather than relying on quantile_disc's interpolation
+    convention."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"l_returnflag": np.asarray(t["l_returnflag"]),
+                           "qty_c": np.asarray(_cents(t["l_quantity"]))})
+        agg = df.groupby(["l_returnflag", "qty_c"], as_index=False).size()
+        return pa.table({
+            "l_returnflag": pa.array(agg["l_returnflag"]),
+            "qty_c": pa.array(agg["qty_c"].to_numpy("int64")),
+            "n": pa.array(agg["size"].to_numpy("int64")),
+        })
+
+    hist = (_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["l_returnflag", "qty_c"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("qty_c")
+        counts = g["n"].to_numpy("int64")
+        vals = g["qty_c"].to_numpy("int64")
+        total = int(counts.sum())
+        cum = np.cumsum(counts)
+        row = {"l_returnflag": flag, "n_rows": total}
+        for name, q in (("p25_qty_c", 0.25), ("p50_qty_c", 0.5),
+                        ("p75_qty_c", 0.75)):
+            rank = math.ceil(total * q)
+            row[name] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    cols = ["l_returnflag", "p25_qty_c", "p50_qty_c", "p75_qty_c", "n_rows"]
+    return (pd.DataFrame(rows)[cols].sort_values("l_returnflag")
+            .reset_index(drop=True))

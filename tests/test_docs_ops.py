@@ -181,7 +181,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_distinct_sketch",
                                   "rel_region_part_revenue",
                                   "dedup_survivors", "dedup_simhash_pairs",
-                                  "dedup_simhash_clusters"])
+                                  "dedup_simhash_clusters",
+                                  "rel_quantity_quartiles"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
