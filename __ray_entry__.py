@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": kg.kg_pmi_ds,
         "kg_pair_formation": kg.kg_pair_formation_ds,
         "conv_tool_stats": kg.conv_tool_stats_ds,
+        "kg_neighbors_topk": kg.kg_neighbors_topk_ds,
+        "kg_dangling_refs": kg.kg_dangling_refs_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,
         "kg_reproductions": kg.reproduction_triples_ds,

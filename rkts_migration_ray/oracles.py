@@ -1477,6 +1477,25 @@ kbfs AS (SELECT node, 0 AS dist FROM kseed
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM kbfs GROUP BY 1"""
 
 
+def _dangling_select(full_union: str) -> str:
+    """kg_dangling_refs oracle: objects of resource-valued predicates with
+    no subject row, plus their reference counts (anti-join over the union,
+    materialized once)."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+dall AS MATERIALIZED (
+{full_union}
+),
+drefs AS (SELECT obj AS node, CAST(count(*) AS BIGINT) AS n_refs
+          FROM dall WHERE pred IN ({preds}) GROUP BY 1)
+SELECT d.node, d.n_refs
+FROM drefs d
+LEFT JOIN (SELECT DISTINCT subj FROM dall) s ON s.subj = d.node
+WHERE s.subj IS NULL"""
+
+
 def _clean_text_select() -> str:
     """conv_clean_text oracle: per-family marker counts on the raw text
     (families never overlap there), then sequential regexp_replace — both
@@ -1600,6 +1619,21 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_degrees": w + _degrees_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_dangling_refs": w + _dangling_select(full_union),
+        "kg_neighbors_topk": w + """
+, nco AS MATERIALIZED (
+  SELECT a.entity_uri AS e1, b.entity_uri AS e2,
+         CAST(count(*) AS BIGINT) AS n_convs
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+nsym AS (SELECT e1 AS entity_uri, e2 AS neighbor_uri, n_convs FROM nco
+         UNION ALL SELECT e2, e1, n_convs FROM nco)
+SELECT entity_uri, neighbor_uri, n_convs, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY entity_uri
+            ORDER BY n_convs DESC, neighbor_uri) AS BIGINT) AS rank
+  FROM nsym) WHERE rank <= 5""",
         "conv_tool_stats": w + """
 SELECT tool,
        CAST(count(*) AS BIGINT) AS n_convs,

@@ -1760,3 +1760,116 @@ def conv_tool_stats_ds(sf_dir: str):
             "first_ts_us": pc.cast(t["first_ts_us"], pa.int64()),
             "last_ts_us": pc.cast(t["last_ts_us"], pa.int64())}),
         batch_format="pyarrow")
+
+
+NEIGHBOR_TOPK = 5
+
+
+def kg_neighbors_topk_ds(sf_dir: str, k: int = NEIGHBOR_TOPK,
+                         concurrency: int = 8):
+    """Top-k strongest co-occurrence neighbors per entity (ties broken by
+    neighbor URI) — the per-node adjacency shortlist a KG serves for
+    related-entity lookups.
+
+    Scale shape: the symmetric (entity, neighbor, n) stream is cut by a
+    PER-BATCH top-k combiner before the shuffle — top-k by (n DESC,
+    neighbor ASC) is a monoid, so at most k rows per (entity, block) move —
+    then one entity-hash-bucket co-group finalizes each entity's list with
+    a vectorized sort. A hub entity ships k rows per block, never its full
+    neighbor list."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["entity_uri", "n_convs", "neighbor_uri"],
+                               ascending=[True, False, True], kind="stable")
+                .groupby("entity_uri", sort=False).head(k))
+
+    def sym_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = pd.DataFrame({
+            "entity_uri": pd.concat([df["e1"], df["e2"]], ignore_index=True),
+            "neighbor_uri": pd.concat([df["e2"], df["e1"]],
+                                      ignore_index=True),
+            "n_convs": pd.concat([df["n_convs"], df["n_convs"]],
+                                 ignore_index=True).astype("int64")})
+        s = topk_partial(s)
+        s["eb"] = hash_bucket(pa.array(s["entity_uri"], pa.string()),
+                              nb).to_numpy(zero_copy_only=False)
+        return from_pandas_clean(s)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk_partial(df.drop(columns=["eb"]))
+        out["rank"] = (out.groupby("entity_uri", sort=False).cumcount()
+                       .to_numpy(dtype="int64") + 1)
+        return out
+
+    return (cooccurrence_ds(sf_dir, concurrency)
+            .map_batches(sym_topk, batch_format="pyarrow")
+            .groupby("eb").map_groups(finalize, batch_format="pandas"))
+
+
+def kg_dangling_refs_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        concurrency: int = 8):
+    """Referential-integrity audit over the emitted graph: every URI that
+    appears as the OBJECT of a resource-valued predicate but never as a
+    SUBJECT, with its reference count — the dangling-edge report a KG build
+    publishes next to kg_validate (reference analog: the authorized-section
+    and self-pointer checks that feed report_error, utils.php:558-560,
+    kernelxmltottl.php:41-42).
+
+    Scale shape: ONE pass over the triple stream emits, per batch, its
+    distinct subjects (tagged 0) and its per-object partial ref counts
+    (tagged 1); one uri-hash-bucket co-group then drops objects whose
+    subject row exists and sums the rest — the shuffle carries one row per
+    (uri, block), never per triple."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        subj = pc.unique(pc.cast(t["subj"].combine_chunks(), pa.string()))
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        objs = pc.cast(t.filter(keep)["obj"].combine_chunks(), pa.string())
+        vc = pc.value_counts(objs)
+        obj_u = vc.field("values")
+        obj_n = pc.cast(vc.field("counts"), pa.int64())
+        node = pa.concat_arrays([subj, obj_u])
+        n = pa.concat_arrays([
+            pa.nulls(len(subj), pa.int64()).fill_null(0), obj_n])
+        tag = pa.concat_arrays([
+            pa.array(np.zeros(len(subj), np.int8)),
+            pa.array(np.ones(len(obj_u), np.int8))])
+        return pa.table({"ub": hash_bucket(node, nb), "tag": tag,
+                         "node": node, "n": n})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        subs = set(df.loc[df["tag"] == 0, "node"])
+        refs = df.loc[df["tag"] == 1, ["node", "n"]]
+        refs = refs[~refs["node"].isin(subs)]
+        g = refs.groupby("node", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame({"node": g["node"],
+                             "n_refs": g["n"].astype("int64")})
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(tag_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("ub").map_groups(per_bucket, batch_format="pandas")
+            .map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "n_refs": pc.cast(t["n_refs"],
+                                                      pa.int64())}),
+                batch_format="pyarrow"))
