@@ -605,10 +605,12 @@ FROM documents d JOIN v USING (doc_id) WHERE v.kept""")
     return sqls
 
 
-def _simhash_pair_ctes() -> str:
-    """SimHash fingerprint CTEs (dedup_simhash twin) + the Hamming ≤ 3 pair
-    edge list `p(doc_a, doc_b)` — the exact edge list of simhash_pairs_ds,
-    shared by the pairs oracle's clusters variant."""
+def _simhash_fp_ctes() -> str:
+    """SimHash fingerprint CTEs replicating functions.text.simhash64 exactly
+    (md5 word hashes, count-weighted bit votes), ending in `shx(doc_id, v)`
+    with v = the 64-bit fingerprint (0 for token-less docs). The ONE copy of
+    the fingerprint SQL — dedup_simhash, the pairs oracle and the clusters
+    oracle all derive from it."""
     return """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
 wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
@@ -622,47 +624,28 @@ sh64 AS (SELECT doc_id,
           sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END) AS v
          FROM bits GROUP BY 1),
 shx AS (SELECT t.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) AS v
-        FROM tk t LEFT JOIN sh64 s USING (doc_id)),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM tk t LEFT JOIN sh64 s USING (doc_id))"""
+
+
+def _simhash_pair_ctes() -> str:
+    """_simhash_fp_ctes + the Hamming ≤ 3 pair edge list
+    `p(doc_a, doc_b, hamming)` — the exact edge list of simhash_pairs_ds,
+    shared by the pairs oracle and its clusters variant."""
+    return _simhash_fp_ctes() + """,
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
       FROM shx a JOIN shx b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.v, b.v)) <= 3)"""
 
 
 def _doc_rel_oracle_sql_base() -> dict[str, str]:
     return {
-        "dedup_simhash": """
-WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
-wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
-       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
-wh AS (SELECT doc_id, c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
-bits AS (SELECT doc_id, j,
-          sum(CASE WHEN (hv >> j) & 1 = 1 THEN c ELSE -c END) AS acc
-         FROM wh, (SELECT unnest(generate_series(0, 63)) AS j)
-         GROUP BY 1, 2),
-sh64 AS (SELECT doc_id,
-          sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END) AS v
-         FROM bits GROUP BY 1)
-SELECT t.doc_id, lower(lpad(hex(CAST(coalesce(s.v, 0) AS UBIGINT)), 16, '0')) AS simhash,
+        "dedup_simhash": _simhash_fp_ctes() + """
+SELECT s.doc_id, lower(lpad(hex(s.v), 16, '0')) AS simhash,
  CAST(len(t.t) AS BIGINT) AS n_tokens
-FROM tk t LEFT JOIN sh64 s USING (doc_id)""",
-        "dedup_simhash_pairs": """
-WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
-wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
-       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
-wh AS (SELECT doc_id, c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
-bits AS (SELECT doc_id, j,
-          sum(CASE WHEN (hv >> j) & 1 = 1 THEN c ELSE -c END) AS acc
-         FROM wh, (SELECT unnest(generate_series(0, 63)) AS j)
-         GROUP BY 1, 2),
-sh64 AS (SELECT doc_id,
-          sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END) AS v
-         FROM bits GROUP BY 1),
-shx AS (SELECT t.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) AS v
-        FROM tk t LEFT JOIN sh64 s USING (doc_id))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
-FROM shx a JOIN shx b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.v, b.v)) <= 3""",
+FROM shx s JOIN tk t USING (doc_id)""",
+        "dedup_simhash_pairs": _simhash_pair_ctes() + """
+SELECT doc_a, doc_b, hamming FROM p""",
         "minhash_signatures": _minhash_ctes() + """
 SELECT t.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_shingles,
  coalesce(s.sig_hex, repeat('7fffffff', 64)) AS sig_hex

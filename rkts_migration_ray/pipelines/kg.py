@@ -353,11 +353,15 @@ def sft_examples_ds(sf_dir: str, k: int = SFT_CONTEXT_TURNS):
             .map_groups(examples, batch_format="pandas"))
 
 
-def cooccurrence_ds(sf_dir: str, concurrency: int = 8):
+def cooccurrence_ds(sf_dir: str, concurrency: int = 8, linked=None):
     """Entity co-occurrence graph: for every entity pair, the number of
     conversations that mention both — the relation-DISCOVERY primitive a KG
     pipeline runs after linking (candidate edges for a later typed-relation
     pass; the reference's analog is the cross-record KTMapping parallels).
+
+    ``linked`` lets a caller that already ran (and checkpointed) the linker
+    feed its (conv_id, entity_uri) stream in instead of paying the
+    MentionLinker actor pool a second time (kg_pmi_ds does this).
 
     Scale shape: (conv, entity) rows are made DISTINCT per batch before the
     conv-bucket shuffle (combiner), pairs are generated per conversation —
@@ -409,7 +413,9 @@ def cooccurrence_ds(sf_dir: str, concurrency: int = 8):
             "e1": agg["e1"], "e2": agg["e2"],
             "n_convs": agg["n"].astype("int64")}))
 
-    return (linked_mentions_ds(sf_dir, concurrency)
+    if linked is None:
+        linked = linked_mentions_ds(sf_dir, concurrency)
+    return (linked
             .select_columns(["conv_id", "entity_uri"])
             .map_batches(batch_distinct, batch_format="pyarrow")
             .map_batches(add_conv_bucket,
@@ -1215,6 +1221,70 @@ KHOP_K = 4          # BFS depth bound
 KHOP_SEED_PREFIX = "C:"   # conversation root nodes seed the frontier
 
 
+def _tagged_min_step(edges, labels, nb: int, val: str, bump: int):
+    """ONE label-propagation round, the skeleton shared by kg_khop_ds
+    (val='dist', bump=1 — BFS relax) and kg_components_ds (val='lbl',
+    bump=0 — min-label propagation): edges (kb, src, dst) tagged 0 union
+    the current label vector tagged 1 → bucket co-group where every edge
+    forwards its source's value (+bump) to its target → groupby(node)
+    min-reduce. Payload per round: one int64 per node + one per edge."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import hash_bucket
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"],
+                         val: pa.array(np.zeros(n, np.int64))})
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        n = t.num_rows
+        return pa.table({"kb": hash_bucket(node, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": node, "dst": pa.nulls(n, pa.string()),
+                         val: t[val]})
+
+    def relax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["tag"] == 1, ["key", val]]
+        e = df.loc[df["tag"] == 0, ["key", "dst"]]
+        m = e.merge(lab, on="key", how="inner")
+        return pd.DataFrame({
+            "node": pd.concat([lab["key"], m["dst"]], ignore_index=True),
+            val: pd.concat([lab[val], m[val] + bump],
+                           ignore_index=True).astype("int64")})
+
+    return (edges.map_batches(e_tag, batch_format="pyarrow")
+            .union(labels.map_batches(l_tag, batch_format="pyarrow"))
+            .groupby("kb").map_groups(relax_bucket, batch_format="pandas")
+            .groupby("node").aggregate(Min(val, alias_name=val)))
+
+
+def _exact_i64_sum(ds, col: str):
+    """EXACT sum of a non-negative int64 column as a Python big int: the
+    hi/lo 30-bit halves are summed separately (neither can wrap int64 below
+    ~2³³ rows) and recombined driver-side — used for convergence scalars
+    over 60-bit label values, where a plain int64 sum would wrap and make
+    the monotone-decrease argument silently false."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(
+        lambda t: pa.table({
+            "hi": pc.shift_right(pc.cast(t[col], pa.int64()), 30),
+            "lo": pc.bit_wise_and(pc.cast(t[col], pa.int64()),
+                                  (1 << 30) - 1)}),
+        batch_format="pyarrow")
+    agg = parts.aggregate(Sum("hi"), Sum("lo"))
+    if not agg or agg.get("sum(hi)") is None:
+        return 0
+    return int(agg["sum(hi)"]) * (1 << 30) + int(agg["sum(lo)"])
+
+
 def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
                cfg: PipelineConfig = DEFAULT_CONFIG, concurrency: int = 8):
     """K-hop BFS over the (undirected) resource graph: min distance ≤ ``k``
@@ -1273,36 +1343,9 @@ def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
               .materialize())
     ckpt_dir = _session_ckpt_root()
 
-    def e_tag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
-                         "key": t["src"], "dst": t["dst"],
-                         "dist": pa.array(np.zeros(n, np.int64))})
-
-    def l_tag(t: pa.Table) -> pa.Table:
-        node = t["node"].combine_chunks()
-        n = t.num_rows
-        return pa.table({"kb": hash_bucket(node, nb),
-                         "tag": pa.array(np.ones(n, np.int8)),
-                         "key": node, "dst": pa.nulls(n, pa.string()),
-                         "dist": t["dist"]})
-
-    def relax_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df.loc[df["tag"] == 1, ["key", "dist"]]
-        e = df.loc[df["tag"] == 0, ["key", "dst"]]
-        m = e.merge(lab, on="key", how="inner")
-        return pd.DataFrame({
-            "node": pd.concat([lab["key"], m["dst"]], ignore_index=True),
-            "dist": pd.concat([lab["dist"],
-                               m["dist"] + 1], ignore_index=True)
-            .astype("int64")})
-
     for it in range(k):
         labels = _checkpoint(
-            edges.map_batches(e_tag, batch_format="pyarrow")
-            .union(labels.map_batches(l_tag, batch_format="pyarrow"))
-            .groupby("kb").map_groups(relax_bucket, batch_format="pandas")
-            .groupby("node").aggregate(Min("dist", alias_name="dist")),
+            _tagged_min_step(edges, labels, nb, val="dist", bump=1),
             os.path.join(ckpt_dir, f"khop_{it}"))
 
     return labels.map_batches(
@@ -1311,6 +1354,60 @@ def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
         .filter(pc.less_equal(pc.cast(t["dist"], pa.int64()),
                               pa.scalar(k, pa.int64()))),
         batch_format="pyarrow")
+
+
+def _mention_ts_union(sf_dir: str, concurrency: int, nb: int):
+    """Tagged union feeding the conv-bucket co-group shared by
+    kg_entity_lifespan_ds and kg_pair_formation_ds: linked mention rows
+    (tag 0: conv, turn, entity) ∪ the pruned transcript stream (tag 1:
+    conv, turn, ts as int64 epoch MICROS — cast in Arrow BEFORE any pandas
+    conversion, which would silently switch the unit to nanos)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket
+
+    def m_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pc.cast(t["entity_uri"].combine_chunks(),
+                                  pa.string()),
+            "ts_us": pa.nulls(n, pa.int64()),
+        })
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({
+            "cb": hash_bucket(conv, nb),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "conv_id": conv,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "entity_uri": pa.nulls(n, pa.string()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    linked = linked_mentions_ds(sf_dir, concurrency).select_columns(
+        ["conv_id", "turn_idx", "entity_uri"])
+    ts = readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                                   "ts"])
+    return (linked.map_batches(m_tag, batch_format="pyarrow")
+            .union(ts.map_batches(t_tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+
+def _mention_ts_join(df):
+    """Inside one conv bucket: join the tagged halves back into
+    (conv_id, turn_idx, entity_uri, ts_us) mention rows with int64 micros."""
+    m = df.loc[df["tag"] == 0, ["conv_id", "turn_idx", "entity_uri"]]
+    ts = df.loc[df["tag"] == 1, ["conv_id", "turn_idx", "ts_us"]].copy()
+    ts["ts_us"] = ts["ts_us"].astype("int64")  # NaN-free after the split
+    return m.merge(ts, on=["conv_id", "turn_idx"], how="inner")
 
 
 def kg_entity_lifespan_ds(sf_dir: str, concurrency: int = 8):
@@ -1338,41 +1435,12 @@ def kg_entity_lifespan_ds(sf_dir: str, concurrency: int = 8):
     import pyarrow as pa
     from ray.data.aggregate import Max, Min, Sum
 
-    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
-                                        scale_buckets)
+    from ..functions.arrowutils import from_pandas_clean, scale_buckets
 
     nb = scale_buckets(floor=16, per_cpu=2)
 
-    def m_tag(t: pa.Table) -> pa.Table:
-        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
-        n = t.num_rows
-        return pa.table({
-            "cb": hash_bucket(conv, nb),
-            "tag": pa.array(np.zeros(n, np.int8)),
-            "conv_id": conv,
-            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
-            "entity_uri": pc.cast(t["entity_uri"].combine_chunks(),
-                                  pa.string()),
-            "ts_us": pa.nulls(n, pa.int64()),
-        })
-
-    def t_tag(t: pa.Table) -> pa.Table:
-        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
-        n = t.num_rows
-        return pa.table({
-            "cb": hash_bucket(conv, nb),
-            "tag": pa.array(np.ones(n, np.int8)),
-            "conv_id": conv,
-            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
-            "entity_uri": pa.nulls(n, pa.string()),
-            "ts_us": pc.cast(t["ts"], pa.int64()),
-        })
-
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.loc[df["tag"] == 0, ["conv_id", "turn_idx", "entity_uri"]]
-        ts = df.loc[df["tag"] == 1, ["conv_id", "turn_idx", "ts_us"]].copy()
-        ts["ts_us"] = ts["ts_us"].astype("int64")  # NaN-free after the split
-        j = m.merge(ts, on=["conv_id", "turn_idx"], how="inner")
+        j = _mention_ts_join(df)
         g = (j.groupby(["entity_uri", "conv_id"], sort=False)["ts_us"]
              .agg(first_ts_us="min", last_ts_us="max", n_turns="size")
              .reset_index())
@@ -1384,13 +1452,7 @@ def kg_entity_lifespan_ds(sf_dir: str, concurrency: int = 8):
             "n_convs": pd.Series(np.ones(len(g), np.int64)),
         }))
 
-    linked = linked_mentions_ds(sf_dir, concurrency).select_columns(
-        ["conv_id", "turn_idx", "entity_uri"])
-    ts = readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
-                                                   "ts"])
-    agg = (linked.map_batches(m_tag, batch_format="pyarrow")
-           .union(ts.map_batches(t_tag, batch_format="pyarrow",
-                                 zero_copy_batch=True))
+    agg = (_mention_ts_union(sf_dir, concurrency, nb)
            .groupby("cb").map_groups(per_bucket, batch_format="pandas")
            .groupby("entity_uri")
            .aggregate(Sum("n_convs", alias_name="n_convs"),
@@ -1422,10 +1484,13 @@ def kg_components_ds(sf_dir: str, max_iters: int = 32, concurrency: int = 8):
     materialized once; each round is ONE tagged co-group (labels meet edges
     in-bucket, each edge forwards its source's label to its target) followed
     by a min-reduce groupby(node), the label vector checkpointed to Parquet
-    between rounds. Convergence is a driver-side SCALAR — sum(lbl) strictly
-    decreases until fixpoint (labels only ever decrease under min-reduce) —
-    and exhausting max_iters RAISES (no silent caps). Rounds needed = graph
-    diameter; payload per round = one int64 per node + one per edge."""
+    between rounds (both via the shared _tagged_min_step). Convergence is a
+    driver-side SCALAR — sum(lbl) strictly decreases until fixpoint (labels
+    only ever decrease under min-reduce), computed as an EXACT Python big
+    int via _exact_i64_sum (a plain int64 sum of 60-bit labels wraps and
+    voids the monotonicity argument) — and exhausting max_iters RAISES (no
+    silent caps). Rounds needed = graph diameter; payload per round = one
+    int64 per node + one per edge."""
     import hashlib
     import os
 
@@ -1437,11 +1502,6 @@ def kg_components_ds(sf_dir: str, max_iters: int = 32, concurrency: int = 8):
     from ..functions.arrowutils import hash_bucket, scale_buckets
 
     nb = scale_buckets(floor=16, per_cpu=2)
-
-    def h60(vals) -> np.ndarray:
-        return np.fromiter(
-            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in vals),
-            dtype=np.int64, count=len(vals))
 
     def sym(t: pa.Table) -> pa.Table:
         a = pc.cast(t["e1"].combine_chunks(), pa.string())
@@ -1456,49 +1516,31 @@ def kg_components_ds(sf_dir: str, max_iters: int = 32, concurrency: int = 8):
              .materialize())
 
     def init_labels(t: pa.Table) -> pa.Table:
-        src = t["src"].to_pylist()
+        # hash each DISTINCT uri once per batch (per-row md5 of both edge
+        # endpoints would hash a hub ~2× its degree), then map
+        src = pd.Series(t["src"].to_pylist(), dtype=object)
+        dst = pd.Series(t["dst"].to_pylist(), dtype=object)
+        uniq = pd.unique(pd.concat([src, dst], ignore_index=True))
+        hmap = {s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                for s in uniq}
+        hs = src.map(hmap).to_numpy(dtype="int64")
+        hd = dst.map(hmap).to_numpy(dtype="int64")
         # seed = min(h(self), h(neighbor)) per edge row — saves one round
-        lbl = np.minimum(h60(src), h60(t["dst"].to_pylist()))
-        return pa.table({"node": t["src"], "lbl": pa.array(lbl)})
+        return pa.table({"node": t["src"],
+                         "lbl": pa.array(np.minimum(hs, hd))})
 
     labels = _checkpoint(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node").aggregate(Min("lbl", alias_name="lbl")),
         os.path.join(_session_ckpt_root(), "comp_init"))
-    prev_sum = labels.sum("lbl")
-
-    def e_tag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
-                         "key": t["src"], "dst": t["dst"],
-                         "lbl": pa.array(np.zeros(n, np.int64))})
-
-    def l_tag(t: pa.Table) -> pa.Table:
-        node = t["node"].combine_chunks()
-        n = t.num_rows
-        return pa.table({"kb": hash_bucket(node, nb),
-                         "tag": pa.array(np.ones(n, np.int8)),
-                         "key": node, "dst": pa.nulls(n, pa.string()),
-                         "lbl": t["lbl"]})
-
-    def relax_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df.loc[df["tag"] == 1, ["key", "lbl"]]
-        e = df.loc[df["tag"] == 0, ["key", "dst"]]
-        m = e.merge(lab, on="key", how="inner")
-        return pd.DataFrame({
-            "node": pd.concat([lab["key"], m["dst"]], ignore_index=True),
-            "lbl": pd.concat([lab["lbl"], m["lbl"]],
-                             ignore_index=True).astype("int64")})
+    prev_sum = _exact_i64_sum(labels, "lbl")
 
     converged = False
     for it in range(max_iters):
         labels = _checkpoint(
-            edges.map_batches(e_tag, batch_format="pyarrow")
-            .union(labels.map_batches(l_tag, batch_format="pyarrow"))
-            .groupby("kb").map_groups(relax_bucket, batch_format="pandas")
-            .groupby("node").aggregate(Min("lbl", alias_name="lbl")),
+            _tagged_min_step(edges, labels, nb, val="lbl", bump=0),
             os.path.join(_session_ckpt_root(), f"comp_{it}"))
-        cur_sum = labels.sum("lbl")
+        cur_sum = _exact_i64_sum(labels, "lbl")
         if cur_sum == prev_sum:
             converged = True
             break
@@ -1531,8 +1573,12 @@ def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
     BOUNDED BY THE ALIAS VOCABULARY (the same bound as the ST2 gazetteer
     broadcast), so it ships driver → ray.put → per-batch dict lookup, and
     the pair stream is scored in one map — no pair-side shuffle at all.
-    N (distinct conversations) is one tiny aggregate."""
+    N (distinct conversations) is one tiny aggregate. The linker runs ONCE:
+    its (conv, entity) stream is checkpointed and feeds both the entity
+    counts and the co-occurrence pair build (the MentionLinker pool is the
+    dominant stage at scale — paying it twice doubled this query's wall)."""
     import math
+    import os
 
     import numpy as np
     import pandas as pd
@@ -1544,6 +1590,10 @@ def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
                                         round_half_away, scale_buckets)
 
     nb = scale_buckets(floor=16, per_cpu=2)
+    linked = _checkpoint(
+        linked_mentions_ds(sf_dir, concurrency)
+        .select_columns(["conv_id", "entity_uri"]),
+        os.path.join(_session_ckpt_root(), "pmi_linked"))
 
     # N: exact distinct-conversation count (per-batch unique combiner →
     # one row per (conv, block) into the count shuffle)
@@ -1564,8 +1614,7 @@ def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
         return pd.DataFrame({"entity_uri": g.index.to_numpy(dtype=object),
                              "n": g.to_numpy(dtype="int64")})
 
-    ecnt = (linked_mentions_ds(sf_dir, concurrency)
-            .select_columns(["conv_id", "entity_uri"])
+    ecnt = (linked
             .map_batches(tag_bucket, batch_format="pyarrow")
             .groupby("cb").map_groups(count_bucket, batch_format="pandas")
             .groupby("entity_uri").aggregate(Sum("n", alias_name="n"))
@@ -1591,7 +1640,7 @@ def kg_pmi_ds(sf_dir: str, concurrency: int = 8):
             "e1": df["e1"], "e2": df["e2"],
             "n_convs": nab, "pmi": round_half_away(pmi)}))
 
-    return cooccurrence_ds(sf_dir, concurrency).map_batches(
+    return cooccurrence_ds(sf_dir, concurrency, linked=linked).map_batches(
         score, batch_format="pyarrow")
 
 
@@ -1616,41 +1665,12 @@ def kg_pair_formation_ds(sf_dir: str, concurrency: int = 8):
     import pyarrow as pa
     from ray.data.aggregate import Min, Sum
 
-    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
-                                        scale_buckets)
+    from ..functions.arrowutils import from_pandas_clean, scale_buckets
 
     nb = scale_buckets(floor=16, per_cpu=2)
 
-    def m_tag(t: pa.Table) -> pa.Table:
-        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
-        n = t.num_rows
-        return pa.table({
-            "cb": hash_bucket(conv, nb),
-            "tag": pa.array(np.zeros(n, np.int8)),
-            "conv_id": conv,
-            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
-            "entity_uri": pc.cast(t["entity_uri"].combine_chunks(),
-                                  pa.string()),
-            "ts_us": pa.nulls(n, pa.int64()),
-        })
-
-    def t_tag(t: pa.Table) -> pa.Table:
-        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
-        n = t.num_rows
-        return pa.table({
-            "cb": hash_bucket(conv, nb),
-            "tag": pa.array(np.ones(n, np.int8)),
-            "conv_id": conv,
-            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
-            "entity_uri": pa.nulls(n, pa.string()),
-            "ts_us": pc.cast(t["ts"], pa.int64()),
-        })
-
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.loc[df["tag"] == 0, ["conv_id", "turn_idx", "entity_uri"]]
-        ts = df.loc[df["tag"] == 1, ["conv_id", "turn_idx", "ts_us"]].copy()
-        ts["ts_us"] = ts["ts_us"].astype("int64")
-        j = m.merge(ts, on=["conv_id", "turn_idx"], how="inner")
+        j = _mention_ts_join(df)
         f = (j.groupby(["conv_id", "entity_uri"], sort=False)["ts_us"]
              .min().reset_index())
         e1s, e2s, fs = [], [], []
@@ -1677,13 +1697,7 @@ def kg_pair_formation_ds(sf_dir: str, concurrency: int = 8):
         out["one"] = np.int64(1)
         return from_pandas_clean(out)
 
-    linked = linked_mentions_ds(sf_dir, concurrency).select_columns(
-        ["conv_id", "turn_idx", "entity_uri"])
-    ts = readers.read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
-                                                   "ts"])
-    agg = (linked.map_batches(m_tag, batch_format="pyarrow")
-           .union(ts.map_batches(t_tag, batch_format="pyarrow",
-                                 zero_copy_batch=True))
+    agg = (_mention_ts_union(sf_dir, concurrency, nb)
            .groupby("cb").map_groups(per_bucket, batch_format="pandas")
            .groupby(["e1", "e2"])
            .aggregate(Min("formed", alias_name="formed_ts_us"),

@@ -409,13 +409,12 @@ def order_ranks_ds(sf_dir: str, top_n: int = 3, n_buckets: int | None = None):
             .map_groups(rank_bucket, batch_format="pandas"))
 
 
-def quantity_median_ds(sf_dir: str) -> pd.DataFrame:
-    """EXACT grouped median without collecting groups: l_quantity has a
-    small integer-cents domain, so the median is computed from a distributed
-    VALUE HISTOGRAM — per-batch (flag, qty_c) partial counts, a tiny
-    groupby-sum shuffle, then a driver-side cumulative walk over ≤ a few
-    hundred rows. The generic shape for exact quantiles over any
-    bounded-cardinality domain at 100 TB (the full dataset never moves)."""
+def _quantity_hist(sf_dir: str) -> pd.DataFrame:
+    """The distributed VALUE HISTOGRAM both exact-quantile ops walk:
+    per-batch (flag, qty_c) partial counts, a tiny groupby-sum shuffle,
+    returning |flags| × |distinct qty_c| rows on the driver. The generic
+    shape for exact quantiles over any bounded-cardinality domain at
+    100 TB (the full dataset never moves)."""
     from ray.data.aggregate import Sum
 
     def prep(t: pa.Table) -> pa.Table:
@@ -428,11 +427,17 @@ def quantity_median_ds(sf_dir: str) -> pd.DataFrame:
             "n": pa.array(agg["size"].to_numpy("int64")),
         })
 
-    hist = (_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return (_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["l_returnflag", "qty_c"])
             .aggregate(Sum("n", alias_name="n"))
-            .to_pandas())  # tiny: |flags| × |distinct qty_c| rows
+            .to_pandas())
+
+
+def quantity_median_ds(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median without collecting groups — a driver-side
+    cumulative walk over the _quantity_hist value histogram."""
+    hist = _quantity_hist(sf_dir)
     rows = []
     for flag, g in hist.groupby("l_returnflag"):
         g = g.sort_values("qty_c")
@@ -852,23 +857,7 @@ def quantity_quartiles_ds(sf_dir: str) -> pd.DataFrame:
     convention."""
     import math
 
-    from ray.data.aggregate import Sum
-
-    def prep(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"l_returnflag": np.asarray(t["l_returnflag"]),
-                           "qty_c": np.asarray(_cents(t["l_quantity"]))})
-        agg = df.groupby(["l_returnflag", "qty_c"], as_index=False).size()
-        return pa.table({
-            "l_returnflag": pa.array(agg["l_returnflag"]),
-            "qty_c": pa.array(agg["qty_c"].to_numpy("int64")),
-            "n": pa.array(agg["size"].to_numpy("int64")),
-        })
-
-    hist = (_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["l_returnflag", "qty_c"])
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas())
+    hist = _quantity_hist(sf_dir)
     rows = []
     for flag, g in hist.groupby("l_returnflag"):
         g = g.sort_values("qty_c")
