@@ -114,11 +114,16 @@ def charset_pairs_ds(sf_dir: str, threshold: float = 0.9):
         ii, jj = np.triu_indices(len(sets), k=1)
         keep = round_half_away(jac[ii, jj]) >= threshold
         ids = df["doc_id"].to_numpy()
-        return pd.DataFrame({
+        # Arrow out, columns typed even when 0 pairs survive (empty
+        # object-dtype pandas columns make Ray's size estimator warn)
+        idt = (pa.string() if ids.dtype == object
+               else pa.from_numpy_dtype(ids.dtype))
+        return from_pandas_clean(pd.DataFrame({
             "source": df["source"].iloc[0] if len(df) else "",
             "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
             "jac": round_half_away(jac[ii, jj][keep]),
-        })
+        }), schema=pa.schema([("source", pa.string()), ("doc_a", idt),
+                              ("doc_b", idt), ("jac", pa.float64())]))
 
     return (_docs(sf_dir, ["doc_id", "source", "text"])
             .groupby("source")
@@ -156,11 +161,14 @@ def ngram_pairs_ds(sf_dir: str, threshold: float = 0.2, k: int = 3):
         ii, jj = np.triu_indices(len(sets), k=1)
         keep = (inter[ii, jj] > 0) & (round_half_away(jac[ii, jj]) >= threshold)
         ids = df["doc_id"].to_numpy()
-        return pd.DataFrame({
+        idt = (pa.string() if ids.dtype == object
+               else pa.from_numpy_dtype(ids.dtype))
+        return from_pandas_clean(pd.DataFrame({
             "source": df["source"].iloc[0] if len(df) else "",
             "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
             "jaccard": round_half_away(jac[ii, jj][keep]),
-        })
+        }), schema=pa.schema([("source", pa.string()), ("doc_a", idt),
+                              ("doc_b", idt), ("jaccard", pa.float64())]))
 
     return (_docs(sf_dir, ["doc_id", "source", "text"])
             .groupby("source")
