@@ -533,20 +533,27 @@ SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
 FROM f"""}
 
 
-def _minhash_ctes() -> str:
-    """Shared CTEs replicating functions.text exactly: md5-based 64-bit
-    shingle hashes (word_hash64 twin) and the (a·x+b) mod 2³¹−1 MinHash,
-    with the seeded permutation params inlined as literals."""
-    from .functions.text import minhash_params
-
-    a, b = minhash_params(64)
-    prm = ",".join(f"({k},{int(a[k])},{int(b[k])})" for k in range(64))
-    return f"""
+def _shingle_ctes() -> str:
+    """CTEs replicating functions.text's shingle universe exactly: md5-based
+    64-bit hashes (word_hash64 twin) of distinct 3-word shingles, ending in
+    `shx(doc_id, hv)` — shared by the MinHash chain and the prefix-filter
+    pairs oracle."""
+    return """
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
 shx AS (SELECT DISTINCT doc_id,
          ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))::UBIGINT AS hv
         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-              FROM tok WHERE len(t) >= 3)),
+              FROM tok WHERE len(t) >= 3))"""
+
+
+def _minhash_ctes() -> str:
+    """_shingle_ctes + the (a·x+b) mod 2³¹−1 MinHash signature CTEs, with
+    the seeded permutation params inlined as literals."""
+    from .functions.text import minhash_params
+
+    a, b = minhash_params(64)
+    prm = ",".join(f"({k},{int(a[k])},{int(b[k])})" for k in range(64))
+    return _shingle_ctes() + f""",
 prm(k, a, b) AS (VALUES {prm}),
 sigl AS (SELECT s.doc_id, p.k,
           CAST(min((CAST(p.a AS UBIGINT) * (s.hv % 2147483647) + CAST(p.b AS UBIGINT))
@@ -659,6 +666,19 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
              JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2""",
+        # exact set-similarity self-join: ALL pairs with shingle Jaccard
+        # ≥ 0.8, no candidate restriction — the token-join formulation is
+        # itself the scalable SQL shape (prefix_pairs_ds's twin)
+        "dedup_prefix_pairs": _shingle_ctes() + """,
+nsh AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shx a JOIN shx b ON b.hv = a.hv AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+ round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+             JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.8""",
         "dedup_exact": """
 SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_dups

@@ -484,6 +484,128 @@ def minhash_pairs_ds(sf_dir: str, threshold: float = 0.2,
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+PREFIX_PAIR_THRESHOLD = 0.8   # near-dup bar for the exact self-join
+PREFIX_HEAD_K = 4096          # estimated-df head set (skew mitigation)
+PREFIX_HEAD_SAMPLE_MOD = 50   # doc_id % MOD == 0 → ~2% df-estimation sample
+
+
+def _shingle_head_ranks(sf_dir: str, head_k: int = PREFIX_HEAD_K,
+                        sample_mod: int = PREFIX_HEAD_SAMPLE_MOD):
+    """Estimated document-frequency HEAD SET for the prefix-filter global
+    order: shingle df counted on a deterministic ~2% sample (doc_id %
+    sample_mod == 0), top ``head_k`` by (df desc, hash asc) collected to the
+    driver as {hash → rank}. Bounded: head_k rows ship driver-side
+    regardless of corpus size; the counts shuffle is map-side combined
+    (per-batch dicts → one row per (hash, batch)). The ranks only steer
+    CANDIDATE generation (frequent shingles are ordered last so they rarely
+    enter a prefix) — the verified output is order-independent."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cnt: dict[int, int] = {}
+        for did, x in zip(df["doc_id"], df["text"]):
+            if int(did) % sample_mod:
+                continue
+            # int64 bit-view of the uint64 hash (bijective): uint64 columns
+            # overflow Ray's pandas block conversions in the groupby path
+            for h in T.shingle_hashes(T.tokens_lower(x)).view(np.int64):
+                h = int(h)
+                cnt[h] = cnt.get(h, 0) + 1
+        return pa.table({"tok": pa.array(list(cnt.keys()), pa.int64()),
+                         "n": pa.array(list(cnt.values()), pa.int64())})
+
+    head = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("tok").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # sample-vocab-sized; bounded further below
+    head = (head.sort_values(["n", "tok"], ascending=[False, True])
+            .head(head_k))
+    return {int(t): r for r, t in enumerate(head["tok"])}
+
+
+def prefix_pairs_ds(sf_dir: str, threshold: float = PREFIX_PAIR_THRESHOLD):
+    """EXACT Jaccard set-similarity self-join via PREFIX FILTERING (the
+    public All-Pairs/PPJoin bound, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08): every doc pair with shingle Jaccard ≥ ``threshold``, no
+    approximation — the scalable exact counterpart to minhash_pairs_ds
+    (approximate) and the bounded-fixture all-pairs specs (charset/ngram).
+
+    Why it scales where all-pairs cannot: J(a,b) ≥ τ forces an overlap
+    ≥ ⌈τ·|a|⌉, so under ANY global total order of tokens two qualifying
+    docs must share a token inside both their first (|d| − ⌈τ·|d|⌉ + 1)
+    tokens. Only those PREFIX tokens (≈ (1−τ)·|d| of them) are exploded
+    into the inverted-index shuffle; candidates form inside per-token
+    groups, are pair-deduplicated, and each pair is verified ONCE with
+    exact shingle Jaccard via the same tagged co-group as the MinHash
+    verify (_minhash_verify_cogroup — no driver materialization).
+
+    Skew: the global order is (non-head by hash asc) < (head by df asc) —
+    the _shingle_head_ranks estimated-df head set pushes boilerplate
+    shingles to the order's tail, where they almost never make a prefix, so
+    a stopword-shingle cannot concentrate an inverted-index group. Token
+    identity is the 64-bit shingle hash everywhere (engine and oracle), so
+    a hash collision merges the same two shingles on both sides."""
+    import math
+
+    import ray
+
+    head_ref = ray.put(_shingle_head_ranks(sf_dir))
+
+    class PrefixEmit:
+        def __init__(self, ref, threshold):
+            self.head = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            toks, dids = [], []
+            for did, x in zip(df["doc_id"], df["text"]):
+                sh = T.shingle_hashes(T.tokens_lower(x)).view(np.int64)
+                m = len(sh)
+                if m == 0:
+                    continue
+                p = m - math.ceil(self.threshold * m) + 1
+                ranks = np.fromiter((self.head.get(int(h), -1) for h in sh),
+                                    np.int64, count=m)
+                is_head = ranks >= 0
+                # secondary key: non-head → int64 hash view asc; head →
+                # −rank (df DESCENDS with rank, so the most frequent
+                # shingle sorts last); is_head is the lexsort primary
+                sec = sh.copy()
+                sec[is_head] = -ranks[is_head]
+                order = np.lexsort((sec, is_head))
+                toks.append(sh[order[:p]])
+                dids.append(np.full(p, did, dtype=np.int64))
+            if not toks:
+                return pa.schema([("tok", pa.int64()),
+                                  ("doc_id", pa.int64())]).empty_table()
+            return pa.table({"tok": pa.array(np.concatenate(toks)),
+                             "doc_id": pa.array(np.concatenate(dids))})
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    cand = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(PrefixEmit, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": head_ref,
+                                                "threshold": threshold},
+                         concurrency=(1, 4))
+            .groupby("tok").map_groups(pairs_in_group,
+                                       batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).map_groups(first_pair,
+                                                    batch_format="pandas"))
+    return _minhash_verify_cogroup(sf_dir, cand, threshold)
+
+
 def simhash_ds(sf_dir: str):
     """64-bit SimHash per document (hex) + token count."""
 

@@ -938,3 +938,85 @@ def test_simhash_pairs_brute_force(tmp_path):
                      .astype("int64").to_numpy()))
     assert got == want
     assert (1, 2, 0) in got  # the exact-dup pair must be found
+
+
+def test_prefix_filter_theorem():
+    """The All-Pairs prefix bound under the engine's head-ranked order:
+    random token sets; every pair with Jaccard ≥ τ MUST share a token inside
+    both prefixes of length m − ⌈τ·m⌉ + 1 — the completeness guarantee
+    prefix_pairs_ds's candidate generation rests on."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    universe = list(range(200))
+    head = {t: r for r, t in enumerate(universe[:20])}  # "frequent" head
+
+    def ordered(s):
+        # engine order: non-head by value asc first, head by −rank, i.e.
+        # most frequent last (pipelines/docs.py PrefixEmit)
+        return sorted(s, key=lambda t: (t in head,
+                                        -head[t] if t in head else t))
+
+    for tau in (0.5, 0.8, 0.9):
+        docs_ = []
+        for _ in range(60):
+            base = rng.sample(universe, rng.randint(5, 40))
+            docs_.append(set(base))
+            # planted near-dup: tweak one element
+            twin = set(base)
+            twin.discard(next(iter(twin)))
+            twin.add(rng.choice(universe))
+            docs_.append(twin)
+        for i in range(len(docs_)):
+            for j in range(i + 1, len(docs_)):
+                a, b = docs_[i], docs_[j]
+                u = len(a | b)
+                if not u or len(a & b) / u < tau:
+                    continue
+                pa_ = set(ordered(a)[:len(a) - math.ceil(tau * len(a)) + 1])
+                pb_ = set(ordered(b)[:len(b) - math.ceil(tau * len(b)) + 1])
+                assert pa_ & pb_ & a & b, (
+                    f"qualifying pair missed by prefix filter at tau={tau}")
+
+
+@pytest.mark.parametrize("sf_tag", ["sf0.001"])
+def test_prefix_pairs_match_brute_force(sf_tag, tmp_path):
+    """prefix_pairs_ds output == brute-force exact Jaccard ≥ τ over the
+    same shingle sets, on a corpus with planted near-dups."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfpp"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(40):
+        base = " ".join(rng.choice(words, size=30))
+        texts.append(base)
+        if i % 4 == 0:  # planted near-dup: one word changed
+            toks = base.split()
+            toks[5] = "zzz"
+            texts.append(" ".join(toks))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), str(d / "documents.parquet"))
+
+    tau = 0.8
+    got = docs.prefix_pairs_ds(str(d), threshold=tau).to_pandas()
+    got = sorted(map(tuple, got[["doc_a", "doc_b"]].astype("int64")
+                     .to_numpy()))
+
+    sets = [set(T.shingle_hashes(T.tokens_lower(x)).tolist()) for x in texts]
+    want = []
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        u = len(sets[i] | sets[j])
+        if u and round(len(sets[i] & sets[j]) / u, 6) >= tau:
+            want.append((i, j))
+    assert got == sorted(want)
+    assert len(want) >= 10  # the planted dups are actually present
