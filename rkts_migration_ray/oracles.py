@@ -1725,6 +1725,25 @@ JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
   ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2""",
         "conv_clean_text": w + _clean_text_select(),
+        # exact neighborhood-Jaccard over the co-occurrence graph (the
+        # adj-join formulation is the order-free twin of the engine's
+        # prefix-filtered candidate generation)
+        "kg_neighbor_jaccard": w + """
+, co AS MATERIALIZED (
+  SELECT a.entity_uri AS a, b.entity_uri AS b
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+adj AS (SELECT a AS node, b AS nbr FROM co UNION ALL SELECT b, a FROM co),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+inter AS (SELECT x.node AS e1, y.node AS e2, CAST(count(*) AS BIGINT) AS i
+          FROM adj x JOIN adj y ON y.nbr = x.nbr AND x.node < y.node
+          GROUP BY 1, 2)
+SELECT i.e1, i.e2, i.i AS n_common,
+ round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6) AS jaccard
+FROM inter i JOIN deg da ON da.node = i.e1 JOIN deg db ON db.node = i.e2
+WHERE round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6) >= 0.8""",
         "kg_triangles": w + """
 , co AS MATERIALIZED (
   SELECT a.entity_uri AS a, b.entity_uri AS b

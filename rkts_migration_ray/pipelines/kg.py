@@ -1829,6 +1829,209 @@ def kg_neighbors_topk_ds(sf_dir: str, k: int = NEIGHBOR_TOPK,
             .groupby("eb").map_groups(finalize, batch_format="pandas"))
 
 
+NEIGHBOR_JACCARD_THRESHOLD = 0.8   # alias-candidate similarity bar
+
+
+def kg_neighbor_jaccard_ds(sf_dir: str,
+                           threshold: float = NEIGHBOR_JACCARD_THRESHOLD,
+                           concurrency: int = 8, edges=None):
+    """Entity-resolution candidates by NEIGHBORHOOD Jaccard over the
+    co-occurrence graph: every entity pair whose neighbor sets overlap with
+    Jaccard ≥ ``threshold`` — structural-equivalence alias detection, the
+    canonicalization signal a KG build runs after linking (the reference's
+    analog is the cross-sigla KTMapping parallels the PHP dedup pass merges,
+    J1/J2). EXACT — no sampling, no sketches.
+
+    Scale shape: PREFIX FILTERING APPLIED TO NEIGHBOR SETS (the same
+    All-Pairs bound as dedup_prefix_pairs, with a neighbor's DEGREE playing
+    the document-frequency role). Global token order = (deg(nbr) ASC, nbr) —
+    a node's prefix is its ≈(1−τ)·deg RAREST neighbors, so a hub neighbor
+    (the stopword of this universe) almost never keys a candidate group and
+    cannot concentrate the inverted-index shuffle. Stages, all hash-bucket
+    co-groups: degree count (map-side combined) → degree attach keyed on
+    nbr → per-node prefix cut (vectorized cumcount inside node-hash
+    buckets) → candidates per prefix-neighbor group → pair dedup in
+    pair-hash buckets → ONE exact verify per pair (neighbor sets meet pair
+    memberships in a node-keyed tagged co-group — no driver
+    materialization, mirroring _minhash_verify_cogroup)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    if edges is None:
+        edges = (cooccurrence_ds(sf_dir, concurrency)
+                 .select_columns(["e1", "e2"]))
+    # `edges` contract: distinct undirected edges, e1 < e2, no self-loops
+
+    def explode(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["e1"].combine_chunks(),
+                                 t["e2"].combine_chunks()])
+        nbr = pa.concat_arrays([t["e2"].combine_chunks(),
+                                t["e1"].combine_chunks()])
+        return pa.table({"node": node, "nbr": nbr})
+
+    adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        vc = t.group_by("node").aggregate([("node", "count")])
+        return pa.table({"node": vc["node"],
+                         "d": pc.cast(vc["node_count"], pa.int64())})
+
+    deg = (adj.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="d")))
+
+    # tagged co-group: attach deg(nbr) to each adjacency row, keyed on nbr
+    def tag_adj(t: pa.Table) -> pa.Table:
+        return pa.table({"kb": hash_bucket(t["nbr"].combine_chunks(), nb),
+                         "key": t["nbr"], "node": t["node"],
+                         "d": pa.nulls(t.num_rows, pa.int64())})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"kb": hash_bucket(t["node"].combine_chunks(), nb),
+                         "key": t["node"],
+                         "node": pa.nulls(t.num_rows, pa.string()),
+                         "d": t["d"]})
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["d"].notna(), ["key", "d"]]
+        a = df.loc[df["node"].notna(), ["key", "node"]]
+        m = a.merge(d, on="key", how="left")
+        return pd.DataFrame({"node": m["node"], "nbr": m["key"],
+                             "deg_nbr": m["d"].astype("int64")})
+
+    # materialized: consumed by BOTH the prefix chain and the verify
+    # co-group — without this the degree attach would execute twice
+    adj_d = (adj.map_batches(tag_adj, batch_format="pyarrow")
+             .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+             .groupby("kb").map_groups(attach_deg, batch_format="pandas")
+             .materialize())
+
+    # per-node prefix cut, vectorized inside node-hash buckets
+    def tag_node_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "kb2", hash_bucket(t["node"].combine_chunks(), nb))
+
+    def prefix_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "deg_nbr", "nbr"], kind="stable")
+        g = df.groupby("node", sort=False)
+        m = g["nbr"].transform("size").to_numpy("int64")
+        pos = g.cumcount().to_numpy("int64")
+        p = m - np.ceil(threshold * m).astype("int64") + 1
+        keep = pos < p
+        return pd.DataFrame({"tok": df["nbr"].to_numpy()[keep],
+                             "node": df["node"].to_numpy()[keep]})
+
+    prefixes = (adj_d.map_batches(tag_node_bucket, batch_format="pyarrow")
+                .groupby("kb2").map_groups(prefix_bucket,
+                                           batch_format="pandas"))
+
+    # candidates per prefix-neighbor group; pair dedup in pair-hash buckets
+    SEP = "\x1f"
+
+    def tag_tok_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tb", hash_bucket(t["tok"].combine_chunks(), nb))
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e1s, e2s = [], []
+        for _, g in df.groupby("tok", sort=False):
+            ids = np.sort(g["node"].unique())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            e1s.append(ids[ii])
+            e2s.append(ids[jj])
+        if not e1s:
+            return pd.DataFrame({"e1": pd.Series(dtype="object"),
+                                 "e2": pd.Series(dtype="object")})
+        return pd.DataFrame({"e1": np.concatenate(e1s),
+                             "e2": np.concatenate(e2s)})
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["e1", "e2"])[["e1", "e2"]]
+
+    def tag_pair_bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["e1"].combine_chunks(), pa.string()),
+            pc.cast(t["e2"].combine_chunks(), pa.string()), SEP)
+        return t.append_column("pb", hash_bucket(key, nb))
+
+    cand = (prefixes.map_batches(tag_tok_bucket, batch_format="pyarrow")
+            .groupby("tb").map_groups(pairs_bucket, batch_format="pandas")
+            .map_batches(tag_pair_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(dedup_bucket, batch_format="pandas"))
+
+    # verify: neighbor sets meet pair memberships, keyed on node
+    def memb_rows(t: pa.Table) -> pa.Table:
+        e1 = t["e1"].combine_chunks()
+        e2 = t["e2"].combine_chunks()
+        n = t.num_rows
+        return pa.table({
+            "key": pa.concat_arrays([e1, e2]),
+            "mate": pa.concat_arrays([e2, e1]),
+            "side": pa.array(np.repeat([0, 1], n).astype(np.int64)),
+            "nbr": pa.nulls(2 * n, pa.string())})
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["node"], "mate": pa.nulls(n, pa.string()),
+                         "side": pa.array(np.full(n, -1, np.int64)),
+                         "nbr": t["nbr"]})
+
+    def tag_key_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "vb", hash_bucket(t["key"].combine_chunks(), nb))
+
+    def attach_nbrs(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"e1": [], "e2": [], "nbrs": []}
+        for key, g in df.groupby("key", sort=False):
+            memb = g[g["side"] >= 0]
+            if len(memb) == 0:
+                continue
+            nset = np.sort(g.loc[g["side"] < 0, "nbr"].to_numpy())
+            side = memb["side"].to_numpy("int64")
+            mate = memb["mate"].to_numpy()
+            out["e1"].extend(np.where(side == 0, key, mate))
+            out["e2"].extend(np.where(side == 0, mate, key))
+            out["nbrs"].extend([nset] * len(memb))
+        return pd.DataFrame(out, columns=["e1", "e2", "nbrs"])
+
+    def verify_pair(df: pd.DataFrame):
+        # typed Arrow empty — 0-row object-dtype pandas frames make Ray's
+        # block-size estimator warn on every rejected pair
+        empty = pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                           ("n_common", pa.int64()),
+                           ("jaccard", pa.float64())]).empty_table()
+        if len(df) != 2:
+            return empty
+        sa = set(np.asarray(df["nbrs"].iloc[0]).tolist())
+        sb = set(np.asarray(df["nbrs"].iloc[1]).tolist())
+        i = len(sa & sb)
+        u = len(sa | sb)
+        jac = round(i / u, 6) if u else 0.0
+        if jac < threshold:
+            return empty
+        return from_pandas_clean(pd.DataFrame({
+            "e1": df["e1"].iloc[:1], "e2": df["e2"].iloc[:1],
+            "n_common": pd.Series([i], dtype="int64"),
+            "jaccard": [jac]}))
+
+    memb = cand.map_batches(memb_rows, batch_format="pyarrow")
+    return (memb.union(adj_d.map_batches(adj_rows, batch_format="pyarrow"))
+            .map_batches(tag_key_bucket, batch_format="pyarrow")
+            .groupby("vb").map_groups(attach_nbrs, batch_format="pandas")
+            .groupby(["e1", "e2"])
+            .map_groups(verify_pair, batch_format="pandas"))
+
+
 def kg_dangling_refs_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                         concurrency: int = 8):
     """Referential-integrity audit over the emitted graph: every URI that

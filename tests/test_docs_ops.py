@@ -1020,3 +1020,37 @@ def test_prefix_pairs_match_brute_force(sf_tag, tmp_path):
             want.append((i, j))
     assert got == sorted(want)
     assert len(want) >= 10  # the planted dups are actually present
+
+
+def test_neighbor_jaccard_brute_force():
+    """kg_neighbor_jaccard_ds on injected random graphs == brute-force
+    neighborhood Jaccard (every pair with a shared neighbor, J ≥ τ)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    rng = np.random.default_rng(31)
+    for n, p, tau in ((12, 0.6, 0.5), (30, 0.2, 0.3), (20, 0.9, 0.8)):
+        nodes = [f"N{i:03d}" for i in range(n)]
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < p]
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b in itertools.combinations(nodes, 2):
+            i = len(adj[a] & adj[b])
+            u = len(adj[a] | adj[b])
+            if i and u and round(i / u, 6) >= tau:
+                want[(a, b)] = (i, round(i / u, 6))
+        eds = rd.from_pandas(pd.DataFrame(
+            {"e1": [a for a, _ in edges], "e2": [b for _, b in edges]}))
+        out = kg.kg_neighbor_jaccard_ds("sf0.001", threshold=tau,
+                                        edges=eds).to_pandas()
+        got = {(r.e1, r.e2): (int(r.n_common), float(r.jaccard))
+               for r in out.itertuples()}
+        assert got == want, (n, p, tau)
