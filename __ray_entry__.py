@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_ranks": relational.order_ranks_ds,
         "rel_quantity_median": relational.quantity_median_ds,
         "rel_quantity_quartiles": relational.quantity_quartiles_ds,
+        "rel_quantity_mode": relational.quantity_mode_ds,
         "rel_region_part_revenue": relational.region_part_revenue_ds,
         # --- multimodal plumbing (stubbed codec) ----------------------------
         "mm_decode": _mm_decode,                           # oracle (byte math)

@@ -938,6 +938,19 @@ SELECT l_returnflag,
  median(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS median_qty_c,
  CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY 1""",
+        "rel_quantity_mode": """
+WITH qh AS (SELECT l_returnflag,
+             CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2),
+r AS (SELECT *,
+       row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY n DESC, qty_c) AS rn,
+       sum(n) OVER (PARTITION BY l_returnflag) AS tot
+      FROM qh)
+SELECT l_returnflag, qty_c AS mode_qty_c, n AS n_mode,
+ CAST(tot AS BIGINT) AS n_rows
+FROM r WHERE rn = 1""",
         "rel_quantity_quartiles": """
 WITH qh AS (SELECT l_returnflag,
              CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qty_c,

@@ -457,6 +457,22 @@ def quantity_median_ds(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def quantity_mode_ds(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped mode from the same _quantity_hist histogram — argmax
+    count with the deterministic tie-break toward the smaller quantity."""
+    hist = _quantity_hist(sf_dir)
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values(["n", "qty_c"], ascending=[False, True],
+                          kind="stable")
+        rows.append({"l_returnflag": flag,
+                     "mode_qty_c": int(g["qty_c"].iloc[0]),
+                     "n_mode": int(g["n"].iloc[0]),
+                     "n_rows": int(g["n"].sum())})
+    return (pd.DataFrame(rows).sort_values("l_returnflag")
+            .reset_index(drop=True))
+
+
 def orders_by_nation_ds(sf_dir: str):
     """Two-hop broadcast join orders→customer→nation, then grouped count."""
     import ray
