@@ -1719,6 +1719,18 @@ GROUP BY 1""",
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",
+        "kg_pred_cardinality": w + ", tr AS MATERIALIZED (" + full_union
+                               + """),
+ps AS (SELECT pred, subj, CAST(count(*) AS BIGINT) AS c
+       FROM tr GROUP BY 1, 2),
+po AS (SELECT pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+       FROM tr GROUP BY 1)
+SELECT ps.pred, CAST(sum(ps.c) AS BIGINT) AS n_triples,
+ CAST(count(*) AS BIGINT) AS n_subjects, po.n_objects,
+ CAST(max(ps.c) AS BIGINT) AS max_per_subject,
+ CAST(CASE WHEN max(ps.c) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_functional
+FROM ps JOIN po ON po.pred = ps.pred
+GROUP BY 1, po.n_objects""",
         "kg_image_numbers": w + _img_numbers_select(sf_dir_or_tag),
         "kg_structural": w + SEL_STRUCTURAL,
         "kg_conv_triples": w + SEL_CONV,

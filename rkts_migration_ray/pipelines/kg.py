@@ -790,6 +790,79 @@ def kg_pred_stats_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             .aggregate(Sum("n_triples", alias_name="n_triples")))
 
 
+def kg_pred_cardinality_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                           concurrency: int = 8):
+    """Per-predicate cardinality audit: triple count, distinct subjects,
+    distinct objects, max triples per subject, and the derived
+    is-functional flag (max fan-out 1) — the schema-constraint profile a KG
+    consumer checks before assuming a predicate is single-valued (the
+    reference's analog is the one-title-per-lang and duplicate-expression
+    policies, kernelxmltottl.php:5-34, enforced per record at emit time).
+
+    EXACT distincts, one pass over the triple stream and ONE wide shuffle:
+    each batch emits its distinct (pred, side, key) partials (side 0 =
+    subject, 1 = object) with counts, the groupby(pred, side, key) sums
+    them (key-spread — a hot predicate's pairs scatter across the
+    keyspace), and the per-predicate rollup is map-side combined down to
+    one row per (pred, block) before the final tiny groupby(pred)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"pred": np.asarray(t["pred"], dtype=object),
+                           "subj": np.asarray(t["subj"], dtype=object),
+                           "obj": np.asarray(t["obj"], dtype=object)})
+        s = (df.groupby(["pred", "subj"], as_index=False).size()
+             .rename(columns={"subj": "key"}))
+        s["side"] = np.int64(0)
+        o = (df.groupby(["pred", "obj"], as_index=False).size()
+             .rename(columns={"obj": "key"}))
+        o["side"] = np.int64(1)
+        out = pd.concat([s, o], ignore_index=True)
+        return from_pandas_clean(pd.DataFrame({
+            "pred": out["pred"], "side": out["side"], "key": out["key"],
+            "c": out["size"].astype("int64")}))
+
+    pairs = (kg_triples_ds(sf_dir, cfg, concurrency)
+             .map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["pred", "side", "key"])
+             .aggregate(Sum("c", alias_name="c")))
+
+    def rollup_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sub = df[df["side"] == 0]
+        obj = df[df["side"] == 1]
+        g = sub.groupby("pred")["c"].agg(n_triples="sum", n_subjects="size",
+                                         max_per_subject="max")
+        go = obj.groupby("pred")["c"].agg(n_objects="size")
+        out = g.join(go, how="outer").fillna(0).reset_index()
+        return from_pandas_clean(pd.DataFrame({
+            "pred": out["pred"],
+            "n_triples": out["n_triples"].astype("int64"),
+            "n_subjects": out["n_subjects"].astype("int64"),
+            "n_objects": out["n_objects"].astype("int64"),
+            "max_per_subject": out["max_per_subject"].astype("int64")}))
+
+    agg = (pairs.map_batches(rollup_partial, batch_format="pyarrow")
+           .groupby("pred")
+           .aggregate(Sum("n_triples", alias_name="n_triples"),
+                      Sum("n_subjects", alias_name="n_subjects"),
+                      Sum("n_objects", alias_name="n_objects"),
+                      Max("max_per_subject", alias_name="max_per_subject")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_functional",
+            pc.cast(pc.equal(t["max_per_subject"], 1), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def kg_degrees_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                   concurrency: int = 8):
     """Graph degree table: per node, out-degree (rows with the node as
