@@ -1650,6 +1650,25 @@ SELECT entity_uri, neighbor_uri, n_convs, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY entity_uri
             ORDER BY n_convs DESC, neighbor_uri) AS BIGINT) AS rank
   FROM nsym) WHERE rank <= 5""",
+        "conv_turn_gaps": w + """
+, o AS (SELECT conv_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev
+        FROM t),
+gp AS (SELECT conv_id, ts_us - prev AS gap FROM o WHERE prev IS NOT NULL),
+r AS (SELECT conv_id, gap,
+       row_number() OVER (PARTITION BY conv_id ORDER BY gap) AS rn,
+       count(*) OVER (PARTITION BY conv_id) AS n
+      FROM gp),
+s AS (SELECT conv_id, CAST(count(*) + 1 AS BIGINT) AS n_turns,
+       CAST(max(gap) AS BIGINT) AS max_gap_us FROM gp GROUP BY 1),
+d AS (SELECT conv_id,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+      FROM o GROUP BY 1),
+m AS (SELECT conv_id, CAST(gap AS BIGINT) AS median_gap_us
+      FROM r WHERE rn = (n + 1) // 2)
+SELECT s.conv_id, s.n_turns, d.duration_us, s.max_gap_us, m.median_gap_us
+FROM s JOIN d USING (conv_id) JOIN m USING (conv_id)""",
         "conv_tool_stats": w + """
 SELECT tool,
        CAST(count(*) AS BIGINT) AS n_convs,

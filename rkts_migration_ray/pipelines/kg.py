@@ -1849,6 +1849,71 @@ def conv_tool_stats_ds(sf_dir: str):
         batch_format="pyarrow")
 
 
+def conv_turn_gaps_ds(sf_dir: str):
+    """Per-conversation temporal profile over the turn stream: turn count,
+    wall duration and the max / lower-median inter-turn gap (epoch micros)
+    — the latency shape a transcript pipeline reports next to
+    conv_tool_stats (reference analog: the per-volume pagination-order
+    audit M18 runs, migrate-bvm.py:58-76, with `ts` as the temporal axis).
+    Conversations with a single turn have no gaps and are excluded; the
+    median is the LOWER median (the ⌈n/2⌉-th smallest gap) — stated
+    identically in the SQL twin.
+
+    Scale shape: everything is conv-local, so ONE conv-hash-bucket shuffle
+    of the pruned (conv, turn, ts-as-int64) stream; all per-conv math is
+    vectorized inside the bucket (sorted diff + transform/cumcount median
+    pick — no Python loop over conversations). Arrow int64 micros BEFORE
+    pandas (datetime64[ns] would silently change the unit)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        ts = df["ts_us"].to_numpy("int64")
+        first = np.empty(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = conv[1:] != conv[:-1]
+        gap = np.empty(len(df), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        stats = (df.groupby("conv_id", sort=False)["ts_us"]
+                 .agg(n_turns="size", lo="min", hi="max"))
+        stats = stats[stats["n_turns"] >= 2]
+        g = (pd.DataFrame({"conv_id": conv[~first], "gap": gap[~first]})
+             .sort_values(["conv_id", "gap"], kind="stable"))
+        grp = g.groupby("conv_id", sort=False)["gap"]
+        n = grp.transform("size").to_numpy("int64")
+        pos = grp.cumcount().to_numpy("int64")
+        med = g.loc[pos == (n + 1) // 2 - 1].set_index("conv_id")["gap"]
+        mx = grp.max()
+        out = stats.join(med.rename("median_gap_us")).join(
+            mx.rename("max_gap_us")).reset_index()
+        return from_pandas_clean(pd.DataFrame({
+            "conv_id": out["conv_id"],
+            "n_turns": out["n_turns"].astype("int64"),
+            "duration_us": (out["hi"] - out["lo"]).astype("int64"),
+            "max_gap_us": out["max_gap_us"].astype("int64"),
+            "median_gap_us": out["median_gap_us"].astype("int64")}))
+
+    return (readers.read_transcripts(sf_dir,
+                                     columns=["conv_id", "turn_idx", "ts"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cb").map_groups(per_bucket, batch_format="pandas"))
+
+
 NEIGHBOR_TOPK = 5
 
 
