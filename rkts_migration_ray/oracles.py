@@ -1650,6 +1650,15 @@ SELECT entity_uri, neighbor_uri, n_convs, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY entity_uri
             ORDER BY n_convs DESC, neighbor_uri) AS BIGINT) AS rank
   FROM nsym) WHERE rank <= 5""",
+        "conv_role_transitions": w + """
+, o AS (SELECT conv_id, COALESCE(role, '') AS role,
+         lag(COALESCE(role, '')) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev
+        FROM t)
+SELECT prev AS role_from, role AS role_to,
+ CAST(count(*) AS BIGINT) AS n_transitions,
+ CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "conv_turn_gaps": w + """
 , o AS (SELECT conv_id, epoch_us(ts) AS ts_us,
          lag(epoch_us(ts)) OVER (PARTITION BY conv_id

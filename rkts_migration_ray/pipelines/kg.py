@@ -1914,6 +1914,75 @@ def conv_turn_gaps_ds(sf_dir: str):
             .groupby("cb").map_groups(per_bucket, batch_format="pandas"))
 
 
+def conv_role_transitions_ds(sf_dir: str):
+    """Role-transition (Markov bigram) census over the turn stream: for
+    every consecutive turn pair within a conversation, (role_from, role_to)
+    with its corpus-wide count and distinct-conversation count — the
+    dialogue-structure profile (speaker-alternation health) a transcript
+    pipeline reports before training on turn order (reference analog: the
+    section state-machine transitions ST8 walks, with roles as states).
+
+    Scale shape: transitions are conv-local → one conv-hash-bucket shuffle
+    of the pruned (conv, turn, role) stream; in-bucket vectorized shift +
+    per-(pair, conv) partial counts; the final groupby ships one row per
+    (pair, conv) — bounded by the role-vocabulary × conversations, and the
+    tiny pair vocabulary cannot skew a task because the partial is
+    combined per bucket first."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        role = pc.fill_null(pc.cast(t["role"].combine_chunks(),
+                                    pa.string()), "")
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": role})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = conv[1:] == conv[:-1]
+        prev = np.roll(role, 1)
+        # a conversation lives wholly in this bucket, so the per-pair
+        # partial (transition sum + distinct-conv count) is already
+        # globally correct per bucket — only a tiny pair-keyed sum remains
+        g = (pd.DataFrame({"conv_id": conv[same],
+                           "role_from": prev[same], "role_to": role[same]})
+             .groupby(["role_from", "role_to"])
+             .agg(n_transitions=("conv_id", "size"),
+                  n_convs=("conv_id", "nunique"))
+             .reset_index())
+        g["n_transitions"] = g["n_transitions"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return from_pandas_clean(g)
+
+    agg = (readers.read_transcripts(
+               sf_dir, columns=["conv_id", "turn_idx", "role"])
+           .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("cb").map_groups(per_bucket, batch_format="pandas")
+           .groupby(["role_from", "role_to"])
+           .aggregate(Sum("n_transitions", alias_name="n_transitions"),
+                      Sum("n_convs", alias_name="n_convs")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "role_from": t["role_from"], "role_to": t["role_to"],
+            "n_transitions": pc.cast(t["n_transitions"], pa.int64()),
+            "n_convs": pc.cast(t["n_convs"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 NEIGHBOR_TOPK = 5
 
 
