@@ -918,6 +918,22 @@ WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),
 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
 SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100""",
+        "text_entropy": """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tk),
+wc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+e AS (SELECT wc.doc_id, CAST(count(*) AS BIGINT) AS n_types,
+       -sum((c / nt.n_tokens) * log2(c / nt.n_tokens)) AS h
+      FROM wc JOIN nt ON nt.doc_id = wc.doc_id GROUP BY 1)
+SELECT nt.doc_id, nt.n_tokens,
+ CAST(coalesce(e.n_types, 0) AS BIGINT) AS n_types,
+ round(coalesce(e.h, 0), 6) AS entropy,
+ round(CASE WHEN nt.n_tokens > 0
+       THEN CAST(coalesce(e.n_types, 0) AS DOUBLE) / nt.n_tokens
+       ELSE 0 END, 6) AS ttr
+FROM nt LEFT JOIN e ON e.doc_id = nt.doc_id""",
         "rel_customers_no_orders": """
 SELECT c_custkey, c_name,
  CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c

@@ -923,6 +923,46 @@ def text_vocab_ds(sf_dir: str, k: int = 100):
             .limit(k))
 
 
+def text_entropy_ds(sf_dir: str):
+    """Per-document lexical diversity: unigram Shannon entropy (bits) and
+    type-token ratio — the quality signal that separates word-salad /
+    boilerplate from natural text, next to text_repetition in a curation
+    stack. entropy = −Σ (c/n)·log2(c/n) over the doc's word counts — the
+    SAME expression the SQL twin evaluates (summation order is the only
+    float difference; both sides round half-away to 6).
+
+    Scale shape: pure per-batch map (token counts vectorized via one
+    pandas explode + groupby per batch), no shuffle at all."""
+
+    def ent(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = [T.tokens_lower(x) for x in df["text"]]
+        n = np.array([len(ts) for ts in toks], dtype=np.int64)
+        ex = pd.DataFrame({
+            "i": np.repeat(np.arange(len(df)), n),
+            "w": np.concatenate([np.asarray(ts, dtype=object)
+                                 for ts in toks]) if n.sum() else
+            np.array([], dtype=object)})
+        wc = ex.groupby(["i", "w"], sort=False).size()
+        idx = wc.index.get_level_values("i").to_numpy()
+        c = wc.to_numpy(dtype="float64")
+        p = c / n[idx]
+        h = np.zeros(len(df))
+        np.add.at(h, idx, -p * np.log2(p))
+        n_types = np.zeros(len(df), dtype=np.int64)
+        np.add.at(n_types, idx, 1)
+        ttr = np.where(n > 0, n_types / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"]),
+            "n_tokens": pa.array(n),
+            "n_types": pa.array(n_types),
+            "entropy": pa.array(round_half_away(h)),
+            "ttr": pa.array(round_half_away(ttr))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow")
+
+
 CONTAM_NGRAM = 8        # words per decontamination shingle
 CONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the held-out benchmark set
 
