@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbors_topk": kg.kg_neighbors_topk_ds,
         "kg_neighbor_jaccard": kg.kg_neighbor_jaccard_ds,
         "kg_pred_cardinality": kg.kg_pred_cardinality_ds,
+        "kg_inverse_preds": kg.kg_inverse_preds_ds,
         "kg_dangling_refs": kg.kg_dangling_refs_ds,
         "kg_pred_stats": kg.kg_pred_stats_ds,
         "kg_image_numbers": kg.image_numbers_ds,

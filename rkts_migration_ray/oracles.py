@@ -1763,6 +1763,13 @@ GROUP BY 1""",
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",
+        "kg_inverse_preds": w + ", tr AS MATERIALIZED (" + full_union
+                            + """),
+e AS (SELECT DISTINCT subj, pred, obj FROM tr WHERE subj <> obj)
+SELECT x.pred AS pred_a, y.pred AS pred_b,
+ CAST(count(*) AS BIGINT) AS n_pairs
+FROM e x JOIN e y ON y.subj = x.obj AND y.obj = x.subj
+GROUP BY 1, 2""",
         "kg_pred_cardinality": w + ", tr AS MATERIALIZED (" + full_union
                                + """),
 ps AS (SELECT pred, subj, CAST(count(*) AS BIGINT) AS c

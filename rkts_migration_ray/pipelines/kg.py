@@ -1849,6 +1849,71 @@ def conv_tool_stats_ds(sf_dir: str):
         batch_format="pyarrow")
 
 
+def kg_inverse_preds_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        concurrency: int = 8):
+    """Inverse/symmetric predicate discovery: for every ordered predicate
+    pair (pred_a, pred_b), the number of distinct triple pairs
+    (a, pred_a, b) ∧ (b, pred_b, a) with a ≠ b — the 2-cycle census a KG
+    schema pass runs to propose owl:inverseOf / symmetric-property axioms
+    (the reference's analog is the paired partOf/reproductionOf edges the
+    edition pass emits in both directions, editionxmltottl.php:397-416).
+
+    Scale shape: every triple is keyed by its CANONICAL UNORDERED node
+    pair (min(s,o) ⊕ max(s,o)) with a direction bit, so both triples of
+    any 2-cycle land in the same pair-hash bucket; in-bucket the distinct
+    cut (duplicates of a triple share its pair key — globally exact with
+    no extra shuffle), the dir0 × dir1 merge per pair and the per-(pa,pb)
+    partial counts are all vectorized, and only the tiny
+    predicate-pair-vocabulary groupby-sum leaves the bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    SEP = "\x1f"
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["subj"].combine_chunks(), pa.string())
+        o = pc.cast(t["obj"].combine_chunks(), pa.string())
+        keep = pc.not_equal(s, o)
+        s, o = pc.filter(s, keep), pc.filter(o, keep)
+        pred = pc.filter(pc.cast(t["pred"].combine_chunks(), pa.string()),
+                         keep)
+        lt = pc.less(s, o)
+        k = pc.binary_join_element_wise(
+            pc.if_else(lt, s, o), pc.if_else(lt, o, s), SEP)
+        return pa.table({"kb": hash_bucket(k, nb), "k": k,
+                         "dir": pc.cast(pc.invert(lt), pa.int8()),
+                         "pred": pred})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["k", "dir", "pred"])
+        a = df.loc[df["dir"] == 0, ["k", "pred"]].rename(
+            columns={"pred": "p"})
+        b = df.loc[df["dir"] == 1, ["k", "pred"]].rename(
+            columns={"pred": "q"})
+        m = a.merge(b, on="k")
+        both = pd.concat([
+            m[["p", "q"]].rename(columns={"p": "pred_a", "q": "pred_b"}),
+            m[["q", "p"]].rename(columns={"q": "pred_a", "p": "pred_b"})],
+            ignore_index=True)
+        g = both.groupby(["pred_a", "pred_b"], as_index=False).size()
+        return from_pandas_clean(pd.DataFrame({
+            "pred_a": g["pred_a"], "pred_b": g["pred_b"],
+            "n_pairs": g["size"].astype("int64")}))
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .select_columns(["subj", "pred", "obj"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kb").map_groups(per_bucket, batch_format="pandas")
+            .groupby(["pred_a", "pred_b"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
 def conv_turn_gaps_ds(sf_dir: str):
     """Per-conversation temporal profile over the turn stream: turn count,
     wall duration and the max / lower-median inter-turn gap (epoch micros)
