@@ -2276,32 +2276,46 @@ def kg_neighbor_jaccard_ds(sf_dir: str,
             out["nbrs"].extend([nset] * len(memb))
         return pd.DataFrame(out, columns=["e1", "e2", "nbrs"])
 
-    def verify_pair(df: pd.DataFrame):
-        # typed Arrow empty — 0-row object-dtype pandas frames make Ray's
-        # block-size estimator warn on every rejected pair
-        empty = pa.schema([("e1", pa.string()), ("e2", pa.string()),
-                           ("n_common", pa.int64()),
-                           ("jaccard", pa.float64())]).empty_table()
-        if len(df) != 2:
-            return empty
-        sa = set(np.asarray(df["nbrs"].iloc[0]).tolist())
-        sb = set(np.asarray(df["nbrs"].iloc[1]).tolist())
-        i = len(sa & sb)
-        u = len(sa | sb)
-        jac = round(i / u, 6) if u else 0.0
-        if jac < threshold:
-            return empty
-        return from_pandas_clean(pd.DataFrame({
-            "e1": df["e1"].iloc[:1], "e2": df["e2"].iloc[:1],
-            "n_common": pd.Series([i], dtype="int64"),
-            "jaccard": [jac]}))
+    def tag_out_pair(df: pd.DataFrame) -> pd.DataFrame:
+        # pair-hash bucket so the final verify is one vectorized task per
+        # bucket, not one Ray group per pair (a 173k-pair sf0.01 run spent
+        # its wall on per-group scheduling: 74 s → 45 s at 8 cpus)
+        key = pa.array((df["e1"].astype(str) + SEP
+                        + df["e2"].astype(str)).to_numpy(dtype=object),
+                       pa.string())
+        df = df.copy()
+        df["pb2"] = hash_bucket(key, nb).to_numpy(zero_copy_only=False)
+        return df
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"e1": [], "e2": [], "n_common": [], "jaccard": []}
+        for (e1, e2), g in df.groupby(["e1", "e2"], sort=False):
+            if len(g) != 2:
+                continue
+            sa = set(np.asarray(g["nbrs"].iloc[0]).tolist())
+            sb = set(np.asarray(g["nbrs"].iloc[1]).tolist())
+            i = len(sa & sb)
+            u = len(sa | sb)
+            jac = round(i / u, 6) if u else 0.0
+            if jac < threshold:
+                continue
+            out["e1"].append(e1)
+            out["e2"].append(e2)
+            out["n_common"].append(i)
+            out["jaccard"].append(jac)
+        return from_pandas_clean(
+            pd.DataFrame(out),
+            schema=pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                              ("n_common", pa.int64()),
+                              ("jaccard", pa.float64())]))
 
     memb = cand.map_batches(memb_rows, batch_format="pyarrow")
     return (memb.union(adj_d.map_batches(adj_rows, batch_format="pyarrow"))
             .map_batches(tag_key_bucket, batch_format="pyarrow")
             .groupby("vb").map_groups(attach_nbrs, batch_format="pandas")
-            .groupby(["e1", "e2"])
-            .map_groups(verify_pair, batch_format="pandas"))
+            .map_batches(tag_out_pair, batch_format="pandas")
+            .groupby("pb2").map_groups(verify_bucket,
+                                       batch_format="pandas"))
 
 
 def kg_dangling_refs_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
