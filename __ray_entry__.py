@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_contamination": docs.contamination_ds,
         "text_vocab": docs.text_vocab_ds,
         "text_entropy": docs.text_entropy_ds,
+        "text_bigram_lm": docs.bigram_lm_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),

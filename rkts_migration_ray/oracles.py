@@ -918,6 +918,17 @@ WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),
 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
 SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100""",
+        "text_bigram_lm": """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             FROM tk WHERE len(t) >= 2)),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+cx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx FROM c GROUP BY 1)
+SELECT c.w1, c.w2, c.n, round(CAST(c.n AS DOUBLE) / cx.ctx, 6) AS cond_p
+FROM c JOIN cx USING (w1)
+ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""",
         "text_entropy": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),

@@ -963,6 +963,59 @@ def text_entropy_ds(sf_dir: str):
         ent, batch_format="pyarrow")
 
 
+BIGRAM_TOP_K = 200
+
+
+def bigram_lm_ds(sf_dir: str, k: int = BIGRAM_TOP_K) -> pd.DataFrame:
+    """Distributed bigram language-model estimation: the top-k bigrams by
+    count with their conditional probability P(w2 | w1) = n(w1,w2) / Σ_w
+    n(w1,w) — the n-gram-LM training step of a classic quality-filtering
+    stack (train on corpus, score docs; unigram_logprob_ds is the scoring
+    side). Deterministic tie-break (n DESC, w1, w2).
+
+    Scale shape: per-batch bigram Counters ship PARTIAL (w1, w2, n) rows
+    (bounded by the batch's distinct-bigram vocabulary, not its token
+    count) into one groupby-sum; context totals are a second
+    vocabulary-bounded aggregate derived from the same stream; only the
+    top-k rows and the w1-context table (vocab-sized, the same bound
+    text_vocab accepts) reach the driver."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            toks = T.tokens_lower(x)
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([a for a, _ in c.keys()], pa.string()),
+            "w2": pa.array([b for _, b in c.keys()], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    big = (_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"])
+           .aggregate(Sum("n", alias_name="n"))
+           .materialize())  # feeds both the context sums and the top-k
+
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("w1", as_index=False)["n"].sum()
+        return pa.table({"w1": pa.array(df["w1"], pa.string()),
+                         "ctx": pa.array(df["n"].to_numpy("int64"))})
+
+    ctx = (big.map_batches(ctx_partial, batch_format="pyarrow")
+           .groupby("w1").aggregate(Sum("ctx", alias_name="ctx"))
+           .to_pandas())  # vocab-sized
+    top = (big.sort(["n", "w1", "w2"], descending=[True, False, False])
+           .limit(k).to_pandas())
+    out = top.merge(ctx, on="w1", how="left")
+    out["n"] = out["n"].astype("int64")
+    out["cond_p"] = round_half_away(
+        out["n"].to_numpy("float64") / out["ctx"].to_numpy("float64"))
+    return out[["w1", "w2", "n", "cond_p"]]
+
+
 CONTAM_NGRAM = 8        # words per decontamination shingle
 CONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the held-out benchmark set
 
