@@ -791,7 +791,7 @@ def kg_pred_stats_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
 
 def kg_pred_cardinality_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
-                           concurrency: int = 8):
+                           concurrency: int = 8, triples=None):
     """Per-predicate cardinality audit: triple count, distinct subjects,
     distinct objects, max triples per subject, and the derived
     is-functional flag (max fan-out 1) — the schema-constraint profile a KG
@@ -827,7 +827,9 @@ def kg_pred_cardinality_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             "pred": out["pred"], "side": out["side"], "key": out["key"],
             "c": out["size"].astype("int64")}))
 
-    pairs = (kg_triples_ds(sf_dir, cfg, concurrency)
+    if triples is None:
+        triples = kg_triples_ds(sf_dir, cfg, concurrency)
+    pairs = (triples
              .map_batches(pair_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
              .groupby(["pred", "side", "key"])
@@ -1850,7 +1852,7 @@ def conv_tool_stats_ds(sf_dir: str):
 
 
 def kg_inverse_preds_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
-                        concurrency: int = 8):
+                        concurrency: int = 8, triples=None):
     """Inverse/symmetric predicate discovery: for every ordered predicate
     pair (pred_a, pred_b), the number of distinct triple pairs
     (a, pred_a, b) ∧ (b, pred_b, a) with a ≠ b — the 2-cycle census a KG
@@ -1906,7 +1908,9 @@ def kg_inverse_preds_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             "pred_a": g["pred_a"], "pred_b": g["pred_b"],
             "n_pairs": g["size"].astype("int64")}))
 
-    return (kg_triples_ds(sf_dir, cfg, concurrency)
+    if triples is None:
+        triples = kg_triples_ds(sf_dir, cfg, concurrency)
+    return (triples
             .select_columns(["subj", "pred", "obj"])
             .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("kb").map_groups(per_bucket, batch_format="pandas")

@@ -1054,3 +1054,60 @@ def test_neighbor_jaccard_brute_force():
         got = {(r.e1, r.e2): (int(r.n_common), float(r.jaccard))
                for r in out.itertuples()}
         assert got == want, (n, p, tau)
+
+
+def test_pred_cardinality_brute_force():
+    """kg_pred_cardinality_ds on an injected random triple set == pandas
+    brute force (distincts, max fan-out, functional flag)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame({
+        "subj": [f"S{int(i):02d}" for i in rng.integers(0, 40, n)],
+        "pred": [f"p{int(i)}" for i in rng.integers(0, 6, n)],
+        "obj": [f"O{int(i):02d}" for i in rng.integers(0, 25, n)],
+    })
+    got = (kg.kg_pred_cardinality_ds("sf0.001", triples=rd.from_pandas(df))
+           .to_pandas().sort_values("pred").reset_index(drop=True))
+    want = []
+    for p, g in df.groupby("pred"):
+        mx = int(g.groupby("subj").size().max())
+        want.append({"pred": p, "n_triples": len(g),
+                     "n_subjects": g["subj"].nunique(),
+                     "n_objects": g["obj"].nunique(),
+                     "max_per_subject": mx,
+                     "is_functional": int(mx == 1)})
+    want = pd.DataFrame(want).sort_values("pred").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype({c: "int64" for c in want.columns[1:]}),
+        want.astype({c: "int64" for c in want.columns[1:]}))
+
+
+def test_inverse_preds_brute_force():
+    """kg_inverse_preds_ds on an injected random multigraph == brute-force
+    2-cycle census per ordered predicate pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    df = pd.DataFrame({
+        "subj": [f"N{int(i)}" for i in rng.integers(0, 15, n)],
+        "pred": [f"p{int(i)}" for i in rng.integers(0, 4, n)],
+        "obj": [f"N{int(i)}" for i in rng.integers(0, 15, n)],
+    })
+    got = (kg.kg_inverse_preds_ds("sf0.001", triples=rd.from_pandas(df))
+           .to_pandas())
+    got = {(r.pred_a, r.pred_b): int(r.n_pairs) for r in got.itertuples()}
+    e = df[df["subj"] != df["obj"]].drop_duplicates()
+    m = e.merge(e, left_on=["subj", "obj"], right_on=["obj", "subj"],
+                suffixes=("_a", "_b"))
+    want = (m.groupby(["pred_a", "pred_b"]).size().astype(int).to_dict())
+    assert got == want
+    assert sum(got.values()) > 0  # the random multigraph has 2-cycles
