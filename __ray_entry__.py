@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nquads": kg.nquads_lines_ds,
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,
+        "kg_degree_histogram": kg.kg_degree_histogram_ds,
         "kg_pagerank": kg.kg_pagerank_ds,
         "kg_triangles": kg.kg_triangles_ds,
         "conv_clean_text": kg.conv_clean_text_ds,

@@ -1660,6 +1660,10 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_adjacency": w + _adjacency_select(full_union),
         "kg_degrees": w + _degrees_select(full_union),
+        "kg_degree_histogram": w + ", dg AS ("
+                               + _degrees_select(full_union) + """)
+SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),

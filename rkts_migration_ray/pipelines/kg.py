@@ -906,6 +906,35 @@ def kg_degrees_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                        Sum("in_deg", alias_name="in_deg")))
 
 
+def kg_degree_histogram_ds(sf_dir: str,
+                           cfg: PipelineConfig = DEFAULT_CONFIG,
+                           concurrency: int = 8):
+    """Degree-distribution histogram over the emitted graph: (total degree
+    → node count) — the one-glance skew profile (power-law tail = the hub
+    entities every shuffle in this engine salts or buckets around).
+
+    Scale shape: rides kg_degrees (its groupby is the only wide step);
+    each batch of the degree table collapses to (degree, n) partials —
+    bounded by the batch's distinct-degree count — before a tiny
+    groupby-sum over the degree vocabulary."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tot = pc.add(pc.cast(t["out_deg"], pa.int64()),
+                     pc.cast(t["in_deg"], pa.int64()))
+        d, c = np.unique(np.asarray(tot), return_counts=True)
+        return pa.table({"degree": pa.array(d.astype(np.int64)),
+                         "n_nodes": pa.array(c.astype(np.int64))})
+
+    return (kg_degrees_ds(sf_dir, cfg, concurrency)
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("degree")
+            .aggregate(Sum("n_nodes", alias_name="n_nodes")))
+
+
 PR_SCALE = 10 ** 12   # ranks as integer micro-units: exact, order-independent
 PR_ITERS = 5
 
