@@ -93,7 +93,8 @@ def charset_pairs_ds(sf_dir: str, threshold: float = 0.9):
     SCALE BOUND: the per-group matrix is O(n_group²) — this op is an
     oracle-backed SPECIFICATION over bounded fixtures (largest fixture
     source group ~100 docs), not a production path. Production pair
-    generation is minhash_pairs_ds (bucketed banding, no all-pairs), and
+    generation is minhash_pairs_ds (approximate; bucketed banding, no
+    all-pairs) or prefix_pairs_ds (EXACT; All-Pairs prefix filtering), and
     dedup_clusters_ds / dedup_survivors_ds consume the MinHash pair stream
     by default. Do not point this at a source group ≫10⁴ docs."""
 
@@ -134,8 +135,9 @@ def ngram_pairs_ds(sf_dir: str, threshold: float = 0.2, k: int = 3):
     """All-pairs k-word-shingle (n-gram) Jaccard ≥ threshold within each
     source group — the SQL-checkable exact twin of the MinHash verify math
     (identical shingle universe as distinct shingle strings). Production
-    near-dup at scale is minhash_pairs_ds; this is the oracle-backed
-    specification of its verification semantics.
+    near-dup at scale is minhash_pairs_ds (approximate) or
+    prefix_pairs_ds (exact, corpus-wide); this is the oracle-backed
+    specification of their verification semantics.
 
     SCALE BOUND: same O(n_group²) all-pairs shape as charset_pairs_ds —
     bounded-fixture spec only; see that docstring."""
