@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab": docs.text_vocab_ds,
         "text_entropy": docs.text_entropy_ds,
         "text_bigram_lm": docs.bigram_lm_ds,
+        "sample_weighted": docs.sample_weighted_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),

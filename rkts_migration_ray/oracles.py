@@ -918,6 +918,14 @@ WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),
 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
 SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100""",
+        "sample_weighted": """
+WITH p AS (SELECT doc_id, n_chars,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+       AS DOUBLE) / n_chars AS priority
+ FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, priority,
+ CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+FROM p ORDER BY priority, doc_id LIMIT 50""",
         "text_bigram_lm": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),

@@ -2386,6 +2386,48 @@ def sample_group_topk_ds(sf_dir: str, k: int = GROUP_TOPK_K):
             .map_groups(final, batch_format="pandas"))
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def sample_weighted_ds(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weighted sample via PRIORITY SAMPLING (Duffield/
+    Lund/Thorup): each doc gets priority u/w where u is a 52-bit
+    content hash (md5 of doc_id — exact in a double) and w = n_chars; the
+    k SMALLEST priorities win, so selection probability scales with
+    weight while staying reproducible across runs, shards and cluster
+    sizes (rank is a content hash, not RNG). Bit-exact vs SQL: int→double
+    conversion and IEEE division are both correctly rounded, so the
+    priorities — and therefore the selected set — are identical in numpy
+    and DuckDB.
+
+    Scale shape: bottom-k by (priority, doc_id) is a monoid — each batch
+    ships at most k rows, the final merge sees ≤ k × n_blocks rows on one
+    tiny task. Zero-weight docs are excluded (stated in the SQL twin)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n_chars"] > 0]
+        u = np.array([int(hashlib.md5(str(int(d)).encode()).hexdigest()[:13],
+                          16) for d in df["doc_id"]], dtype=np.int64)
+        pr = u.astype(np.float64) / df["n_chars"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "n_chars": df["n_chars"].astype("int64"),
+                            "priority": pr})
+        return from_pandas_clean(
+            out.sort_values(["priority", "doc_id"], kind="stable").head(k))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["priority", "doc_id"], kind="stable").head(k)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df.reset_index(drop=True)
+
+    return (_docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas",
+                         batch_size=None))
+
+
 SIMHASH_MAX_HAMMING = 3
 _POP16 = None  # 16-bit popcount table, built once per process
 

@@ -1111,3 +1111,24 @@ def test_inverse_preds_brute_force():
     want = (m.groupby(["pred_a", "pred_b"]).size().astype(int).to_dict())
     assert got == want
     assert sum(got.values()) > 0  # the random multigraph has 2-cycles
+
+
+def test_sample_weighted_deterministic_and_biased(sf_tag):
+    """sample_weighted: two runs agree row-for-row; ranks are 1..k by
+    (priority, doc_id); the weighted sample skews toward longer docs
+    (selected mean n_chars > corpus mean — deterministic on the fixture)."""
+    import duckdb
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    a = docs.sample_weighted_ds(sf_tag).to_pandas()
+    b = docs.sample_weighted_ds(sf_tag).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["rnk"]) == list(range(1, len(a) + 1))
+    assert a["priority"].is_monotonic_increasing
+    full = duckdb.sql(
+        f"SELECT avg(n_chars) m FROM read_parquet("
+        f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet') "
+        f"WHERE n_chars > 0").df()
+    assert a["n_chars"].mean() > float(full["m"][0])
