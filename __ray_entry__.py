@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_group_topk": docs.sample_group_topk_ds,
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
+        "text_para_dedup": docs.para_dedup_ds,
         "sample_token_budget": docs.sample_token_budget_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
         "dedup_simhash_clusters": lambda sf: docs.dedup_clusters_ds(
@@ -166,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_distinct_sketch": docs.distinct_sketch_ds,
         # --- similarity search ----------------------------------------------
         "embed_quantize": docs.embed_quantize_ds,
+        "embed_pca_scatter": docs.embed_pca_scatter_ds,
+        "embed_pca_project": docs.embed_pca_project_ds,  # rows-only (eigh)
         "knn_brute": docs.knn_brute_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
@@ -176,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window_users": relational.events_window_users_ds,
         "rel_events_rolling": relational.events_rolling_ds,
         "rel_revenue_rollup": relational.revenue_rollup_ds,
+        "rel_revenue_cube": relational.revenue_cube_ds,
+        "rel_orders_above_avg": relational.orders_above_avg_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,

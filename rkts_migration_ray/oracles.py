@@ -907,6 +907,66 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)""",
+        "rel_revenue_cube": """
+SELECT r.r_name AS region, o.o_orderpriority AS priority,
+ CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+ CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE(r.r_name, o.o_orderpriority)""",
+        "rel_orders_above_avg": """
+WITH oc AS (SELECT o_custkey,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+            FROM orders),
+ca AS (SELECT o_custkey, SUM(price_c) AS sum_c, count(*) AS n
+       FROM oc GROUP BY 1)
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_above,
+ CAST(sum(oc.price_c) AS BIGINT) AS rev_above_c
+FROM oc JOIN ca USING (o_custkey)
+JOIN customer c ON oc.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE oc.price_c * ca.n > ca.sum_c
+GROUP BY 1""",
+        # same 50-word non-overlapping chunking + keep-first window as the
+        # engine (pipelines/docs.py para_dedup_ds); docs with zero words
+        # still appear with n_chunks = 0 and empty text
+        "text_para_dedup": """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+ci AS (SELECT doc_id, ws,
+        unnest(range(0, CAST(ceil(len(ws)/50.0) AS BIGINT))) AS chunk_idx
+       FROM w),
+ch AS (SELECT doc_id, chunk_idx,
+        array_to_string(list_slice(ws, CAST(chunk_idx*50+1 AS BIGINT),
+                                   CAST(chunk_idx*50+50 AS BIGINT)),
+                        ' ') AS chunk_text
+       FROM ci),
+k AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+                                   ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_kept
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+nc AS (SELECT doc_id, CAST(ceil(len(ws)/50.0) AS BIGINT) AS n_chunks FROM w)
+SELECT nc.doc_id, nc.n_chunks, COALESCE(agg.n_kept, 0) AS n_kept,
+       COALESCE(agg.text_kept, '') AS text_kept
+FROM nc LEFT JOIN agg USING (doc_id)""",
+        # fixed-point (floor(v*1e6+0.5)) second moments; embeddings are
+        # 64-dim in every fixture tier (fixtures generator), 1-based dims
+        # to match DuckDB list indexing
+        "embed_pca_scatter": """
+WITH e AS (SELECT vec_id, CAST(i.range AS BIGINT) AS d,
+            CAST(FLOOR(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+                       * 1000000 + 0.5) AS BIGINT) AS v
+           FROM embeddings, range(1, 65) i)
+SELECT a.d AS dim_i, b.d AS dim_j,
+ CAST(sum(a.v*b.v) AS BIGINT) AS sum_xy,
+ CAST(sum(a.v) AS BIGINT) AS sum_x,
+ CAST(sum(b.v) AS BIGINT) AS sum_y,
+ CAST(count(*) AS BIGINT) AS n_rows
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY 1, 2""",
         "sample_group_topk": """
 WITH r AS (SELECT lang, doc_id,
   row_number() OVER (PARTITION BY lang

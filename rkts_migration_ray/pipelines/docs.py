@@ -2516,3 +2516,240 @@ def simhash_pairs_ds(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
                             "doc_b": pc.cast(t["doc_b"], pa.int64()),
                             "hamming": pc.cast(t["hamming"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4-style: global keep-first chunk dedup +
+# per-document reassembly)
+# ---------------------------------------------------------------------------
+
+PARA_CHUNK_WORDS = 50
+# winner keys pack (doc_id, chunk_idx) into one int64 so groupby(h).Min is a
+# lexicographic min: doc_id < 2^43 and chunk_idx < 2^20 (a 2^20-chunk doc at
+# 50 words/chunk is a 50M-word document — far past any training doc)
+_PARA_IDX_BITS = 20
+
+
+def para_dedup_ds(sf_dir: str, size: int = PARA_CHUNK_WORDS,
+                  n_buckets: int | None = None):
+    """C4-style paragraph dedup: split every document into non-overlapping
+    ``size``-word chunks, keep each distinct chunk ONCE corpus-wide (first
+    occurrence by (doc_id, chunk_idx)), and reassemble each document from
+    its surviving chunks (capability class of the reference's seen-set
+    dedup, utils.php A5/A7, lifted from per-entity to corpus-wide).
+
+    Scale shape (two shuffles, neither ships text):
+      1. explode (chunk_hash, packed_key) only — 16 bytes/chunk — with a
+         per-batch combiner (one min per hash per block); groupby(hash)
+         takes the global Min(packed) → the winner set.
+      2. winners are doc_id-bucketed and co-grouped with the documents
+         table; each bucket re-derives its chunk split map-side (the split
+         is deterministic) and reassembles kept text locally.
+    The full text therefore crosses the wire zero times; the oracle twin
+    replays the same chunking with SQL window functions."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        best: dict[int, int] = {}
+        for did, x in zip(df["doc_id"], df["text"]):
+            ws = _WORD_RE.findall(x.lower())
+            base = int(did) << _PARA_IDX_BITS
+            for ci, start in enumerate(range(0, len(ws), size)):
+                chunk = " ".join(ws[start:start + size])
+                h = int.from_bytes(
+                    hashlib.md5(chunk.encode()).digest()[:8], "big",
+                    signed=True)
+                packed = base | ci
+                prev = best.get(h)
+                if prev is None or packed < prev:
+                    best[h] = packed
+        return pa.table({"h": pa.array(list(best.keys()), pa.int64()),
+                         "packed": pa.array(list(best.values()), pa.int64())})
+
+    def winner_rows(t: pa.Table) -> pa.Table:
+        packed = np.asarray(t["packed"])
+        did = packed >> _PARA_IDX_BITS
+        ci = packed & ((1 << _PARA_IDX_BITS) - 1)
+        n = len(packed)
+        return pa.table({
+            "kbucket": pa.array((did % np.int64(nb)).astype(np.int32)),
+            "src": pa.array(np.ones(n, np.int8)),
+            "doc_id": pa.array(did),
+            "chunk_idx": pa.array(ci),
+            "text": pa.array([""] * n, pa.string()),
+        })
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"])
+        n = len(did)
+        return pa.table({
+            "kbucket": pa.array((did % np.int64(nb)).astype(np.int32)),
+            "src": pa.array(np.zeros(n, np.int8)),
+            "doc_id": pa.array(did),
+            "chunk_idx": pa.array(np.full(n, -1, np.int64)),
+            "text": t["text"],
+        })
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        kept = df[df["src"] == 1].groupby("doc_id")["chunk_idx"].apply(
+            lambda s: set(s.astype(int)))
+        out = {"doc_id": [], "n_chunks": [], "n_kept": [], "text_kept": []}
+        for did, x in zip(df.loc[df["src"] == 0, "doc_id"],
+                          df.loc[df["src"] == 0, "text"]):
+            ws = _WORD_RE.findall(x.lower())
+            mine = kept.get(did, set())
+            parts = []
+            n_chunks = 0
+            for ci, start in enumerate(range(0, len(ws), size)):
+                n_chunks += 1
+                if ci in mine:
+                    parts.append(" ".join(ws[start:start + size]))
+            out["doc_id"].append(int(did))
+            out["n_chunks"].append(n_chunks)
+            out["n_kept"].append(len(parts))
+            out["text_kept"].append(" ".join(parts))
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "n_chunks": pa.array(out["n_chunks"], pa.int64()),
+                         "n_kept": pa.array(out["n_kept"], pa.int64()),
+                         "text_kept": pa.array(out["text_kept"], pa.string())})
+
+    winners = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(explode_keys, batch_format="pyarrow")
+               .groupby("h").aggregate(Min("packed", alias_name="packed"))
+               .map_batches(winner_rows, batch_format="pyarrow"))
+    docs = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(doc_rows, batch_format="pyarrow"))
+    return (docs.union(winners)
+            .groupby("kbucket")
+            .map_groups(assemble, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column (moment accumulation + eigh)
+# ---------------------------------------------------------------------------
+
+EMBED_FIX = 1_000_000  # fixed-point scale: floor(x*1e6 + 0.5), exact in SQL
+
+
+def embed_pca_scatter_ds(sf_dir: str):
+    """Moment-accumulation phase of distributed PCA: one streaming pass over
+    the embeddings computes the exact upper-triangle second-moment matrix
+    sum(x_i*x_j), the column sums, and the row count, in FIXED-POINT int64
+    (floor(v*1e6+0.5)) so the result is order-independent and the DuckDB
+    twin matches bit-for-bit. Output is dim*(dim+1)/2 tiny rows per batch
+    (the map-side combiner); the groupby reduces batches, never rows — the
+    classic X^T X pattern that makes PCA a single map pass at 100 TB.
+    Overflow bound: |v|<=1 → products <= 1e12; int64 holds >9e6 such rows
+    per (i,j) cell per batch and the per-cell total stays < 2^63 up to
+    ~9e6-row corpora per batch chain; column sums are far smaller."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = t.num_rows
+        dim = len(flat) // max(n, 1)
+        if n == 0 or dim == 0:
+            return pa.table({"dim_i": pa.array([], pa.int64()),
+                             "dim_j": pa.array([], pa.int64()),
+                             "sum_xy": pa.array([], pa.int64()),
+                             "sum_x": pa.array([], pa.int64()),
+                             "sum_y": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        assert len(flat) == n * dim, "ragged embedding column"
+        V = np.floor(flat * EMBED_FIX + 0.5).astype(np.int64).reshape(n, dim)
+        S = V.T @ V                      # exact int64 matmul
+        s = V.sum(axis=0)
+        iu, ju = np.triu_indices(dim)
+        return pa.table({
+            "dim_i": pa.array((iu + 1).astype(np.int64)),  # 1-based like SQL
+            "dim_j": pa.array((ju + 1).astype(np.int64)),
+            "sum_xy": pa.array(S[iu, ju]),
+            "sum_x": pa.array(s[iu]),
+            "sum_y": pa.array(s[ju]),
+            "n_rows": pa.array(np.full(len(iu), n, np.int64)),
+        })
+
+    return (_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["dim_i", "dim_j"])
+            .aggregate(Sum("sum_xy", alias_name="sum_xy"),
+                       Sum("sum_x", alias_name="sum_x"),
+                       Sum("sum_y", alias_name="sum_y"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
+def embed_pca_components(sf_dir: str, k: int = 4):
+    """Finish PCA on the driver from the tiny scatter table: rebuild the
+    covariance (float, from exact integer moments), eigh, return the top-k
+    eigenpairs with a deterministic sign convention (largest-|coord| entry
+    positive). The dim x dim solve is O(dim^3) driver work — independent of
+    corpus size."""
+    scat = embed_pca_scatter_ds(sf_dir).to_pandas()
+    dim = int(scat["dim_i"].max())
+    n = float(scat.loc[(scat["dim_i"] == 1) & (scat["dim_j"] == 1),
+                       "n_rows"].iloc[0])
+    cov = np.zeros((dim, dim))
+    i = scat["dim_i"].to_numpy() - 1
+    j = scat["dim_j"].to_numpy() - 1
+    sxy = scat["sum_xy"].to_numpy(dtype=np.float64)
+    sx = scat["sum_x"].to_numpy(dtype=np.float64)
+    sy = scat["sum_y"].to_numpy(dtype=np.float64)
+    c = (sxy - sx * sy / n) / n / (EMBED_FIX ** 2)
+    cov[i, j] = c
+    cov[j, i] = c
+    mean_fix = np.zeros(dim)
+    mean_fix[i] = sx / n          # fixed-point mean (every j row repeats it)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]           # dim x k
+    for c_idx in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c_idx]))
+        if comps[m, c_idx] < 0:
+            comps[:, c_idx] = -comps[:, c_idx]
+    return w[order], comps, mean_fix / EMBED_FIX
+
+
+def embed_pca_project_ds(sf_dir: str, k: int = 4):
+    """Projection phase: broadcast the top-k components (ray.put once),
+    stream the embeddings through a stateless matmul batch map → flat
+    (vec_id, comp_idx, value_micro) rows. value is rounded to 1e-6 so the
+    output is stable across BLAS builds; rows-only at the driver gate, with
+    a pytest asserting equality to a single-process numpy PCA."""
+    import ray
+
+    _, comps, mean = embed_pca_components(sf_dir, k=k)
+    ref = ray.put((comps, mean))
+
+    class Project:
+        def __init__(self, ref):
+            self.comps, self.mean = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t["embedding"].combine_chunks()
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            n = t.num_rows
+            dim = self.comps.shape[0]
+            # same fixed-point view as the scatter pass, so the projection
+            # is exactly the PCA of the moments the scatter computed
+            V = np.floor(flat * EMBED_FIX + 0.5) / EMBED_FIX
+            X = V.reshape(n, dim) - self.mean[None, :]
+            P = X @ self.comps                      # n x k
+            vid = np.repeat(np.asarray(t["vec_id"]), self.comps.shape[1])
+            cidx = np.tile(np.arange(1, self.comps.shape[1] + 1), n)
+            return pa.table({
+                "vec_id": pa.array(vid.astype(np.int64)),
+                "comp_idx": pa.array(cidx.astype(np.int64)),
+                "value_micro": pa.array(
+                    np.floor(P.ravel() * 1e6 + 0.5).astype(np.int64)),
+            })
+
+    return _embeddings(sf_dir).map_batches(
+        Project, batch_format="pyarrow",
+        fn_constructor_kwargs={"ref": ref}, concurrency=(1, 4))

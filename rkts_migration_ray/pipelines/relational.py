@@ -890,3 +890,168 @@ def quantity_quartiles_ds(sf_dir: str) -> pd.DataFrame:
     cols = ["l_returnflag", "p25_qty_c", "p50_qty_c", "p75_qty_c", "n_rows"]
     return (pd.DataFrame(rows)[cols].sort_values("l_returnflag")
             .reset_index(drop=True))
+
+
+def orders_above_avg_ds(sf_dir: str, n_buckets: int | None = None):
+    """DECORRELATED correlated subquery (TPC-H Q17/Q22 shape): orders whose
+    totalprice strictly exceeds their own customer's average order price,
+    aggregated per nation. The naive plan re-evaluates AVG per order row;
+    the distributed plan hash-buckets orders on custkey ONCE — each bucket
+    holds every order of its customers, so the per-customer average and the
+    comparison resolve locally (one shuffle, no broadcast of a large side).
+
+    Exactness: ``price > avg`` is evaluated as the integer cross-multiply
+    ``price_c * n > sum_c`` — no float division ever happens, so the DuckDB
+    twin (same inequality) hash-matches bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    d = resolve_sf_dir(sf_dir)
+    cust = pq.read_table(os.path.join(d, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(d, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    ckeys = np.asarray(cust["c_custkey"])
+    nat = np.empty(int(ckeys.max()) + 1, dtype=object)
+    nat[ckeys] = [nname[int(k)] for k in cust["c_nationkey"].to_pylist()]
+    ref = ray.put(nat)
+
+    class Prep:
+        def __init__(self, ref):
+            self.nat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t["o_custkey"])
+            return pa.table({
+                "kbucket": pa.array((ck % np.int64(nb)).astype(np.int32)),
+                "custkey": t["o_custkey"],
+                "price_c": _cents(t["o_totalprice"]),
+                "nation": pa.array(self.nat[ck], pa.string()),
+            })
+
+    def above_avg(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("custkey")["price_c"]
+        sum_c = g.transform("sum").to_numpy("int64")
+        n = g.transform("size").to_numpy("int64")
+        price = df["price_c"].to_numpy("int64")
+        keep = df.loc[price * n > sum_c]
+        agg = keep.groupby("nation", as_index=False).agg(
+            n_above=("price_c", "size"), rev_above_c=("price_c", "sum"))
+        return pa.table({
+            "nation": pa.array(agg["nation"].to_numpy(dtype=object),
+                               pa.string()),
+            "n_above": pa.array(agg["n_above"].to_numpy("int64")),
+            "rev_above_c": pa.array(agg["rev_above_c"].to_numpy("int64"))})
+
+    return (_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(Prep, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": ref},
+                         concurrency=(1, 4))
+            .groupby("kbucket")
+            .map_groups(above_avg, batch_format="pandas")
+            .groupby("nation")
+            .aggregate(Sum("n_above", alias_name="n_above"),
+                       Sum("rev_above_c", alias_name="rev_above_c")))
+
+
+def revenue_cube_ds(sf_dir: str):
+    """Order revenue by CUBE(region, order priority): leaf rows plus all
+    three coarser tiers (region-only, priority-only, grand total), each
+    with the collapsed dimension NULL. The fact table is scanned ONCE for
+    the leaf aggregate (broadcast custkey→region, map-side combiner); the
+    three coarser tiers re-aggregate the tiny materialized leaf dataset —
+    the cube costs one fact pass regardless of how many tiers exist."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    d = resolve_sf_dir(sf_dir)
+    cust = pq.read_table(os.path.join(d, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(d, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(d, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rnames = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    nkey_to_region = {int(k): rnames[int(r)] for k, r in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())}
+    ckeys = np.asarray(cust["c_custkey"])
+    reg = np.empty(int(ckeys.max()) + 1, dtype=object)
+    reg[ckeys] = [nkey_to_region[int(n)]
+                  for n in cust["c_nationkey"].to_pylist()]
+    ref = ray.put(reg)
+
+    class Leaf:
+        def __init__(self, ref):
+            self.reg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t["o_custkey"])
+            df = pd.DataFrame({
+                "region": self.reg[ck],
+                "priority": np.asarray(t["o_orderpriority"]),
+                "rev": np.asarray(_cents(t["o_totalprice"]))})
+            agg = (df.groupby(["region", "priority"], sort=False)["rev"]
+                   .agg(["sum", "count"]).reset_index())
+            return pa.table({
+                "region": pa.array(agg["region"], pa.string()),
+                "priority": pa.array(agg["priority"], pa.string()),
+                "revenue_c": pa.array(agg["sum"].to_numpy("int64")),
+                "n_orders": pa.array(agg["count"].to_numpy("int64"))})
+
+    leaf = (_table(sf_dir, "orders", ["o_custkey", "o_orderpriority",
+                                      "o_totalprice"])
+            .map_batches(Leaf, batch_format="pyarrow",
+                         fn_constructor_kwargs={"ref": ref},
+                         concurrency=(1, 2))
+            .groupby(["region", "priority"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .materialize())
+
+    def collapse(keep_region: bool, keep_priority: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "region": t["region"] if keep_region
+                else pa.nulls(n, pa.string()),
+                "priority": t["priority"] if keep_priority
+                else pa.nulls(n, pa.string()),
+                "revenue_c": t["revenue_c"],
+                "n_orders": t["n_orders"]})
+        return fn
+
+    def reagg(keys):
+        return (leaf.groupby(keys)
+                .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                           Sum("n_orders", alias_name="n_orders")))
+
+    by_region = reagg("region").map_batches(
+        collapse(True, False), batch_format="pyarrow")
+    by_priority = reagg("priority").map_batches(
+        collapse(False, True), batch_format="pyarrow")
+    total = (leaf.map_batches(
+        lambda t: pa.table({"k": pa.array(np.zeros(t.num_rows, np.int8)),
+                            "revenue_c": t["revenue_c"],
+                            "n_orders": t["n_orders"]}),
+        batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .map_batches(lambda t: pa.table({
+            "region": pa.nulls(t.num_rows, pa.string()),
+            "priority": pa.nulls(t.num_rows, pa.string()),
+            "revenue_c": t["revenue_c"],
+            "n_orders": t["n_orders"]}), batch_format="pyarrow"))
+    leaf_out = leaf.map_batches(collapse(True, True), batch_format="pyarrow")
+    return leaf_out.union(by_region).union(by_priority).union(total)

@@ -1132,3 +1132,150 @@ def test_sample_weighted_deterministic_and_biased(sf_tag):
         f"'{docs.resolve_sf_dir(sf_tag)}/documents.parquet') "
         f"WHERE n_chars > 0").df()
     assert a["n_chars"].mean() > float(full["m"][0])
+
+
+def test_para_dedup_brute_force(sf_tag):
+    """para_dedup_ds == single-process keep-first chunk dedup over the same
+    corpus (independent reimplementation, no Ray)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines.docs import para_dedup_ds, resolve_sf_dir
+
+    size = 50
+    t = pq.read_table(resolve_sf_dir(sf_tag) + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    word_re = re.compile(r"[a-z]+")
+    seen: dict[str, tuple[int, int]] = {}
+    expect = {}
+    # global keep-first is order-independent because the winner is the
+    # lexicographic min (doc_id, chunk_idx); iterate sorted to make the
+    # brute force trivially correct
+    chunks_by_doc = {}
+    for did, text in rows:
+        ws = word_re.findall(text.lower())
+        cs = [" ".join(ws[s:s + size]) for s in range(0, len(ws), size)]
+        chunks_by_doc[did] = cs
+        for ci, c in enumerate(cs):
+            if c not in seen:
+                seen[c] = (did, ci)
+    for did, cs in chunks_by_doc.items():
+        kept = [c for ci, c in enumerate(cs) if seen[c] == (did, ci)]
+        expect[did] = (len(cs), len(kept), " ".join(kept))
+
+    got = para_dedup_ds(sf_tag).to_pandas().set_index("doc_id")
+    assert len(got) == len(expect)
+    for did, (n_chunks, n_kept, text_kept) in expect.items():
+        r = got.loc[did]
+        assert int(r["n_chunks"]) == n_chunks
+        assert int(r["n_kept"]) == n_kept
+        assert r["text_kept"] == text_kept
+
+
+def test_para_dedup_drops_cross_doc_duplicates(sf_tag):
+    """At least one fixture doc loses a chunk to an earlier doc (the
+    documents fixture contains near/exact duplicates by construction)."""
+    from rkts_migration_ray.pipelines.docs import para_dedup_ds
+
+    df = para_dedup_ds(sf_tag).to_pandas()
+    assert (df["n_kept"] < df["n_chunks"]).any()
+    assert (df["n_kept"] == df["n_chunks"]).any()
+
+
+def test_embed_pca_matches_numpy(sf_tag):
+    """Distributed scatter + projection == single-process numpy PCA on the
+    same fixed-point data (plumbing check: partial X^T X accumulation,
+    centering, component broadcast, per-batch matmul)."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines.docs import (
+        EMBED_FIX, embed_pca_components, embed_pca_project_ds, resolve_sf_dir)
+
+    t = pq.read_table(resolve_sf_dir(sf_tag) + "/embeddings.parquet")
+    vid = np.asarray(t["vec_id"])
+    V = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(vid), -1)
+    Vf = np.floor(V * EMBED_FIX + 0.5) / EMBED_FIX     # fixed-point view
+    mean = Vf.mean(axis=0)
+    cov = np.cov(Vf.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = v[:, order]
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    ew, ecomps, emean = embed_pca_components(sf_tag, k=4)
+    assert np.allclose(ew, w[order], rtol=1e-9, atol=1e-12)
+    assert np.allclose(emean, mean, atol=1e-12)
+    assert np.allclose(ecomps, comps, atol=1e-8)
+
+    # eigenvalues descending and the projection variance matches them
+    assert list(ew) == sorted(ew, reverse=True)
+    got = embed_pca_project_ds(sf_tag, k=4).to_pandas()
+    P_expect = (Vf - mean[None, :]) @ comps
+    got = got.sort_values(["vec_id", "comp_idx"]).reset_index(drop=True)
+    expect_micro = np.floor(P_expect * 1e6 + 0.5).astype(np.int64)
+    by_vid = {int(i): r for i, r in zip(vid, expect_micro)}
+    for r in got.itertuples():
+        assert by_vid[int(r.vec_id)][int(r.comp_idx) - 1] == r.value_micro
+    # projected components are uncorrelated (off-diagonal covariance ~ 0)
+    pc_cov = np.cov(P_expect.T, bias=True)
+    off = pc_cov - np.diag(np.diag(pc_cov))
+    assert np.abs(off).max() < 1e-10
+    assert np.allclose(np.diag(pc_cov), w[order], rtol=1e-9, atol=1e-12)
+
+
+def test_orders_above_avg_brute_force(sf_tag):
+    """Decorrelated plan == naive per-customer pandas recompute."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines.relational import orders_above_avg_ds
+    from rkts_migration_ray.pipelines.docs import resolve_sf_dir
+
+    d = resolve_sf_dir(sf_tag)
+    orders = pq.read_table(d + "/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cust = pq.read_table(d + "/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(d + "/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    orders["price_c"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    g = orders.groupby("o_custkey")["price_c"]
+    above = orders[orders["price_c"] * g.transform("size") > g.transform("sum")]
+    nat = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    above = above.merge(nat[["c_custkey", "n_name"]],
+                        left_on="o_custkey", right_on="c_custkey")
+    expect = above.groupby("n_name").agg(
+        n_above=("price_c", "size"), rev_above_c=("price_c", "sum"))
+
+    got = orders_above_avg_ds(sf_tag).to_pandas().set_index("nation")
+    assert len(got) == len(expect)
+    for name, row in expect.iterrows():
+        assert int(got.loc[name, "n_above"]) == int(row["n_above"])
+        assert int(got.loc[name, "rev_above_c"]) == int(row["rev_above_c"])
+
+
+def test_revenue_cube_tiers_consistent(sf_tag):
+    """All four cube tiers agree: each coarser tier sums its finer tier."""
+    from rkts_migration_ray.pipelines.relational import revenue_cube_ds
+
+    df = revenue_cube_ds(sf_tag).to_pandas()
+    leaf = df[df["region"].notna() & df["priority"].notna()]
+    by_region = df[df["region"].notna() & df["priority"].isna()]
+    by_priority = df[df["region"].isna() & df["priority"].notna()]
+    total = df[df["region"].isna() & df["priority"].isna()]
+    assert len(total) == 1
+    for col in ("revenue_c", "n_orders"):
+        assert leaf[col].sum() == total[col].iloc[0]
+        assert by_region[col].sum() == total[col].iloc[0]
+        assert by_priority[col].sum() == total[col].iloc[0]
+    lr = leaf.groupby("region")["revenue_c"].sum()
+    for region, rev in zip(by_region["region"], by_region["revenue_c"]):
+        assert lr[region] == rev
+    lp = leaf.groupby("priority")["revenue_c"].sum()
+    for pri, rev in zip(by_priority["priority"], by_priority["revenue_c"]):
+        assert lp[pri] == rev
