@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
         "text_para_dedup": docs.para_dedup_ds,
+        "text_heavy_hitters": docs.heavy_hitters_ds,
+        "docs_profile": docs.docs_profile_ds,
         "sample_token_budget": docs.sample_token_budget_ds,
         "dedup_clusters": docs.dedup_clusters_ds,
         "dedup_simhash_clusters": lambda sf: docs.dedup_clusters_ds(
@@ -180,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_rolling": relational.events_rolling_ds,
         "rel_revenue_rollup": relational.revenue_rollup_ds,
         "rel_revenue_cube": relational.revenue_cube_ds,
+        "rel_events_lead_lag": relational.events_lead_lag_ds,
         "rel_orders_above_avg": relational.orders_above_avg_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_sessions": relational.events_sessions_ds,

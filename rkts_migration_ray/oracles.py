@@ -928,6 +928,46 @@ JOIN customer c ON oc.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE oc.price_c * ca.n > ca.sum_c
 GROUP BY 1""",
+        # window family LAG/LEAD/NTILE over each user's event timeline;
+        # date_diff returns BIGINT microseconds, NULL at partition edges —
+        # the engine twin is events_lead_lag_ds (hash-bucketed windows)
+        "rel_events_lead_lag": """
+SELECT event_id, user_id,
+ CAST(coalesce(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS BIGINT)
+   AS prev_gap_us,
+ CAST(coalesce(date_diff('microsecond', ts, lead(ts) OVER w), -1) AS BIGINT)
+   AS next_gap_us,
+ CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # exact top-20 tokens + corpus share; the engine reaches the same
+        # answer via Misra-Gries candidates + exact recount
+        # (pipelines/docs.py heavy_hitters_ds) — this is the spec
+        "text_heavy_hitters": """
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+              AS word FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+SELECT word, n, round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS share
+FROM c ORDER BY n DESC, word LIMIT 20""",
+        # per-column profile; distinct-on-md5 for text mirrors the engine's
+        # hashed shuffle payload (exact modulo md5 collision, both sides)
+        "docs_profile": """
+SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+ CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+ CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang),
+ count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+ count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+ count(DISTINCT n_chars) FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text),
+ count(DISTINCT md5(text)) FROM documents""",
         # same 50-word non-overlapping chunking + keep-first window as the
         # engine (pipelines/docs.py para_dedup_ds); docs with zero words
         # still appear with n_chunks = 0 and empty text

@@ -2753,3 +2753,202 @@ def embed_pca_project_ds(sf_dir: str, k: int = 4):
     return _embeddings(sf_dir).map_batches(
         Project, batch_format="pyarrow",
         fn_constructor_kwargs={"ref": ref}, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: two-phase Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_ds(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """Exact corpus top-k tokens via Misra-Gries candidate generation +
+    exact recount — the scale-right alternative to a full-vocabulary
+    groupby when the token tail is huge (web text: ~10^8 distinct tokens,
+    of which only the head matters).
+
+    EXACT BY CONSTRUCTION, never by luck:
+
+    1. Each batch keeps a Misra-Gries summary of ``capacity`` counters
+       (amortized O(tokens): every decrement round retires capacity+1
+       count mass). It emits (word, lower-bound count) plus two sentinel
+       rows — ``\\x00dec`` (its decrement-round count) and ``\\x00tot``
+       (its token count). Sentinels can't collide with words: the token
+       grammar is ``[a-z]+`` (functions/text.py:17).
+    2. groupby(word).sum merges the summaries. Classic MG merge bound:
+       any word's global undercount <= delta = sum of per-batch decrement
+       rounds, and a word absent everywhere has true count <= delta.
+    3. If the k-th largest merged lower bound t > delta, the true top-k is
+       inside {word : merged_lb >= t - delta}; that candidate set is
+       broadcast and recounted EXACTLY in one more pass (each batch counts
+       only candidate hits — no tail crosses the second shuffle).
+       Otherwise (pathologically flat corpus) it falls back to the exact
+       full-vocabulary path (text_vocab shape) — correct either way.
+
+    Output: word, n (exact), share = round(n / total_tokens, 6).
+
+    Scale: phase-1 shuffle moves <= capacity+2 rows per block regardless of
+    batch vocabulary; phase-2 moves <= |candidates| per block. The merged
+    summary is materialized once (bounded by capacity x blocks rows pre-
+    merge, corpus vocabulary post-merge — (word, int64) pairs only)."""
+    import ray
+
+    SENT_DEC, SENT_TOT = "\x00dec", "\x00tot"
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        dec_rounds = 0
+        n_tokens = 0
+        for x in t["text"].to_pylist():
+            for w in T.tokens_lower(x):
+                n_tokens += 1
+                if w in counts:
+                    counts[w] += 1
+                elif len(counts) < capacity:
+                    counts[w] = 1
+                else:
+                    dec_rounds += 1
+                    dead = []
+                    for key, c in counts.items():
+                        if c == 1:
+                            dead.append(key)
+                        else:
+                            counts[key] = c - 1
+                    for key in dead:
+                        del counts[key]
+        words = list(counts.keys()) + [SENT_DEC, SENT_TOT]
+        ns = list(counts.values()) + [dec_rounds, n_tokens]
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    merged = (_docs(sf_dir, ["text"])
+              .map_batches(mg_partial, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("n", alias_name="n"))
+              .materialize())
+
+    sent = {r["word"]: r["n"] for r in
+            merged.filter(lambda r: r["word"].startswith("\x00")).take(4)}
+    delta = int(sent.get(SENT_DEC, 0))
+    total = int(sent.get(SENT_TOT, 0))
+    words_only = merged.filter(lambda r: not r["word"].startswith("\x00"))
+
+    head = words_only.sort(["n", "word"], descending=[True, False]) \
+                     .limit(k).take(k)
+    t_k = int(head[-1]["n"]) if len(head) >= k else 0
+
+    if t_k > delta:
+        cand = {r["word"] for r in
+                words_only.filter(lambda r: r["n"] >= t_k - delta)
+                          .select_columns(["word"]).take_all()}
+        cand_ref = ray.put(cand)
+
+        def recount(t: pa.Table, cand_ref=cand_ref) -> pa.Table:
+            cset = ray.get(cand_ref)
+            c: dict = {}
+            for x in t["text"].to_pylist():
+                for w in T.tokens_lower(x):
+                    if w in cset:
+                        c[w] = c.get(w, 0) + 1
+            return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                             "n": pa.array(list(c.values()), pa.int64())})
+
+        exact = (_docs(sf_dir, ["text"])
+                 .map_batches(recount, batch_format="pyarrow")
+                 .groupby("word")
+                 .aggregate(Sum("n", alias_name="n")))
+    else:
+        # flat-tail fallback: the MG bound can't certify the head — do the
+        # exact full-vocabulary recount (text_vocab shape). Correct, just
+        # not cheaper; loudly noted per the repo's no-silent-caps rule.
+        import logging
+        logging.getLogger(__name__).warning(
+            "heavy_hitters: MG bound not separating (t_k=%d <= delta=%d); "
+            "falling back to exact full-vocab recount", t_k, delta)
+
+        def full(t: pa.Table) -> pa.Table:
+            c: dict = {}
+            for x in t["text"].to_pylist():
+                for w in T.tokens_lower(x):
+                    c[w] = c.get(w, 0) + 1
+            return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                             "n": pa.array(list(c.values()), pa.int64())})
+
+        exact = (_docs(sf_dir, ["text"])
+                 .map_batches(full, batch_format="pyarrow")
+                 .groupby("word")
+                 .aggregate(Sum("n", alias_name="n")))
+
+    def add_share(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.float64)
+        share = round_half_away(n / max(total, 1), 6)
+        return t.append_column("share", pa.array(share, pa.float64()))
+
+    return (exact.sort(["n", "word"], descending=[True, False])
+            .limit(k)
+            .map_batches(add_share, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# table profiling: one-pass per-column stats (null / distinct / row counts)
+# ---------------------------------------------------------------------------
+
+
+def docs_profile_ds(sf_dir: str):
+    """Per-column profile of the documents table — n_rows, n_null,
+    n_distinct for every column — the schema-discovery pass a pipeline
+    runs before choosing partition keys and dedup strategies.
+
+    Scale shape (ONE pass over the data, no per-column rescans): each batch
+    emits, per column, its batch-DISTINCT non-null values (stringified;
+    the text column ships md5(text) so no payload crosses the shuffle)
+    plus one sentinel row ('\\x00' can't collide: values are str(int),
+    raw lang/source codes, or md5 hex) carrying the batch's row/null
+    partials. groupby(col, val) collapses duplicates — one row per
+    (col, distinct value, block) shuffles, exactly the dedup_exact bound —
+    then a tiny groupby(col) folds counts. Distinct is EXACT (value
+    identity, not a sketch); text distinct is exact modulo md5 collision,
+    and the SQL twin counts distinct md5(text) so both sides agree
+    byte-for-byte."""
+    from ray.data.aggregate import Sum
+
+    COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+    SENT = "\x00"
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols_out, vals_out, nr_out, nn_out = [], [], [], []
+        nrows = t.num_rows
+        for col in COLS:
+            arr = t[col]
+            n_null = arr.null_count
+            if col == "text":
+                vals = {hashlib.md5(x.encode()).hexdigest()
+                        for x in arr.to_pylist() if x is not None}
+            else:
+                vals = {str(x) for x in arr.to_pylist() if x is not None}
+            cols_out.extend([col] * (len(vals) + 1))
+            vals_out.extend(vals)
+            vals_out.append(SENT)
+            nr_out.extend([0] * len(vals) + [nrows])
+            nn_out.extend([0] * len(vals) + [n_null])
+        return pa.table({"col": pa.array(cols_out, pa.string()),
+                         "val": pa.array(vals_out, pa.string()),
+                         "nr": pa.array(nr_out, pa.int64()),
+                         "nn": pa.array(nn_out, pa.int64())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_val = pc.not_equal(t["val"], SENT)
+        return pa.table({"col": t["col"],
+                         "d": pc.cast(is_val, pa.int64()),
+                         "nr": t["nr"], "nn": t["nn"]})
+
+    return (_docs(sf_dir, COLS)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["col", "val"])
+            .aggregate(Sum("nr", alias_name="nr"), Sum("nn", alias_name="nn"))
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("nr", alias_name="n_rows"),
+                       Sum("nn", alias_name="n_null"),
+                       Sum("d", alias_name="n_distinct")))

@@ -1055,3 +1055,68 @@ def revenue_cube_ds(sf_dir: str):
             "n_orders": t["n_orders"]}), batch_format="pyarrow"))
     leaf_out = leaf.map_batches(collapse(True, True), batch_format="pyarrow")
     return leaf_out.union(by_region).union(by_priority).union(total)
+
+
+def events_lead_lag_ds(sf_dir: str, n_tiles: int = 4,
+                       n_buckets: int | None = None):
+    """Per-user lead/lag gaps + ntile — the LAG/LEAD/NTILE window family
+    over event time: for every event, microseconds since that user's
+    previous event (NULL for the first), microseconds until the next
+    (NULL for the last), and its ntile(4) quartile in the user's timeline.
+
+    Scale shape (same partitioned-window discipline as events_sessions_ds):
+    events hash-bucket on user_id — a window PARTITION BY key never needs a
+    global sort — then one vectorized pandas pass per bucket: stable sort
+    by (user, ts, event_id), shift-diff with user-boundary masking, and an
+    O(n) cumcount-based ntile (DuckDB tile sizing: the first n%q tiles get
+    the extra row). No per-row Python, no driver materialization.
+
+    Partition edges (a user's first/last event) report gap = -1 rather
+    than NULL so the output stays non-null int64 end-to-end (a NULL BIGINT
+    round-trips as float64 through pandas and breaks exact-value
+    comparison); the SQL twin applies the same COALESCE(-1)."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        same_prev = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        same_next = df["user_id"].eq(df["user_id"].shift(-1)).to_numpy()
+        ts = df["ts_us"].to_numpy()
+        prev_gap = np.full(len(df), -1, dtype=np.int64)
+        next_gap = prev_gap.copy()
+        if len(df) > 1:
+            d = ts[1:] - ts[:-1]
+            prev_gap[1:] = np.where(same_prev[1:], d, -1)
+            next_gap[:-1] = np.where(same_next[:-1], d, -1)
+        g = df.groupby("user_id", sort=False)
+        i = g.cumcount().to_numpy()
+        n = g["event_id"].transform("size").to_numpy()
+        base, rem = n // n_tiles, n % n_tiles
+        thresh = (base + 1) * rem
+        big = i < thresh
+        tile = np.where(big, i // np.maximum(base + 1, 1),
+                        rem + (i - thresh) // np.maximum(base, 1)) + 1
+        out = pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "prev_gap_us": prev_gap,
+            "next_gap_us": next_gap,
+            "quartile": tile.astype("int64"),
+        })
+        return out
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(windows, batch_format="pandas"))

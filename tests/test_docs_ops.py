@@ -1279,3 +1279,96 @@ def test_revenue_cube_tiers_consistent(sf_tag):
     lp = leaf.groupby("priority")["revenue_c"].sum()
     for pri, rev in zip(by_priority["priority"], by_priority["revenue_c"]):
         assert lp[pri] == rev
+
+
+def test_heavy_hitters_brute_force(sf_tag):
+    """heavy_hitters_ds == single-process Counter top-k (exact counts and
+    shares), on BOTH code paths: the MG-certified candidates+recount path
+    (default capacity) and the tiny-capacity path where per-batch decrements
+    occur (delta > 0) — exactness must hold by construction either way."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.functions import text as T
+    from rkts_migration_ray.functions.arrowutils import round_half_away
+    from rkts_migration_ray.pipelines import docs
+
+    texts = pq.read_table(
+        f"{docs.resolve_sf_dir(sf_tag)}/documents.parquet",
+        columns=["text"])["text"].to_pylist()
+    c: Counter = Counter()
+    for x in texts:
+        c.update(T.tokens_lower(x))
+    total = sum(c.values())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    for capacity in (4096, 4):   # certified path / forced-decrement path
+        got = (docs.heavy_hitters_ds(sf_tag, k=20, capacity=capacity)
+               .to_pandas().sort_values(["n", "word"],
+                                        ascending=[False, True])
+               .reset_index(drop=True))
+        assert list(zip(got["word"], got["n"])) == want, capacity
+        exp_share = round_half_away(
+            got["n"].to_numpy(dtype="float64") / total, 6)
+        assert (got["share"].to_numpy() == exp_share).all(), capacity
+
+
+def test_docs_profile_brute_force(sf_tag):
+    """docs_profile_ds == pandas count/isna/nunique per column."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    df = pq.read_table(
+        f"{docs.resolve_sf_dir(sf_tag)}/documents.parquet").to_pandas()
+    got = (docs.docs_profile_ds(sf_tag).to_pandas()
+           .set_index("col").sort_index())
+    assert sorted(got.index) == sorted(df.columns)
+    for col in df.columns:
+        assert got.loc[col, "n_rows"] == len(df), col
+        assert got.loc[col, "n_null"] == int(df[col].isna().sum()), col
+        assert got.loc[col, "n_distinct"] == int(df[col].nunique()), col
+
+
+def test_events_lead_lag_brute_force(sf_tag):
+    """events_lead_lag_ds == single-process pandas windows (shift-based
+    lag/lead plus explicit DuckDB-style ntile sizing: first n%4 tiles get
+    the extra row)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs, relational
+
+    ev = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/events.parquet",
+                        columns=["event_id", "user_id", "ts"])
+          .to_pandas())
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"],
+                        kind="stable").reset_index(drop=True)
+    g = ev.groupby("user_id", sort=False)
+    want = pd.DataFrame({
+        "event_id": ev["event_id"],
+        "prev_gap_us": (ev["ts_us"] - g["ts_us"].shift())
+        .fillna(-1).astype("int64"),
+        "next_gap_us": (g["ts_us"].shift(-1) - ev["ts_us"])
+        .fillna(-1).astype("int64"),
+    })
+    # explicit ntile: per user of size n, tile sizes are n//4 (+1 for the
+    # first n%4 tiles), assigned in timeline order
+    tiles = []
+    for _, grp in g:
+        n = len(grp)
+        base, rem = divmod(n, 4)
+        sizes = [base + 1] * rem + [base] * (4 - rem)
+        t = [i + 1 for i, s in enumerate(sizes) for _ in range(s)]
+        tiles.extend(t[:n])
+    want["quartile"] = pd.Series(tiles, dtype="int64")
+
+    got = (relational.events_lead_lag_ds(sf_tag).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (want.assign(user_id=ev["user_id"])
+            [["event_id", "user_id", "prev_gap_us",
+              "next_gap_us", "quartile"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
