@@ -1978,5 +1978,7 @@ SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
   FROM t GROUP BY conv_id)""",
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,
+        # idempotent re-migration: base + tombstoned delta == from-scratch
+        "kg_incremental": w + full_union,
         "kg_reproductions": w + _repro_select(),
     }

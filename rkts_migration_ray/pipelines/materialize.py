@@ -401,19 +401,6 @@ def write_graph_sharded(triples_ds, out_dir: str, n_buckets: int = 64,
     return (pd.DataFrame(rows_out).sort_values("bucket").reset_index(drop=True))
 
 
-def read_graph(out_dir: str):
-    """Read a committed graph back as a Dataset — manifest-listed files only
-    (fragments not in a committed manifest are stale and must be ignored)."""
-    import ray.data as rd
-
-    done = mf.committed_buckets(out_dir)
-    paths = []
-    for meta in done.values():
-        paths.extend(os.path.join(out_dir, f)
-                     for f in meta.get("files", [meta["file"]]))
-    return rd.read_parquet(sorted(paths))
-
-
 def compact_bucket(out_dir: str, bucket: int) -> None:
     """Optional compaction: merge a committed bucket's fragments into one
     file and re-commit (content checksum unchanged — order-insensitive)."""
@@ -476,3 +463,271 @@ def write_bucket_adjacency(out_dir: str, bucket: int) -> str:
     pq.write_table(adj, tmp)
     os.rename(tmp, final)
     return final
+
+
+# ---------------------------------------------------------------------------
+# incremental updates: LSM-style generations + graph tombstones
+#
+# The reference has no incremental story (rerun everything); at 100 TB a
+# re-migrated slice of conversations must NOT force a full-graph rewrite.
+# Model (classic LSM): the base graph is generation 0 (the per-bucket
+# manifests); each update appends content-addressed delta fragments at
+# generation N plus ONE atomically-renamed commit file
+# (_gen/gen-N.json) that simultaneously publishes the fragments and
+# tombstones the superseded graphs. Readers reconcile: a row from a
+# generation-g file is dead iff some tombstone on its graph has
+# generation > g. Compaction folds generations back into the bucket
+# manifests, one bucket at a time (each bucket independently crash-safe
+# via a compacted_gen watermark in its manifest).
+# ---------------------------------------------------------------------------
+
+GEN_DIRNAME = "_gen"
+
+
+def _gen_path(out_dir: str, gen: int) -> str:
+    return os.path.join(out_dir, GEN_DIRNAME, f"gen-{gen:04d}.json")
+
+
+def generation_files(out_dir: str) -> list[dict]:
+    """Committed generation files, ascending. A generation is committed iff
+    its json exists (the rename IS the commit point) and every fragment it
+    lists still exists — except fragments already folded into their
+    bucket's manifest (compacted_gen >= gen), which compaction may have
+    removed."""
+    import json
+
+    gdir = os.path.join(out_dir, GEN_DIRNAME)
+    if not os.path.isdir(gdir):
+        return []
+    done = mf.committed_buckets(out_dir)
+    out = []
+    for name in sorted(os.listdir(gdir)):
+        if not (name.startswith("gen-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(gdir, name)) as f:
+                meta = json.load(f)
+        except json.JSONDecodeError:
+            continue
+        ok = True
+        for fr in meta["fragments"]:
+            cg = int(done.get(int(fr["bucket"]), {}).get("compacted_gen", 0))
+            if cg >= int(meta["gen"]):
+                continue  # folded into the bucket manifest already
+            if not os.path.exists(os.path.join(out_dir, fr["file"])):
+                ok = False
+                break
+        if ok:
+            out.append(meta)
+    return out
+
+
+def graph_tombstones(out_dir: str, gens: list[dict] | None = None) -> dict:
+    """graph uri -> highest generation that superseded it."""
+    tomb: dict[str, int] = {}
+    for g in (generation_files(out_dir) if gens is None else gens):
+        for gr in g.get("superseded", []):
+            tomb[gr] = max(tomb.get(gr, 0), int(g["gen"]))
+    return tomb
+
+
+def update_graph(out_dir: str, delta_triples_ds, superseded_graphs,
+                 n_buckets: int = 64, source: str = "") -> dict:
+    """Apply a delta (re-extracted / new conversations) to a committed
+    graph WITHOUT rewriting it: ingest cost is proportional to the DELTA,
+    not the corpus.
+
+    Contract: ``delta_triples_ds`` holds every triple derived from the
+    conversations being replaced or added; ``superseded_graphs`` lists the
+    graph uris whose OLD triples must disappear (a graph present in both
+    the base and the delta MUST be listed, or reads double-count it).
+    Streams derived per-conversation (structural, mentions, conv windows)
+    re-extract exactly; globally-derived streams (the entity merge) must
+    be re-derived by the caller if the delta changes them.
+
+    Mechanics: content-addressed fragment writes (map-only, same
+    write_fragments path as the base graph — rerunning a crashed update
+    rewrites the identical files), then ONE tmp+rename of
+    _gen/gen-N.json as the single commit point publishing fragments +
+    tombstones together. Before the rename, readers see the old graph
+    exactly; after it, the new one — no window of loss or duplication.
+    Refuses on a bucket-hash fingerprint mismatch (same silent-row-drop
+    hazard as resume, state/manifest.py:82)."""
+    import json
+
+    done = mf.committed_buckets(out_dir)
+    if not done:
+        raise ValueError(f"update_graph: no committed base graph in {out_dir}")
+    mf.assert_source_matches(done, "")  # hash-fp check only
+    if max(done) >= n_buckets:
+        raise ValueError(
+            f"update_graph: base has bucket {max(done)} >= n_buckets="
+            f"{n_buckets}; delta must use the base's bucket count")
+    # next generation = 1 + the high-water mark across BOTH live gen files
+    # and the buckets' compacted_gen watermarks: compaction retires gen
+    # files, and reusing a retired number would make the new fragments
+    # read as already-folded (invisible)
+    gens = generation_files(out_dir)
+    hwm = max([int(g["gen"]) for g in gens]
+              + [int(m.get("compacted_gen", 0)) for m in done.values()]
+              + [0])
+    gen = hwm + 1
+
+    frag_meta = write_fragments(delta_triples_ds, out_dir, n_buckets,
+                                f"g{gen:04d}")
+    frags = ([] if "bucket" not in frag_meta.columns else [
+        {"bucket": int(r.bucket), "file": r.file, "rows": int(r.rows),
+         "checksum": r.checksum}
+        for r in frag_meta.itertuples()])
+    from ..functions.arrowutils import hash_fingerprint
+
+    meta = {"gen": gen, "fragments": sorted(frags, key=lambda d: d["file"]),
+            "superseded": sorted(set(superseded_graphs)),
+            "n_buckets": n_buckets, "source": source,
+            "hash_fp": hash_fingerprint()}
+    os.makedirs(os.path.join(out_dir, GEN_DIRNAME), exist_ok=True)
+    p = _gen_path(out_dir, gen)
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, p)  # commit point
+    return meta
+
+
+def _live_paths_by_gen(out_dir: str) -> dict[int, list[str]]:
+    """generation -> file paths whose rows are governed by that generation
+    (base/compacted bucket files govern at the bucket's compacted_gen)."""
+    done = mf.committed_buckets(out_dir)
+    gens = generation_files(out_dir)
+    by_gen: dict[int, list[str]] = {}
+    for b, meta in done.items():
+        cg = int(meta.get("compacted_gen", 0))
+        by_gen.setdefault(cg, []).extend(
+            os.path.join(out_dir, f)
+            for f in meta.get("files", [meta["file"]]))
+    for g in gens:
+        for fr in g["fragments"]:
+            cg = int(done.get(int(fr["bucket"]), {}).get("compacted_gen", 0))
+            if int(g["gen"]) > cg:  # not yet folded into the bucket file
+                by_gen.setdefault(int(g["gen"]), []).append(
+                    os.path.join(out_dir, fr["file"]))
+    return {g: sorted(ps) for g, ps in by_gen.items() if ps}
+
+
+def read_graph(out_dir: str, reconcile: bool = True):
+    """Read a committed graph back as a Dataset — manifest- and
+    generation-listed files only (anything else is stale garbage from an
+    interrupted run). With updates present, rows are reconciled against the
+    graph tombstones: a row from a generation-g file is dropped iff a
+    tombstone on its graph has generation > g. One broadcastable dict of
+    tombstoned graphs per generation tier — no shuffle, no driver data."""
+    import ray.data as rd
+
+    by_gen = _live_paths_by_gen(out_dir)
+    if not by_gen:
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], pa.string()) for c in TRIPLE_COLUMNS}))
+    tomb = graph_tombstones(out_dir) if reconcile else {}
+    parts = []
+    for g, paths in sorted(by_gen.items()):
+        # columns= also drops the hive-inferred 'bucket' partition column
+        # (the physical files hold exactly TRIPLE_COLUMNS)
+        ds = rd.read_parquet(paths, columns=TRIPLE_COLUMNS)
+        dead = pa.array([k for k, v in tomb.items() if v > g], pa.string())
+        if len(dead):
+            ds = ds.map_batches(
+                lambda t, dead=dead: t.filter(
+                    pc.invert(pc.is_in(t["graph"], value_set=dead))),
+                batch_format="pyarrow")
+        parts.append(ds)
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
+def compact_graph(out_dir: str) -> pd.DataFrame:
+    """Fold every generation into the per-bucket manifests: physically drop
+    tombstoned rows, merge delta fragments into one file per bucket, then
+    retire the generation files. Per-bucket and embarrassingly parallel
+    (Ray tasks; no data touches the driver), and each bucket is
+    INDEPENDENTLY crash-safe: its manifest's compacted_gen watermark makes
+    readers ignore the generations it already folded, so a compaction
+    interrupted halfway leaves every bucket readable and exact. The
+    generation files (and the fragments they list) are deleted only once
+    EVERY bucket's watermark has passed them."""
+    import json
+
+    import ray
+
+    gens = generation_files(out_dir)
+    if not gens:
+        return pd.DataFrame(columns=["bucket", "rows", "checksum"])
+    target_gen = max(int(g["gen"]) for g in gens)
+    tomb = graph_tombstones(out_dir, gens)
+    done = mf.committed_buckets(out_dir)
+    frag_by_bucket: dict[int, list[tuple[int, str]]] = {}
+    for g in gens:
+        for fr in g["fragments"]:
+            frag_by_bucket.setdefault(int(fr["bucket"]), []).append(
+                (int(g["gen"]), fr["file"]))
+    # new conversations can land in buckets the base never wrote
+    all_buckets = sorted(set(done) | set(frag_by_bucket))
+
+    @ray.remote(num_cpus=1)
+    def compact_one(b: int) -> dict:
+        meta = done.get(b)
+        cg = int(meta.get("compacted_gen", 0)) if meta else 0
+        if cg >= target_gen:
+            return {"bucket": b, "rows": int(meta["rows"]),
+                    "checksum": meta["checksum"], "skipped": True}
+        tiers: list[tuple[int, list[str]]] = []
+        if meta:
+            tiers.append((cg, [os.path.join(out_dir, f)
+                               for f in meta.get("files", [meta["file"]])]))
+        for gnum, f in frag_by_bucket.get(b, []):
+            if gnum > cg:
+                tiers.append((gnum, [os.path.join(out_dir, f)]))
+        tables = []
+        for gnum, paths in tiers:
+            dead = pa.array([k for k, v in tomb.items() if v > gnum],
+                            pa.string())
+            for p in paths:
+                t = pq.read_table(p)
+                if len(dead):
+                    t = t.filter(pc.invert(
+                        pc.is_in(t["graph"], value_set=dead)))
+                tables.append(t)
+        merged = pa.concat_tables(tables) if tables else pa.table(
+            {c: pa.array([], pa.string()) for c in TRIPLE_COLUMNS})
+        bdir = os.path.join(out_dir, f"bucket={b:05d}")
+        os.makedirs(bdir, exist_ok=True)
+        fname = f"part-c{target_gen:04d}.parquet"
+        final = os.path.join(bdir, fname)
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(merged, tmp)
+        os.rename(tmp, final)
+        new_meta = dict(meta or {"bucket": b, "source": ""},
+                        file=os.path.join(f"bucket={b:05d}", fname),
+                        files=[os.path.join(f"bucket={b:05d}", fname)],
+                        rows=int(merged.num_rows),
+                        checksum=mf.content_checksum(merged, TRIPLE_COLUMNS),
+                        compacted_gen=target_gen)
+        new_meta.pop("sizes", None)
+        mf.write_manifest(out_dir, b, new_meta)
+        # the bucket's superseded data files are unreferenced now
+        for name in os.listdir(bdir):
+            if name != fname and not name.startswith("adjacency") \
+                    and (name.startswith("frag-") or name.startswith("part")):
+                os.remove(os.path.join(bdir, name))
+        return {"bucket": b, "rows": new_meta["rows"],
+                "checksum": new_meta["checksum"], "skipped": False}
+
+    rows = ray.get([compact_one.remote(b) for b in all_buckets])
+    # every bucket passed target_gen -> the generation layer is retired
+    now_done = mf.committed_buckets(out_dir)
+    if all(int(now_done[b].get("compacted_gen", 0)) >= target_gen
+           for b in all_buckets):
+        for g in gens:
+            p = _gen_path(out_dir, int(g["gen"]))
+            if os.path.exists(p):
+                os.remove(p)
+    return (pd.DataFrame(rows).sort_values("bucket")
+            .reset_index(drop=True))
