@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_entropy": docs.text_entropy_ds,
         "text_bigram_lm": docs.bigram_lm_ds,
         "sample_weighted": docs.sample_weighted_ds,
+        "split_assign": docs.split_assign_ds,
+        "split_leakage": docs.split_leakage_ds,
         "text_langid": docs.langid_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
@@ -186,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_lead_lag": relational.events_lead_lag_ds,
         "rel_orders_above_avg": relational.orders_above_avg_ds,
         "rel_events_sliding": relational.events_sliding_ds,
+        "rel_events_funnel": relational.events_funnel_ds,
+        "rel_events_retention": relational.events_retention_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_events_range": relational.events_range_join_ds,

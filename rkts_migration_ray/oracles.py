@@ -609,6 +609,21 @@ def doc_rel_oracle_sql() -> dict[str, str]:
     sqls["docs_curated_corpus"] = ("WITH v AS (" + sqls["docs_curated"] + """)
 SELECT d.doc_id, d.text, d.lang, d.source
 FROM documents d JOIN v USING (doc_id) WHERE v.kept""")
+    # cross-split leakage audit: the minhash near-dup pair list (nested WITH
+    # inside a CTE body, same trick as docs_curated_corpus) tagged with the
+    # deterministic split label of each side, kept where the labels differ
+    sqls["split_leakage"] = ("WITH mh AS (" + sqls["dedup_minhash_pairs"] + """),
+lab AS (SELECT doc_a, doc_b, jaccard,
+ ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))::UBIGINT % 100 AS ha,
+ ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))::UBIGINT % 100 AS hb
+ FROM mh)
+SELECT doc_a, doc_b,
+ CASE WHEN ha < 80 THEN 'train' WHEN ha < 90 THEN 'val' ELSE 'test' END AS split_a,
+ CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split_b,
+ jaccard
+FROM lab
+WHERE (CASE WHEN ha < 80 THEN 'train' WHEN ha < 90 THEN 'val' ELSE 'test' END)
+   <> (CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END)""")
     return sqls
 
 
@@ -1018,6 +1033,38 @@ WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),
 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
 SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100""",
+        "split_assign": """
+SELECT doc_id,
+ CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80
+      THEN 'train'
+      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90
+      THEN 'val' ELSE 'test' END AS split
+FROM documents""",
+        "rel_events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+SELECT * FROM (
+ SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+ UNION ALL
+ SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+ UNION ALL
+ SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3)
+ORDER BY step""",
+        "rel_events_retention": """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id,
+       date_trunc('week', f.first_ts) AS cohort_week,
+       CAST(floor(epoch(e.ts - f.first_ts) / 604800.0) AS BIGINT) AS week_offset
+      FROM events e JOIN f USING (user_id))
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+ CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
         "sample_weighted": """
 WITH p AS (SELECT doc_id, n_chars,
   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT

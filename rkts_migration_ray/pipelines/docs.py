@@ -2952,3 +2952,68 @@ def docs_profile_ds(sf_dir: str):
             .aggregate(Sum("nr", alias_name="n_rows"),
                        Sum("nn", alias_name="n_null"),
                        Sum("d", alias_name="n_distinct")))
+
+
+SPLIT_TRAIN_PCT = 80   # md5(doc_id) % 100 < 80  -> train
+SPLIT_VAL_PCT = 90     # 80 <= h < 90            -> val, else test
+
+
+def _split_of(ids) -> np.ndarray:
+    """Deterministic split label per doc_id: md5(str(id))[:8] as uint32
+    mod 100 (the repo's standard content-hash idiom, sample_token_budget
+    style) — stable across runs, shards and cluster sizes, and replicable
+    in SQL as ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
+    % 100."""
+    h = np.array([int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+                  % 100 for d in ids], dtype=np.int64)
+    return np.where(h < SPLIT_TRAIN_PCT, "train",
+                    np.where(h < SPLIT_VAL_PCT, "val", "test"))
+
+
+def split_assign_ds(sf_dir: str):
+    """Deterministic train/val/test split assignment (80/10/10 by content
+    hash of doc_id) — the dataset-split primitive every training-data
+    pipeline needs before packing/export. Hash-based, not RNG, so the
+    assignment is reproducible shard-by-shard with no coordination and a
+    re-run (or a resumed partial run) assigns identically.
+
+    Scale shape: pure per-batch map, no shuffle, no state."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(_split_of(ids), pa.string()),
+        })
+
+    return (_docs(sf_dir, ["doc_id"])
+            .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def split_leakage_ds(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
+    """Cross-split near-duplicate leakage audit: MinHash+LSH near-dup pairs
+    (exact-Jaccard-verified, minhash_pairs_ds) whose two documents landed in
+    DIFFERENT splits under split_assign_ds — the eval-contamination check a
+    train/val/test split must pass before the split ships.
+
+    Scale shape: inherits minhash_pairs_ds's banding + one-verify-per-pair
+    shape; the split label is a pure function of doc_id, so it is computed
+    directly on the (tiny, output-sized) verified pair list — no join, no
+    extra pass over the corpus."""
+    pairs = minhash_pairs_ds(sf_dir, threshold=threshold)
+    if isinstance(pairs, pd.DataFrame):
+        df = pairs
+    else:
+        df = pairs.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "split_a": pd.Series(dtype="object"),
+                             "split_b": pd.Series(dtype="object"),
+                             "jaccard": pd.Series(dtype="float64")})
+    df = df.copy()
+    df["split_a"] = _split_of(df["doc_a"])
+    df["split_b"] = _split_of(df["doc_b"])
+    out = df[df["split_a"] != df["split_b"]]
+    return (out[["doc_a", "doc_b", "split_a", "split_b", "jaccard"]]
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

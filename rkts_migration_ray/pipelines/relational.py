@@ -1120,3 +1120,130 @@ def events_lead_lag_ds(sf_dir: str, n_tiles: int = 4,
             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("kbucket")
             .map_groups(windows, batch_format="pandas"))
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel_ds(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                     n_buckets: int | None = None):
+    """Ordered conversion funnel over the event stream: for the step sequence
+    ``steps``, a user reaches step k when an event of type steps[k-1] occurs
+    at-or-after their step-(k-1) reach time (step 1 = first occurrence).
+    Output: one row per step with the number of users who reached it — the
+    sequential-pattern shape of ST8's ordered section scan applied to
+    user behavior analytics.
+
+    Scale shape: the read is filtered to funnel event types only; events are
+    hash-bucketed on user_id (a user's whole timeline lands in ONE bucket, so
+    per-bucket chaining is exact); each bucket runs a vectorized min-ts
+    chaining pass (one merge + groupby-min per step, no per-row Python) and
+    emits <= len(steps) PARTIAL count rows; a tiny final groupby sums them.
+    Shuffle payload: funnel-typed events only, once."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+    step_list = list(steps)
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(step_list))
+        t = t.filter(mask)
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # Series: user_id -> reach time (us) of the previous step
+        for k, st in enumerate(step_list):
+            sub = df[df["event_type"] == st]
+            if k == 0:
+                cur = sub.groupby("user_id")["ts_us"].min()
+            else:
+                m = sub.merge(cur.rename("prev_us"), left_on="user_id",
+                              right_index=True)
+                m = m[m["ts_us"] >= m["prev_us"]]
+                cur = m.groupby("user_id")["ts_us"].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": pd.Series(range(1, len(step_list) + 1), dtype="int64"),
+            "n_users": pd.Series(counts, dtype="int64")})
+
+    return (_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(funnel, batch_format="pandas")
+            .groupby("step")
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .sort("step"))
+
+
+def events_retention_ds(sf_dir: str, n_buckets: int | None = None):
+    """Cohort retention: users are cohorted by the ISO week (Monday-truncated,
+    matching DuckDB date_trunc('week')) of their FIRST event; each later
+    event lands in week_offset = floor((ts - first_ts) / 7 days); output is
+    the distinct-user count per (cohort_week, week_offset) — the classic
+    retention triangle.
+
+    Scale shape: hash-bucket on user_id (first-event time and all activity of
+    a user are confined to one bucket, so the per-bucket distinct over
+    (cohort, offset, user) is globally exact); one vectorized pandas pass per
+    bucket (groupby-min, transform, integer-microsecond offset math, distinct)
+    emits PARTIAL (cohort_week, week_offset, n_users) rows; a small final
+    groupby sums them. Time math stays int64 microseconds end-to-end, so the
+    DuckDB twin hash-matches."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+    week_us = np.int64(7 * 86400) * np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    day_us = np.int64(86400) * np.int64(1_000_000)
+
+    def retain(df: pd.DataFrame) -> pd.DataFrame:
+        first_us = df.groupby("user_id")["ts_us"].transform("min").to_numpy("int64")
+        # Monday-midnight truncation == DuckDB date_trunc('week', ts), in
+        # integer microseconds (1970-01-01 was a Thursday → weekday offset 3)
+        days = first_us // day_us
+        cohort_us = (days - (days + 3) % 7) * day_us
+        cohort = pd.Series(cohort_us, index=df.index).astype("datetime64[us]")
+        off = (df["ts_us"].to_numpy("int64") - first_us) // week_us
+        act = pd.DataFrame({
+            "cohort_week": cohort,
+            "week_offset": pd.Series(off, index=df.index, dtype="int64"),
+            "user_id": df["user_id"],
+        }).drop_duplicates()
+        out = (act.groupby(["cohort_week", "week_offset"], as_index=False)
+               .agg(n_users=("user_id", "size")))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        # Ray's pandas blocks upcast datetime to ns; pin the contract dtype
+        i = t.schema.get_field_index("cohort_week")
+        return t.set_column(i, "cohort_week",
+                            pc.cast(t["cohort_week"], pa.timestamp("us")))
+
+    return (_table(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(retain, batch_format="pandas")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .sort(["cohort_week", "week_offset"])
+            .map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True))

@@ -182,7 +182,9 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_region_part_revenue",
                                   "dedup_survivors", "dedup_simhash_pairs",
                                   "dedup_simhash_clusters",
-                                  "rel_quantity_quartiles"])
+                                  "rel_quantity_quartiles",
+                                  "rel_events_funnel", "rel_events_retention",
+                                  "split_assign", "split_leakage"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1372,3 +1374,66 @@ def test_events_lead_lag_brute_force(sf_tag):
               "next_gap_us", "quartile"]]
             .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+def test_events_funnel_brute_force(sf_tag):
+    """events_funnel_ds == single-process min-ts chaining over the fixture."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs, relational
+
+    ev = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/events.parquet",
+                        columns=["user_id", "event_type", "ts"])
+          .to_pandas())
+    reach = {}
+    cur = None
+    for k, st in enumerate(relational.FUNNEL_STEPS):
+        sub = ev[ev["event_type"] == st]
+        if k == 0:
+            cur = sub.groupby("user_id")["ts"].min()
+        else:
+            m = sub.merge(cur.rename("prev"), left_on="user_id",
+                          right_index=True)
+            cur = m[m["ts"] >= m["prev"]].groupby("user_id")["ts"].min()
+        reach[k + 1] = len(cur)
+
+    got = relational.events_funnel_ds(sf_tag).to_pandas()
+    assert dict(zip(got["step"], got["n_users"])) == reach
+    # funnel counts are monotone non-increasing by construction
+    assert list(got["n_users"]) == sorted(got["n_users"], reverse=True)
+
+
+def test_split_assign_deterministic_and_balanced(sf_tag):
+    """split_assign_ds: pure function of doc_id (two runs identical), covers
+    every doc exactly once, and the hash split lands near 80/10/10."""
+    from rkts_migration_ray.pipelines import docs
+
+    a = (docs.split_assign_ds(sf_tag).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (docs.split_assign_ds(sf_tag).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert a["doc_id"].is_unique
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_split_leakage_subset_of_pairs(sf_tag):
+    """split_leakage_ds rows are exactly the minhash near-dup pairs whose
+    endpoints hash into different splits."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    pairs = docs.minhash_pairs_ds(sf_tag)
+    pairs = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
+    leak = docs.split_leakage_ds(sf_tag)
+    sa = docs._split_of(pairs["doc_a"])
+    sb = docs._split_of(pairs["doc_b"])
+    want = pairs[sa != sb][["doc_a", "doc_b"]].reset_index(drop=True)
+    got = leak[["doc_a", "doc_b"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert (leak["split_a"] != leak["split_b"]).all()
