@@ -1056,6 +1056,39 @@ SELECT * FROM (
  UNION ALL
  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3)
 ORDER BY step""",
+        "rel_basket_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+        FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nt FROM lineitem)
+SELECT s.part_a, s.part_b, s.n_orders,
+ round((CAST(s.n_orders AS DOUBLE) * t.nt)
+       / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)), 6) AS lift
+FROM sup s
+JOIN f fa ON fa.l_partkey = s.part_a
+JOIN f fb ON fb.l_partkey = s.part_b
+CROSS JOIN t
+ORDER BY s.part_a, s.part_b""",
+        "rel_events_zscore": """
+WITH v AS (SELECT event_id, user_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c FROM events),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val_c) AS BIGINT) AS s,
+       CAST(sum(val_c * val_c) AS BIGINT) AS q
+      FROM v GROUP BY 1)
+SELECT v.event_id, v.user_id, v.val_c,
+ round((CAST(v.val_c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+       / sqrt((CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n),
+       6) AS z
+FROM v JOIN m USING (user_id)
+WHERE m.n >= 2 AND (m.q * m.n - m.s * m.s) > 0
+ AND abs((CAST(v.val_c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+     / sqrt((CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n))
+     > 2.5""",
         "rel_events_retention": """
 WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
 a AS (SELECT DISTINCT e.user_id,

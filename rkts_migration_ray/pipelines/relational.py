@@ -1247,3 +1247,132 @@ def events_retention_ds(sf_dir: str, n_buckets: int | None = None):
             .aggregate(Sum("n_users", alias_name="n_users"))
             .sort(["cohort_week", "week_offset"])
             .map_batches(cast_us, batch_format="pyarrow", zero_copy_batch=True))
+
+
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_pairs_ds(sf_dir: str, min_support: int = BASKET_MIN_SUPPORT):
+    """Market-basket 2-itemset mining (the A-Priori pair census): parts that
+    co-occur in the same order, with support count and lift — the
+    association-rule primitive over the lineitem fact table.
+
+    Scale shape: (orderkey, partkey) rows are deduplicated per batch (partial)
+    then hash-bucketed on orderkey — an order's whole basket lands in ONE
+    bucket, so the in-bucket dedup completes exactly and the in-bucket
+    self-merge enumerates each order's pairs exactly once. Per-order baskets
+    are small (TPC-H ≤ 7 items), so the pair explode is ~n·k²/2, never
+    all-pairs across orders. The SAME bucket pass also emits the per-part
+    order-frequency and order-count partials as tagged rows (part_b = -1 /
+    -2), so ONE groupby-sum shuffle carries supports, frequencies and the
+    total — lift is then computed on the support-filtered pair list (tiny)
+    against the bounded part-frequency map, driver-side by design."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import round_half_away, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["l_orderkey", "l_partkey"]].drop_duplicates()
+        b = (df["l_orderkey"].to_numpy("int64") % np.int64(nb)).astype(np.int32)
+        return pa.table({"kbucket": pa.array(b, pa.int32()),
+                         "l_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+                         "l_partkey": pa.array(df["l_partkey"], pa.int64())})
+
+    def bucket_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        sup = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+               .size().rename(columns={"size": "n",
+                                       "l_partkey_a": "part_a",
+                                       "l_partkey_b": "part_b"}))
+        freq = (d.groupby("l_partkey", as_index=False)["l_orderkey"]
+                .nunique().rename(columns={"l_partkey": "part_a",
+                                           "l_orderkey": "n"}))
+        freq["part_b"] = -1        # tag: per-part order frequency
+        tot = pd.DataFrame({"part_a": [-2], "part_b": [-2],
+                            "n": [d["l_orderkey"].nunique()]})
+        out = pd.concat([sup, freq[["part_a", "part_b", "n"]], tot],
+                        ignore_index=True)
+        out["part_a"] = out["part_a"].astype("int64")
+        out["part_b"] = out["part_b"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("kbucket")
+           .map_groups(bucket_rows, batch_format="pandas")
+           .groupby(["part_a", "part_b"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    n_orders_total = int(agg.loc[agg["part_b"] == -2, "n"].iloc[0])
+    freq = agg[agg["part_b"] == -1]
+    f = dict(zip(freq["part_a"].astype("int64"), freq["n"].astype("int64")))
+    sup = agg[(agg["part_b"] >= 0) & (agg["n"] >= min_support)].copy()
+    sup = sup.rename(columns={"n": "n_orders"})
+    na = sup["part_a"].map(f).to_numpy("int64").astype(np.float64)
+    nbf = sup["part_b"].map(f).to_numpy("int64").astype(np.float64)
+    lift = (sup["n_orders"].to_numpy("int64").astype(np.float64)
+            * np.float64(n_orders_total)) / (na * nbf)
+    sup["lift"] = round_half_away(lift, 6)
+    return (sup[["part_a", "part_b", "n_orders", "lift"]]
+            .sort_values(["part_a", "part_b"]).reset_index(drop=True))
+
+
+ZSCORE_THRESHOLD = 2.5
+
+
+def events_zscore_ds(sf_dir: str, z_thresh: float = ZSCORE_THRESHOLD,
+                     n_buckets: int | None = None):
+    """Per-user anomaly detection: events whose value deviates from the
+    user's own mean by more than ``z_thresh`` population standard deviations
+    — the grouped-outlier shape (A7's duplicate-warning analog for numeric
+    streams). Moments are EXACT int64 cents sums (n, Σv, Σv²), so the
+    float z-score is one fixed IEEE expression over exact integers and the
+    DuckDB twin hash-matches bit-for-bit; users with <2 events or zero
+    variance emit nothing (stated in the SQL twin).
+
+    Scale shape: hash-bucket on user_id (a user's moments complete in one
+    bucket); one vectorized groupby-transform pass per bucket; only flagged
+    rows leave the bucket."""
+    from ..functions.arrowutils import round_half_away, scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "val_c": _cents(t["value"]),
+        })
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["val_c"]
+        n = g.transform("size").to_numpy("int64")
+        s = g.transform("sum").to_numpy("int64")
+        # Σv² stays exact: cents ≤ ~1e7, squares ≤ 1e14, sums < 2^63
+        df = df.assign(v2=df["val_c"].to_numpy("int64") ** 2)
+        q = df.groupby("user_id")["v2"].transform("sum").to_numpy("int64")
+        v = df["val_c"].to_numpy("int64")
+        ok = (n >= 2) & (q * n - s * s > 0)
+        nf = n.astype(np.float64)
+        sf = s.astype(np.float64)
+        qf = q.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v.astype(np.float64) - sf / nf) / np.sqrt((qf - sf * sf / nf) / nf)
+        keep = ok & (np.abs(z) > z_thresh)
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy("int64")[keep],
+            "user_id": df["user_id"].to_numpy("int64")[keep],
+            "val_c": v[keep],
+            "z": round_half_away(z[keep], 6)})
+        return out
+
+    return (_table(sf_dir, "events", ["event_id", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(flag, batch_format="pandas"))

@@ -184,7 +184,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "dedup_simhash_clusters",
                                   "rel_quantity_quartiles",
                                   "rel_events_funnel", "rel_events_retention",
-                                  "split_assign", "split_leakage"])
+                                  "split_assign", "split_leakage",
+                                  "rel_basket_pairs", "rel_events_zscore"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1437,3 +1438,57 @@ def test_split_leakage_subset_of_pairs(sf_tag):
         got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     assert (leak["split_a"] != leak["split_b"]).all()
+
+def test_basket_pairs_brute_force(sf_tag):
+    """basket_pairs_ds == single-process pandas A-Priori pair census
+    (support AND lift), independent of the SQL twin."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.functions.arrowutils import round_half_away
+    from rkts_migration_ray.pipelines import docs, relational
+
+    li = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"])
+          .to_pandas().drop_duplicates())
+    m = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+    sup = (m.groupby(["l_partkey_a", "l_partkey_b"]).size()
+           .rename("n_orders").reset_index())
+    sup = sup[sup["n_orders"] >= relational.BASKET_MIN_SUPPORT]
+    f = li.groupby("l_partkey")["l_orderkey"].size()
+    nt = float(li["l_orderkey"].nunique())
+    lift = (sup["n_orders"].to_numpy().astype("float64") * nt) / (
+        f[sup["l_partkey_a"]].to_numpy().astype("float64")
+        * f[sup["l_partkey_b"]].to_numpy().astype("float64"))
+    want = pd.DataFrame({
+        "part_a": sup["l_partkey_a"].astype("int64").to_numpy(),
+        "part_b": sup["l_partkey_b"].astype("int64").to_numpy(),
+        "n_orders": sup["n_orders"].astype("int64").to_numpy(),
+        "lift": round_half_away(lift, 6),
+    }).sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    got = relational.basket_pairs_ds(sf_tag)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_zscore_flags_real_outliers(sf_tag):
+    """Every flagged event deviates > threshold from its user's mean under a
+    single-process recompute; non-flagged events with the same user stay
+    within the threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs, relational
+
+    got = relational.events_zscore_ds(sf_tag).to_pandas()
+    assert len(got) > 0
+    ev = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/events.parquet",
+                        columns=["event_id", "user_id", "value"])
+          .to_pandas())
+    ev["val_c"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    g = ev.groupby("user_id")["val_c"]
+    mean = g.transform("mean")
+    std = g.transform(lambda x: x.std(ddof=0))
+    z = (ev["val_c"] - mean) / std
+    flagged = set(ev.loc[z.abs() > relational.ZSCORE_THRESHOLD, "event_id"])
+    assert set(got["event_id"]) == flagged
