@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_retention": relational.events_retention_ds,
         "rel_events_zscore": relational.events_zscore_ds,
         "rel_basket_pairs": relational.basket_pairs_ds,
+        "rel_events_wau": relational.events_wau_ds,
+        "text_compress_ratio": docs.compress_ratio_ds,  # rows-only: no SQL DEFLATE; exact pytest
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_events_range": relational.events_range_join_ds,

@@ -1056,6 +1056,14 @@ SELECT * FROM (
  UNION ALL
  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3)
 ORDER BY step""",
+        "rel_events_wau": """
+WITH du AS (SELECT DISTINCT
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1 ORDER BY 1""",
         "rel_basket_pairs": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sup AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

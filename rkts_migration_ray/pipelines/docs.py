@@ -3017,3 +3017,37 @@ def split_leakage_ds(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
     out = df[df["split_a"] != df["split_b"]]
     return (out[["doc_a", "doc_b", "split_a", "split_b", "jaccard"]]
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def compress_ratio_ds(sf_dir: str):
+    """Per-document zlib compression ratio — the classic redundancy /
+    boilerplate curation signal (Gopher / RefinedWeb "compression filter"
+    family): highly repetitive or templated text compresses far below
+    natural prose. ratio = len(zlib(text, level=6)) / len(utf8(text)),
+    rounded to 6; empty docs emit ratio 0.
+
+    Scale shape: pure per-batch map (compression is per-doc CPU, batched);
+    no shuffle. No DuckDB twin (SQL has no DEFLATE) — the exact pytest
+    cross-checks against a single-process zlib pass, and determinism is
+    guaranteed by pinning the zlib level."""
+    import zlib
+
+    def ratio(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            b = (x or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "compressed_bytes": pa.array(comp),
+            "ratio": pa.array(np.round(r, 6)),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True))

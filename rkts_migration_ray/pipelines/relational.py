@@ -1376,3 +1376,65 @@ def events_zscore_ds(sf_dir: str, z_thresh: float = ZSCORE_THRESHOLD,
             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("kbucket")
             .map_groups(flag, batch_format="pandas"))
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def events_wau_ds(sf_dir: str, window_days: int = WAU_WINDOW_DAYS,
+                  n_buckets: int | None = None):
+    """Rolling distinct-user count: for every day present in the stream, the
+    number of distinct users active in the trailing ``window_days`` window —
+    exact WAU/DAU-style engagement, computed WITHOUT a per-window distinct
+    scan.
+
+    Scale shape: the classic exact trick — each user's distinct active day d
+    covers days d..d+window-1, so a bounded flat explode (≤ window rows per
+    active day) turns "distinct users in a trailing window" into "distinct
+    (cover_day, user)". Users are hash-bucketed, so in-bucket dedup of both
+    the active-day set and the cover set is globally exact and each bucket
+    emits complete per-(cover_day) partial counts; a tiny groupby sums them.
+    The day filter (only days that actually occur) is a broadcast of the
+    bounded distinct-day set."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+    day_us = np.int64(86400) * np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = (np.asarray(pc.cast(t["ts"], pa.int64())) // day_us)
+        df = pd.DataFrame({"user_id": np.asarray(t["user_id"]),
+                           "day": day}).drop_duplicates()
+        b = (df["user_id"].to_numpy("int64") % np.int64(nb)).astype(np.int32)
+        return pa.table({"kbucket": pa.array(b, pa.int32()),
+                         "user_id": pa.array(df["user_id"], pa.int64()),
+                         "day": pa.array(df["day"], pa.int64())})
+
+    # bounded distinct-day set (one int per calendar day in the corpus)
+    base = (_table(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize())
+    days_present = set(
+        base.groupby("day").count().to_pandas()["day"].astype("int64"))
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "day"]].drop_duplicates()
+        n = len(d)
+        u = np.repeat(d["user_id"].to_numpy("int64"), window_days)
+        cd = (np.repeat(d["day"].to_numpy("int64"), window_days)
+              + np.tile(np.arange(window_days, dtype=np.int64), n))
+        cov = pd.DataFrame({"user_id": u, "day": cd}).drop_duplicates()
+        cov = cov[cov["day"].isin(days_present)]
+        out = (cov.groupby("day", as_index=False)
+               .agg(wau=("user_id", "size")))
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    return (base
+            .groupby("kbucket")
+            .map_groups(cover, batch_format="pandas")
+            .groupby("day")
+            .aggregate(Sum("wau", alias_name="wau"))
+            .sort("day"))

@@ -185,7 +185,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_quantity_quartiles",
                                   "rel_events_funnel", "rel_events_retention",
                                   "split_assign", "split_leakage",
-                                  "rel_basket_pairs", "rel_events_zscore"])
+                                  "rel_basket_pairs", "rel_events_zscore",
+                                  "rel_events_wau"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1492,3 +1493,51 @@ def test_events_zscore_flags_real_outliers(sf_tag):
     z = (ev["val_c"] - mean) / std
     flagged = set(ev.loc[z.abs() > relational.ZSCORE_THRESHOLD, "event_id"])
     assert set(got["event_id"]) == flagged
+
+def test_events_wau_brute_force(sf_tag):
+    """events_wau_ds == single-process trailing-window distinct count."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs, relational
+
+    ev = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/events.parquet",
+                        columns=["user_id", "ts"])
+          .to_pandas())
+    day = (ev["ts"].astype("datetime64[us]").astype("int64")
+           // (86400 * 1_000_000))
+    du = pd.DataFrame({"day": day, "user_id": ev["user_id"]}).drop_duplicates()
+    want = {
+        int(d): du[(du["day"] >= d - 6) & (du["day"] <= d)]["user_id"].nunique()
+        for d in sorted(du["day"].unique())
+    }
+    got = relational.events_wau_ds(sf_tag).to_pandas()
+    assert dict(zip(got["day"].astype(int), got["wau"].astype(int))) == want
+
+
+def test_compress_ratio_exact_and_ordered(sf_tag):
+    """compress_ratio_ds == single-process zlib pass; repetitive text
+    compresses below shuffled-unique text."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    got = (docs.compress_ratio_ds(sf_tag).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    txt = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/documents.parquet",
+                         columns=["doc_id", "text"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(txt)
+    for i in range(0, len(txt), 97):
+        b = (txt["text"].iloc[i] or "").encode("utf-8")
+        assert got["raw_bytes"].iloc[i] == len(b)
+        assert got["compressed_bytes"].iloc[i] == len(zlib.compress(b, 6))
+        if len(b):
+            assert got["ratio"].iloc[i] == np.round(
+                len(zlib.compress(b, 6)) / len(b), 6)
+    # sanity: a pathological repetition compresses harder than the corpus
+    rep = len(zlib.compress(b"spam " * 2000, 6)) / 10000
+    assert rep < got["ratio"].median()
