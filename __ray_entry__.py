@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_basket_pairs": relational.basket_pairs_ds,
         "rel_events_wau": relational.events_wau_ds,
         "text_compress_ratio": docs.compress_ratio_ds,  # rows-only: no SQL DEFLATE; exact pytest
+        "docs_jsonl_roundtrip": docs.jsonl_roundtrip_ds,
         "rel_events_sessions": relational.events_sessions_ds,
         "rel_events_asof": relational.events_asof_ds,
         "rel_events_range": relational.events_range_join_ds,

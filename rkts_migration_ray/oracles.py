@@ -1056,6 +1056,8 @@ SELECT * FROM (
  UNION ALL
  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3)
 ORDER BY step""",
+        "docs_jsonl_roundtrip": """
+SELECT doc_id, lang, source, n_chars FROM documents""",
         "rel_events_wau": """
 WITH du AS (SELECT DISTINCT
              CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, user_id

@@ -3051,3 +3051,133 @@ def compress_ratio_ds(sf_dir: str):
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True))
+
+
+JSONL_EXPORT_DIR = "/tmp/graft_fixtures/jsonl_export"
+
+
+def export_jsonl_shards(sf_dir: str, out_dir: str,
+                        n_shards: int | None = None,
+                        resume: bool = False) -> pd.DataFrame:
+    """Sharded gzip-JSONL export of the documents table — the interchange
+    format LLM training stacks actually consume. Documents are hash-bucketed
+    on doc_id into ``n_shards`` deterministic shards; each bucket task writes
+    its own ``shard-%05d.jsonl.gz`` (tmp-file + atomic rename, so a retried
+    task can never leave a torn shard) with gzip mtime pinned to 0 for
+    byte-reproducible output, and returns a manifest row (shard, rows,
+    bytes); the bounded manifest is committed driver-side as manifest.json.
+    Never one giant file. With ``resume=True``, shards already listed in the
+    manifest whose file exists at the recorded byte size are PRUNED BEFORE
+    THE SHUFFLE (their rows never leave the read stage) and their manifest
+    rows are carried over — a failed run re-does only the missing shards.
+    The shard count is pinned in the manifest and re-used on resume, since
+    the bucket function must be identical for the skip to be sound (the
+    same invariant manifests guard in pipelines/materialize.py)."""
+    import gzip
+    import json
+
+    from ..functions.arrowutils import scale_buckets
+
+    ns = n_shards if n_shards is not None else scale_buckets(floor=16, per_cpu=2)
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "manifest.json")
+    done: dict[int, dict] = {}
+    if resume and os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = json.load(f)
+        ns = prior.get("n_shards", ns)
+        for m in prior["shards"]:
+            p = os.path.join(out_dir, f"shard-{m['shard']:05d}.jsonl.gz")
+            if os.path.exists(p) and os.path.getsize(p) == m["bytes"]:
+                done[int(m["shard"])] = m
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["doc_id"]) % np.int64(ns)).astype(np.int32)
+        t = t.append_column("kbucket", pa.array(b, pa.int32()))
+        if done:
+            keep = ~np.isin(b, np.fromiter(done, dtype=np.int64))
+            t = t.filter(pa.array(keep))
+        return t
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = int(df["kbucket"].iloc[0])
+        df = df.drop(columns=["kbucket"]).sort_values("doc_id")
+        path = os.path.join(out_dir, f"shard-{shard:05d}.jsonl.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
+                for rec in df.to_dict("records"):
+                    gz.write((json.dumps(rec, sort_keys=True,
+                                         ensure_ascii=False) + "\n")
+                             .encode("utf-8"))
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": pd.Series([shard], dtype="int64"),
+                             "rows": pd.Series([len(df)], dtype="int64"),
+                             "bytes": pd.Series([os.path.getsize(path)],
+                                                dtype="int64")})
+
+    if len(done) < ns:
+        fresh = (_docs(sf_dir, None)
+                 .map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("kbucket")
+                 .map_groups(write_shard, batch_format="pandas")
+                 .to_pandas())
+    else:
+        fresh = pd.DataFrame({"shard": pd.Series(dtype="int64"),
+                              "rows": pd.Series(dtype="int64"),
+                              "bytes": pd.Series(dtype="int64")})
+    manifest = (pd.concat([fresh, pd.DataFrame(list(done.values()))],
+                          ignore_index=True)
+                .astype({"shard": "int64", "rows": "int64", "bytes": "int64"})
+                .sort_values("shard").reset_index(drop=True))
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": int(ns),
+                   "shards": manifest.to_dict("records")}, f, indent=1)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def read_jsonl_shards(out_dir: str):
+    """Distributed JSONL-shard reader: one task per shard file (the manifest
+    names them), gzip + line-parse inside the task, Arrow batch out. The
+    file list is bounded (it IS the manifest), the payload never touches the
+    driver."""
+    import gzip
+    import json
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)["shards"]
+    paths = [os.path.join(out_dir, f"shard-{m['shard']:05d}.jsonl.gz")
+             for m in manifest]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            with gzip.open(p, "rt", encoding="utf-8") as f:
+                rows.extend(json.loads(line) for line in f)
+        return pa.Table.from_pylist(rows) if rows else pa.table({})
+
+    return (rd.from_items([{"path": p} for p in paths])
+            .repartition(len(paths))
+            .map_batches(parse, batch_format="pyarrow"))
+
+
+def jsonl_roundtrip_ds(sf_dir: str):
+    """Export documents to sharded gzip JSONL, read them back with the
+    distributed shard reader, and return the identifying columns — the
+    sink+source contract proven end-to-end against the exact SQL twin
+    (SELECT doc_id, lang, source, n_chars FROM documents)."""
+    import shutil
+
+    out_dir = os.path.join(JSONL_EXPORT_DIR, os.path.basename(
+        resolve_sf_dir(sf_dir).rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_jsonl_shards(sf_dir, out_dir)
+    return (read_jsonl_shards(out_dir)
+            .map_batches(lambda t: t.select(["doc_id", "lang", "source",
+                                             "n_chars"]),
+                         batch_format="pyarrow"))

@@ -1541,3 +1541,46 @@ def test_compress_ratio_exact_and_ordered(sf_tag):
     # sanity: a pathological repetition compresses harder than the corpus
     rep = len(zlib.compress(b"spam " * 2000, 6)) / 10000
     assert rep < got["ratio"].median()
+
+def test_jsonl_export_roundtrip_and_resume(sf_tag, tmp_path):
+    """Sharded gzip-JSONL export: (1) reading the shards back reproduces the
+    documents table exactly (all columns, text included); (2) resume=True
+    rewrites ONLY the damaged/missing shard and leaves finished shard bytes
+    untouched; totals match the first run."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    out = str(tmp_path / "jsonl")
+    m1 = docs.export_jsonl_shards(sf_tag, out, n_shards=8)
+    assert sorted(m1["shard"]) == sorted(set(m1["shard"]))
+
+    got = (docs.read_jsonl_shards(out).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/documents.parquet")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+
+    # damage one shard; record the other files' bytes
+    victim = os.path.join(out, "shard-00003.jsonl.gz")
+    os.remove(victim)
+    before = {p: os.path.getmtime(os.path.join(out, p))
+              for p in os.listdir(out) if p.endswith(".jsonl.gz")}
+    m2 = docs.export_jsonl_shards(sf_tag, out, resume=True)
+    assert os.path.exists(victim)
+    for p, mt in before.items():
+        assert os.path.getmtime(os.path.join(out, p)) == mt, p
+    assert m2["rows"].sum() == m1["rows"].sum()
+    assert sorted(m2["shard"]) == sorted(m1["shard"])
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["n_shards"] == 8
+
+    got2 = (docs.read_jsonl_shards(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2[sorted(got2.columns)],
+                                  want[sorted(want.columns)])
