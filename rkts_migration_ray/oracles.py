@@ -1718,6 +1718,21 @@ kbfs AS (SELECT node, 0 AS dist FROM kseed
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM kbfs GROUP BY 1"""
 
 
+def _ancestors_select(full_union: str) -> str:
+    """kg_ancestors oracle: transitive closure of tr:partOf — recursive
+    CTE extending each path one parent per step (depth-exact because the
+    hierarchy is single-parent; the engine side doubles instead, same set)."""
+    return f""",
+ape AS MATERIALIZED (SELECT subj AS node, obj AS par FROM (
+{full_union}
+) WHERE pred = 'tr:partOf'),
+panc AS (SELECT node, par AS anc, 1 AS depth FROM ape
+ UNION ALL
+ SELECT p.node, ape.par, p.depth + 1
+ FROM panc p JOIN ape ON ape.node = p.anc)
+SELECT node, anc, CAST(depth AS BIGINT) AS depth FROM panc"""
+
+
 def _dangling_select(full_union: str) -> str:
     """kg_dangling_refs oracle: objects of resource-valued predicates with
     no subject row, plus their reference counts (anti-join over the union,
@@ -1864,6 +1879,7 @@ SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_ancestors": w + _ancestors_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),
         "kg_neighbors_topk": w + """
 , nco AS MATERIALIZED (

@@ -1499,6 +1499,113 @@ def kg_khop_ds(sf_dir: str, k: int = KHOP_K,
         batch_format="pyarrow")
 
 
+ANC_MAX_ROUNDS = 6  # doubling: reachable depth 2^6 = 64 levels
+
+
+def kg_ancestors_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    concurrency: int = 8, max_rounds: int = ANC_MAX_ROUNDS):
+    """Ancestor closure of the ``tr:partOf`` hierarchy: every
+    (node, anc, depth) pair reachable by following partOf edges upward —
+    the transitive-closure primitive behind "which root does this part
+    ultimately belong to" rollups. The reference walks this chain
+    per-record inside nested loops (editionxmltottl.php:21-289 resolves
+    each text's section→volume→edition containment one parent at a time);
+    here the whole closure is data-parallel.
+
+    EXACT via pointer DOUBLING: the path set P starts as the direct
+    edges (depth 1); each round unions P with P⋈P (x.anc = y.node →
+    (x.node, y.anc, x.depth + y.depth)) and min-reduces on (node, anc).
+    Reachable depth doubles per round, so a hierarchy of depth d closes
+    in ceil(log2 d) rounds — not d rounds like naive relaxation. partOf
+    is single-parent (validated: one edge per subject), so each
+    (node, anc) pair has a unique depth and the min-reduce is pure dedup.
+
+    Scale shape: each round is ONE tagged co-group on hash(join key)
+    (extend side keyed by its anc, base side keyed by its node) plus a
+    (node, anc) dedup groupby, CHECKPOINTED to Parquet so the iterative
+    plan never re-executes upstream rounds; payload is three scalars per
+    path row (n·d rows total). Convergence is an exact row-count
+    fixpoint; exhausting ``max_rounds`` raises (no silent caps)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["pred"].combine_chunks(),
+                              pa.scalar("tr:partOf")))
+        return pa.table({
+            "node": pc.cast(t["subj"].combine_chunks(), pa.string()),
+            "anc": pc.cast(t["obj"].combine_chunks(), pa.string()),
+            "depth": pa.array(np.ones(t.num_rows, np.int64))})
+
+    ckpt_dir = _session_ckpt_root()
+    paths = _checkpoint(
+        kg_triples_ds(sf_dir, cfg, concurrency)
+        .map_batches(edge_rows, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        os.path.join(ckpt_dir, "anc_0"))
+    n_prev = paths.count()
+
+    # tagged co-group: tag 0 = extend side keyed by anc (its ancestor chain
+    # continues where some base row starts), tag 1 = base side keyed by node
+    def x_tag(t: pa.Table) -> pa.Table:
+        key = t["anc"].combine_chunks()
+        return pa.table({"kb": hash_bucket(key, nb),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "key": key, "a": t["node"], "d": t["depth"]})
+
+    def y_tag(t: pa.Table) -> pa.Table:
+        key = t["node"].combine_chunks()
+        return pa.table({"kb": hash_bucket(key, nb),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8)),
+                         "key": key, "a": t["anc"], "d": t["depth"]})
+
+    anc_schema = pa.schema([("node", pa.string()), ("anc", pa.string()),
+                            ("depth", pa.int64())])
+
+    def relax(df: pd.DataFrame) -> pa.Table:
+        x = df.loc[df["tag"] == 0, ["key", "a", "d"]]
+        y = df.loc[df["tag"] == 1, ["key", "a", "d"]]
+        m = x.merge(y, on="key", suffixes=("_x", "_y"))
+        # Arrow output so the union with the Arrow-typed base never mixes
+        # block types (and empty groups carry the schema)
+        return pa.Table.from_pydict(
+            {"node": m["a_x"], "anc": m["a_y"],
+             "depth": (m["d_x"] + m["d_y"]).astype("int64")},
+            schema=anc_schema)
+
+    for it in range(1, max_rounds + 1):
+        joined = (paths.map_batches(x_tag, batch_format="pyarrow")
+                  .union(paths.map_batches(y_tag, batch_format="pyarrow"))
+                  .groupby("kb").map_groups(relax, batch_format="pandas"))
+        paths = _checkpoint(
+            paths.union(joined)
+            .groupby(["node", "anc"])
+            .aggregate(Min("depth", alias_name="depth")),
+            os.path.join(ckpt_dir, f"anc_{it}"))
+        n_cur = paths.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    else:
+        raise RuntimeError(
+            f"kg_ancestors did not reach the closure fixpoint within "
+            f"max_rounds={max_rounds} doubling rounds (hierarchy depth "
+            f"> {2 ** max_rounds}); raise max_rounds")
+
+    return paths.map_batches(
+        lambda t: pa.table({"node": t["node"], "anc": t["anc"],
+                            "depth": pc.cast(t["depth"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _mention_ts_union(sf_dir: str, concurrency: int, nb: int):
     """Tagged union feeding the conv-bucket co-group shared by
     kg_entity_lifespan_ds and kg_pair_formation_ds: linked mention rows

@@ -33,7 +33,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_entity_lifespan", "kg_components",
                                   "kg_pmi", "kg_pair_formation",
                                   "conv_tool_stats", "kg_neighbors_topk",
-                                  "kg_dangling_refs"])
+                                  "kg_dangling_refs", "kg_ancestors"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -42,6 +42,25 @@ def test_oracle_parity(sf_tag, name):
     a, b = norm(ray_df), norm(sql_df)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ancestors_matches_chain_walk(sf_tag):
+    """Independent cross-check for the pointer-doubling closure: walk each
+    node's parent chain sequentially in Python and compare the full
+    (node, anc, depth) set."""
+    triples = kg.kg_triples_ds(sf_tag).to_pandas()
+    e = triples[triples["pred"] == "tr:partOf"]
+    parent = dict(zip(e["subj"], e["obj"]))
+    want = set()
+    for n in parent:
+        a, d = n, 0
+        while a in parent:
+            a = parent[a]
+            d += 1
+            want.add((n, a, d))
+    got = kg.kg_ancestors_ds(sf_tag).to_pandas()
+    assert set(map(tuple, got[["node", "anc", "depth"]].values.tolist())) == want
+    assert len(got) == len(want)  # no duplicate path rows
 
 
 def test_determinism_two_runs(sf_tag):
