@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab": docs.text_vocab_ds,
         "text_entropy": docs.text_entropy_ds,
         "text_bigram_lm": docs.bigram_lm_ds,
+        "text_bigram_score": docs.bigram_score_ds,
         "sample_weighted": docs.sample_weighted_ds,
         "split_assign": docs.split_assign_ds,
         "split_leakage": docs.split_leakage_ds,

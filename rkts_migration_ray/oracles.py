@@ -1127,6 +1127,25 @@ cx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx FROM c GROUP BY 1)
 SELECT c.w1, c.w2, c.n, round(CAST(c.n AS DOUBLE) / cx.ctx, 6) AS cond_p
 FROM c JOIN cx USING (w1)
 ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""",
+        "text_bigram_score": """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+             FROM tk WHERE len(t) >= 2)),
+c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+cx AS (SELECT w1, sum(n) AS ctx FROM c GROUP BY 1),
+lp AS (SELECT w1, w2,
+        -CAST(floor(-ln(CAST(n AS DOUBLE) / ctx) * 1000000 + 0.5) AS BIGINT)
+          AS lpm
+       FROM c JOIN cx USING (w1)),
+db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS nd
+       FROM bg GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id, sum(nd) AS nb, sum(nd * lpm) AS s
+       FROM db JOIN lp USING (w1, w2) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS score_micro
+FROM documents d LEFT JOIN sc USING (doc_id)""",
         "text_entropy": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),

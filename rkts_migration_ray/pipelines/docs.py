@@ -1018,6 +1018,151 @@ def bigram_lm_ds(sf_dir: str, k: int = BIGRAM_TOP_K) -> pd.DataFrame:
     return out[["w1", "w2", "n", "cond_p"]]
 
 
+def bigram_score_ds(sf_dir: str):
+    """Per-document bigram-LM cross-entropy score — the scoring pass of the
+    classic perplexity quality filter (train an n-gram LM on the corpus,
+    rank every document by its log-likelihood under it; bigram_lm_ds is the
+    inspection view of the same LM, unigram_logprob_ds the order-0 scorer).
+
+    EXACT in integer micro-units: each bigram's conditional logprob
+    lp(w1,w2) = ln(n(w1,w2) / ctx(w1)) is quantized ONCE to int64 micros
+    (round-half-away, matching SQL round semantics); a document's score is
+    the integer sum Σ nd·lp_micro over its distinct bigrams — order
+    independent, so the distributed reduce hash-matches the DuckDB twin.
+
+    Scale shape: corpus bigram counts are BIGRAM-vocab-sized and stay
+    distributed — never broadcast (unlike the unigram scorer's vocab dict,
+    a 100 TB corpus's bigram table is too large to ship); only the
+    w1-context totals (unigram-vocab-bounded, the same bound text_vocab
+    accepts) are collected and ray.put-broadcast into the lp quantizer.
+    The per-(doc, bigram) count stream then meets the lp stream in a
+    BIGRAM-HASH-BUCKET co-group (skew-safe: a stopword bigram appearing in
+    every document spreads by hash instead of concentrating one task, the
+    tfidf pattern), emitting integer partials; the final reduce is a
+    doc-keyed integer groupby-sum. Docs with < 2 tokens surface with
+    n_bigrams = 0 via a zero stream unioned before the reduce. Two
+    tokenization passes (LM build + doc stream) are deliberate: they keep
+    the token-bounded intermediate OUT of the object store."""
+    import math
+
+    import ray
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=32, per_cpu=2)
+
+    def lm_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            toks = T.tokens_lower(x)
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([a for a, _ in c.keys()], pa.string()),
+            "w2": pa.array([b for _, b in c.keys()], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    big = (_docs(sf_dir, ["text"])
+           .map_batches(lm_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"])
+           .aggregate(Sum("n", alias_name="n"))
+           .materialize())  # bigram-vocab-sized; feeds ctx and lp
+
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("w1", as_index=False)["n"].sum()
+        return pa.table({"w1": pa.array(df["w1"], pa.string()),
+                         "ctx": pa.array(df["n"].to_numpy("int64"))})
+
+    ctx = (big.map_batches(ctx_partial, batch_format="pyarrow")
+           .groupby("w1").aggregate(Sum("ctx", alias_name="ctx"))
+           .to_pandas())  # unigram-vocab-sized
+    ctx_ref = ray.put(dict(zip(ctx["w1"], ctx["ctx"].astype("int64"))))
+
+    def bigram_key(w1: pa.Array, w2: pa.Array) -> pa.Array:
+        return pc.binary_join_element_wise(w1, w2, "\x1f")
+
+    class LpQuantize:
+        """lp_micro = round-half-away(ln(n/ctx(w1)) * 1e6) as int64; ln ≤ 0
+        always (n ≤ ctx), so -floor(-x·1e6 + 0.5) is the away-rounding."""
+
+        def __init__(self, ref):
+            self.ctx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            cx = df["w1"].map(self.ctx).to_numpy("float64")
+            x = np.log(df["n"].to_numpy("float64") / cx)
+            lpm = -np.floor(-x * 1e6 + 0.5).astype("int64")
+            w1 = pa.array(df["w1"], pa.string())
+            w2 = pa.array(df["w2"], pa.string())
+            return pa.table({
+                "bb": hash_bucket(bigram_key(w1, w2), nb),
+                "tag": pa.array(np.zeros(len(df), np.int8)),
+                "w1": w1, "w2": w2,
+                "doc_id": pa.nulls(len(df), pa.int64()),
+                "v": pa.array(lpm)})
+
+    lp = big.map_batches(LpQuantize, fn_constructor_kwargs={"ref": ctx_ref},
+                         batch_format="pyarrow", concurrency=(1, 8))
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows: dict[str, list] = {"doc_id": [], "w1": [], "w2": [], "nd": []}
+        for did, x in zip(df["doc_id"], df["text"]):
+            c: Counter = Counter()
+            toks = T.tokens_lower(x)
+            c.update(zip(toks, toks[1:]))
+            rows["doc_id"].extend([int(did)] * len(c))
+            rows["w1"].extend(a for a, _ in c.keys())
+            rows["w2"].extend(b for _, b in c.keys())
+            rows["nd"].extend(c.values())
+        w1 = pa.array(rows["w1"], pa.string())
+        w2 = pa.array(rows["w2"], pa.string())
+        n = len(rows["doc_id"])
+        return pa.table({
+            "bb": hash_bucket(bigram_key(w1, w2), nb),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "w1": w1, "w2": w2,
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "v": pa.array(rows["nd"], pa.int64())})
+
+    dbg = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_partial, batch_format="pyarrow")
+
+    part_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_bigrams", pa.int64()),
+                             ("score_micro", pa.int64())])
+
+    def score_bucket(df: pd.DataFrame) -> pa.Table:
+        l = df.loc[df["tag"] == 0, ["w1", "w2", "v"]]
+        d = df.loc[df["tag"] == 1, ["doc_id", "w1", "w2", "v"]]
+        m = d.merge(l, on=["w1", "w2"], suffixes=("_d", "_l"))
+        nd = m["v_d"].to_numpy("int64")
+        return pa.Table.from_pydict(
+            {"doc_id": m["doc_id"].to_numpy("int64"),
+             "n_bigrams": nd,
+             "score_micro": nd * m["v_l"].to_numpy("int64")},
+            schema=part_schema)
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_bigrams": z, "score_micro": z})
+
+    zeros = _docs(sf_dir, ["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow")
+
+    return (lp.union(dbg)
+            .groupby("bb").map_groups(score_bucket, batch_format="pandas")
+            .union(zeros)
+            .groupby("doc_id")
+            .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                       Sum("score_micro", alias_name="score_micro")))
+
+
 CONTAM_NGRAM = 8        # words per decontamination shingle
 CONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the held-out benchmark set
 

@@ -55,6 +55,41 @@ def test_dedup_exact_finds_duplicates(tmp_path):
     assert dup["keep_doc_id"] == 1
 
 
+def test_bigram_score_matches_brute(sf_tag):
+    """Independent single-process cross-check of the bigram-LM scorer: the
+    same micro-unit quantization computed with dicts and math.log."""
+    import collections
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.functions import text as T
+    from rkts_migration_ray.pipelines import docs
+
+    t = pq.read_table(os.path.join(docs.resolve_sf_dir(sf_tag),
+                                   "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    big: collections.Counter = collections.Counter()
+    per_doc = {}
+    for did, x in zip(t["doc_id"], t["text"]):
+        toks = T.tokens_lower(x)
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[int(did)] = bgs
+        big.update(bgs)
+    ctx: collections.Counter = collections.Counter()
+    for (a, _), n in big.items():
+        ctx[a] += n
+    lpm = {g: -math.floor(-math.log(n / ctx[g[0]]) * 1e6 + 0.5)
+           for g, n in big.items()}
+    got = docs.bigram_score_ds(sf_tag).to_pandas().set_index("doc_id")
+    assert len(got) == len(per_doc)
+    for did, bgs in per_doc.items():
+        row = got.loc[did]
+        assert int(row["n_bigrams"]) == len(bgs)
+        assert int(row["score_micro"]) == sum(lpm[g] for g in bgs)
+
+
 def test_knn_brute_matches_numpy(sf_tag):
     import pyarrow.parquet as pq
 
@@ -186,7 +221,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_events_funnel", "rel_events_retention",
                                   "split_assign", "split_leakage",
                                   "rel_basket_pairs", "rel_events_zscore",
-                                  "rel_events_wau"])
+                                  "rel_events_wau", "text_bigram_score"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
