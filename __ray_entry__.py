@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .drop_columns(["part"]),
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_postings": docs.text_postings_ds,
+        "text_bm25": docs.bm25_topk_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_bpe_merges": docs.bpe_merge_candidates_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,

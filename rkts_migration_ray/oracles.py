@@ -1127,6 +1127,37 @@ cx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx FROM c GROUP BY 1)
 SELECT c.w1, c.w2, c.n, round(CAST(c.n AS DOUBLE) / cx.ctx, 6) AS cond_p
 FROM c JOIN cx USING (w1)
 ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""",
+        "text_bm25": """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(len(t)) AS DOUBLE) AS total FROM tk),
+qd AS (SELECT DISTINCT doc_id AS query_id, term
+       FROM (SELECT doc_id, unnest(t[1:8]) AS term FROM tk
+             WHERE doc_id % 50 = 0)),
+dtf AS (SELECT doc_id, w AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+        WHERE w IN (SELECT DISTINCT term FROM qd) GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dtf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+contrib AS (
+  SELECT qd.query_id, dtf.doc_id,
+    CAST(floor(
+      ln(1.0 + ((SELECT n_docs FROM st) - dfq.df + 0.5) / (dfq.df + 0.5))
+      * (dtf.tf * (1.2 + 1.0))
+      / (dtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                         / ((SELECT total FROM st) / (SELECT n_docs FROM st))))
+      * 1000000 + 0.5) AS BIGINT) AS cm
+  FROM qd JOIN dtf USING (term)
+  JOIN dfq ON dfq.term = dtf.term
+  JOIN dl ON dl.doc_id = dtf.doc_id),
+sc AS (SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro
+       FROM contrib GROUP BY 1, 2 HAVING sum(cm) > 0)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       score_micro
+FROM sc QUALIFY rank <= 10""",
         "text_bigram_score": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),

@@ -1163,6 +1163,139 @@ def bigram_score_ds(sf_dir: str):
                        Sum("score_micro", alias_name="score_micro")))
 
 
+BM25_QUERY_MOD = 50   # doc_id % MOD == 0 docs play the query set
+BM25_QLEN = 8         # first N tokens of a query doc form its query
+BM25_K = 10           # results per query
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk_ds(sf_dir: str, k: int = BM25_K):
+    """BM25 top-k full-text retrieval for a deterministic query set (the
+    doc_id % BM25_QUERY_MOD == 0 docs; each query = the DISTINCT terms
+    among its first BM25_QLEN tokens) — the lexical-retrieval primitive a
+    RAG / eval-harness pipeline runs next to the embedding KNN family.
+
+    EXACT: every (query, term, doc) BM25 contribution
+    idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) is computed in
+    SHARED double arithmetic (same expression tree as the SQL twin) and
+    quantized to int64 micros BEFORE the per-(query, doc) sum, so scores
+    are integers, the sum is order-independent, and the (score DESC,
+    doc_id) rank tie-break is deterministic on both sides.
+
+    Scale shape: the query set is QUERY-sized — a pushed-down modulo read,
+    never a corpus scan — and ray.put-broadcast; term document-frequencies
+    come from one map-side-combined aggregate over the corpus (bounded by
+    |query terms|, collected to the driver with the scalar N / total-token
+    aggregates); the scoring pass is per-batch against the broadcast
+    idf/query maps emitting each batch's LOCAL top-k per query (≤ k·|Q|
+    rows per batch), merged by a query-keyed groupby — the corpus itself
+    never shuffles, exactly the knn_brute fan-in shape."""
+    import ray
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    # query set: pushed-down modulo filter (row-group pruning via id mod)
+    mod = pa.scalar(BM25_QUERY_MOD, pa.int64())
+    qtbl = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(
+                lambda t: t.filter(pc.equal(
+                    pc.subtract(t["doc_id"].combine_chunks(),
+                                pc.multiply(pc.divide(
+                                    t["doc_id"].combine_chunks(), mod), mod)),
+                    pa.scalar(0, pa.int64()))),
+                batch_format="pyarrow")
+            .to_pandas())
+    qterms: dict[int, list[str]] = {}
+    for did, x in zip(qtbl["doc_id"], qtbl["text"]):
+        toks = T.tokens_lower(x)[:BM25_QLEN]
+        qterms[int(did)] = sorted(set(toks))
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    term_set = set(all_terms)
+
+    # corpus statistics: df per query term + N and total tokens (one pass,
+    # map-side combined; the aggregate is |query terms| + 2 rows)
+    def stat_partial(t: pa.Table) -> pa.Table:
+        df_c: Counter = Counter()
+        n_docs = 0
+        n_toks = 0
+        for x in t["text"].to_pylist():
+            toks = T.tokens_lower(x)
+            n_docs += 1
+            n_toks += len(toks)
+            df_c.update(set(toks) & term_set)
+        keys = ["\x00n_docs", "\x00n_tokens"] + list(df_c.keys())
+        vals = [n_docs, n_toks] + list(df_c.values())
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    stats = (_docs(sf_dir, ["text"])
+             .map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("key").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    sm = dict(zip(stats["key"], stats["n"].astype("int64")))
+    n_docs = float(sm.pop("\x00n_docs"))
+    avgdl = float(sm.pop("\x00n_tokens")) / n_docs
+    idf = {t: np.log(1.0 + (n_docs - sm.get(t, 0) + 0.5)
+                     / (sm.get(t, 0) + 0.5)) for t in all_terms}
+    bc = ray.put((qterms, idf, avgdl))
+
+    out_schema = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64()),
+                            ("score_micro", pa.int64())])
+
+    class Bm25Partial:
+        def __init__(self, ref):
+            self.qterms, self.idf, self.avgdl = ray.get(ref)
+            self.terms = set(self.idf)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            rows: dict[int, list[tuple[int, int]]] = {
+                q: [] for q in self.qterms}
+            for did, x in zip(df["doc_id"], df["text"]):
+                toks = T.tokens_lower(x)
+                dl = float(len(toks))
+                tf = Counter(w for w in toks if w in self.terms)
+                if not tf:
+                    continue
+                denom_norm = (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+                for q, ts in self.qterms.items():
+                    s = 0
+                    for w in ts:
+                        n = tf.get(w)
+                        if n is None:
+                            continue
+                        c = (self.idf[w] * (n * (BM25_K1 + 1.0))
+                             / (n + BM25_K1 * denom_norm))
+                        s += int(np.floor(c * 1e6 + 0.5))
+                    if s > 0:
+                        rows[q].append((s, int(did)))
+                # ^ docs sharing no term with q are absent, as in the twin
+            out = {"query_id": [], "doc_id": [], "score_micro": []}
+            for q, cand in rows.items():
+                cand.sort(key=lambda p: (-p[0], p[1]))
+                for s, did in cand[:k]:
+                    out["query_id"].append(q)
+                    out["doc_id"].append(did)
+                    out["score_micro"].append(s)
+            return pa.Table.from_pydict(out, schema=out_schema)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score_micro", "doc_id"],
+                            ascending=[False, True], kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy("int64"),
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "rank": np.arange(1, len(df) + 1, dtype="int64"),
+            "score_micro": df["score_micro"].to_numpy("int64")})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(Bm25Partial, fn_constructor_kwargs={"ref": bc},
+                         batch_format="pyarrow", concurrency=(1, 8))
+            .groupby("query_id").map_groups(final, batch_format="pandas"))
+
+
 CONTAM_NGRAM = 8        # words per decontamination shingle
 CONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the held-out benchmark set
 

@@ -221,7 +221,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_events_funnel", "rel_events_retention",
                                   "split_assign", "split_leakage",
                                   "rel_basket_pairs", "rel_events_zscore",
-                                  "rel_events_wau", "text_bigram_score"])
+                                  "rel_events_wau", "text_bigram_score",
+                                  "text_bm25"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
