@@ -1592,6 +1592,119 @@ def pack_sequences_ds(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
     return toks.groupby("rbucket").map_groups(finalize, batch_format="pandas")
 
 
+EMB_KMEANS_K = 8
+EMB_KMEANS_ITERS = 3  # assignment passes; centroids update after the first 2
+
+
+def _quantize_micros(x: np.ndarray) -> np.ndarray:
+    """Per-coordinate micro-unit quantization (round half AWAY from zero,
+    the SQL round semantics) — the step that makes k-means exact: all
+    downstream distances and partial sums are int64."""
+    return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+
+
+def embed_kmeans_ds(sf_dir: str, k: int = EMB_KMEANS_K,
+                    iters: int = EMB_KMEANS_ITERS):
+    """Lloyd's k-means over the embedding table — the clustering primitive
+    behind corpus bucketing / diversity sampling / IVF coarse quantizers
+    (knn_ivf trains its own private spherical variant; this is the exact,
+    oracle-checkable general one).
+
+    EXACT IN INTEGERS end-to-end: coordinates are quantized ONCE to int64
+    micros (round-half-away, the SQL round), so squared distances and
+    per-cluster partial sums are exact int64 (order-independent); each
+    centroid update divides exact integer sums in double and re-quantizes
+    to micros, so both sides hold bit-identical centroids at every
+    iteration. Ties in argmin break to the LOWEST cluster id on both sides
+    (row_number over d2, cluster). Clusters that lose all members are
+    DROPPED on both sides (no row in the update drops the centroid).
+    Deterministic init: the k lowest vec_ids are the seed centroids
+    (pushed-down read), cluster id = seed order.
+
+    Scale shape: the per-iteration pass is ONE map_batches over the
+    embeddings — assignment + per-batch per-(cluster, dim) integer
+    partial sums (≤ k·d + k rows per batch, map-side combined) — followed
+    by a (cluster, dim)-keyed groupby-sum whose result is k·d rows on the
+    driver (k-bounded, the broadcast-small-side pattern); the corpus never
+    shuffles. The final pass emits (vec_id, cluster, dist2)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    seed = pq.read_table(
+        os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
+        columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)])
+    order = np.argsort(np.asarray(seed["vec_id"]))
+    C = _quantize_micros(np.array(seed["embedding"].to_pylist(),
+                                  dtype=np.float64))[order]
+    cids = np.arange(len(C), dtype=np.int64)  # seed order = cluster id
+
+    def assign(Em: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # exact int64 distances; argmin takes the first (lowest cluster id)
+        d2 = ((Em[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(Em)), a]
+
+    class SumPartial:
+        def __init__(self, c_ref):
+            self.C, self.cids = ray.get(c_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            E, _ = _emb_matrix(t)
+            Em = _quantize_micros(E)
+            a, _d = assign(Em, self.C)
+            out = {"cluster": [], "dim": [], "s": []}
+            for ci in range(len(self.C)):
+                rows = Em[a == ci]
+                if not len(rows):
+                    continue
+                s = rows.sum(axis=0)  # exact int64
+                out["cluster"].extend([int(self.cids[ci])] * (len(s) + 1))
+                out["dim"].extend(range(len(s)))
+                out["s"].extend(int(v) for v in s)
+                out["dim"].append(-1)          # count row
+                out["s"].append(len(rows))
+            return pa.Table.from_pydict(out, schema=pa.schema(
+                [("cluster", pa.int64()), ("dim", pa.int64()),
+                 ("s", pa.int64())]))
+
+    for _ in range(iters - 1):
+        c_ref = ray.put((C, cids))
+        agg = (_embeddings(sf_dir)
+               .map_batches(SumPartial, fn_constructor_kwargs={"c_ref": c_ref},
+                            batch_format="pyarrow", concurrency=(1, 8))
+               .groupby(["cluster", "dim"])
+               .aggregate(Sum("s", alias_name="s"))
+               .to_pandas())  # ≤ k·(d+1) rows
+        counts = (agg[agg["dim"] == -1].set_index("cluster")["s"]
+                  .astype("int64"))
+        live = np.sort(counts.index.to_numpy())
+        sums = agg[agg["dim"] >= 0].pivot(index="cluster", columns="dim",
+                                          values="s").loc[live]
+        m = sums.to_numpy("float64") / counts.loc[live].to_numpy(
+            "float64")[:, None]
+        C = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        cids = live.astype(np.int64)
+
+    c_ref = ray.put((C, cids))
+
+    class FinalAssign:
+        def __init__(self, ref):
+            self.C, self.cids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            E, ids = _emb_matrix(t)
+            a, d2 = assign(_quantize_micros(E), self.C)
+            return pa.table({
+                "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "cluster": pa.array(self.cids[a]),
+                "dist2": pa.array(d2.astype(np.int64))})
+
+    return _embeddings(sf_dir).map_batches(
+        FinalAssign, fn_constructor_kwargs={"ref": c_ref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):

@@ -90,6 +90,46 @@ def test_bigram_score_matches_brute(sf_tag):
         assert int(row["score_micro"]) == sum(lpm[g] for g in bgs)
 
 
+def test_embed_kmeans_matches_single_process_lloyd(sf_tag):
+    """Independent cross-check: the same integer-quantized Lloyd iterations
+    run single-process in numpy must reproduce the distributed result
+    value-for-value (assignment AND exact int64 distances)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    t = pq.read_table(os.path.join(docs.resolve_sf_dir(sf_tag),
+                                   "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    Em = docs._quantize_micros(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    k, iters = docs.EMB_KMEANS_K, docs.EMB_KMEANS_ITERS
+    seed_order = np.argsort(ids[ids < k])
+    C = Em[ids < k][seed_order]
+    cids = np.arange(k, dtype=np.int64)
+    for it in range(iters):
+        d2 = ((Em[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        if it == iters - 1:
+            break
+        live = np.array(sorted(set(a.tolist())))
+        C = np.stack([
+            (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+            for m in (Em[a == ci].sum(axis=0) / (a == ci).sum()
+                      for ci in live)])
+        cids = cids[live]
+    want = {int(i): (int(cids[ai]), int(d2[r, ai]))
+            for r, (i, ai) in enumerate(zip(ids, a))}
+    got = docs.embed_kmeans_ds(sf_tag).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[int(row["vec_id"])] == (int(row["cluster"]),
+                                            int(row["dist2"]))
+
+
 def test_knn_brute_matches_numpy(sf_tag):
     import pyarrow.parquet as pq
 
@@ -222,7 +262,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "split_assign", "split_leakage",
                                   "rel_basket_pairs", "rel_events_zscore",
                                   "rel_events_wau", "text_bigram_score",
-                                  "text_bm25"])
+                                  "text_bm25", "embed_kmeans"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
