@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg.kg_triples_ds,
         "kg_ntriples": kg.ntriples_lines_ds,
         "kg_nquads": kg.nquads_lines_ds,
+        "kg_turtle": kg.turtle_lines_ds,
         "kg_incremental": kg.kg_incremental_ds,
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,

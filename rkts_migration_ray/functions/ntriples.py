@@ -114,14 +114,9 @@ def _resource_term(arr: pa.Array) -> pa.Array:
     return pc.if_else(is_bnode, esc, bracketed)
 
 
-def lines_table(batch: pa.Table, with_graph: bool = False) -> pa.Table:
-    """Triple rows → one 'line' column of N-Triples (or N-Quads when
-    ``with_graph``; the reference writes global.nt WITHOUT the graph term,
-    Nquads.php:192-197 else-branch)."""
-    batch = batch.combine_chunks()
-    n = batch.num_rows
-    if n == 0:
-        return pa.table({"line": pa.array([], pa.string())})
+def term_columns(batch: pa.Table) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Formatted (subj_term, pred_term, obj_term) arrays for a triple batch —
+    the shared term grammar of the N-Triples, N-Quads and Turtle writers."""
     subj_t = _resource_term(batch["subj"].combine_chunks())
     pred_t = _resource_term(batch["pred"].combine_chunks())
 
@@ -147,6 +142,17 @@ def lines_table(batch: pa.Table, with_graph: bool = False) -> pa.Table:
     is_uri_obj = pc.is_in(pred_vals,
                           value_set=pa.array(sorted(OBJ_URI_PREDS), pa.string()))
     obj_term = pc.if_else(is_uri_obj, uri_term, lit_term)
+    return subj_t, pred_t, obj_term
+
+
+def lines_table(batch: pa.Table, with_graph: bool = False) -> pa.Table:
+    """Triple rows → one 'line' column of N-Triples (or N-Quads when
+    ``with_graph``; the reference writes global.nt WITHOUT the graph term,
+    Nquads.php:192-197 else-branch)."""
+    batch = batch.combine_chunks()
+    if batch.num_rows == 0:
+        return pa.table({"line": pa.array([], pa.string())})
+    subj_t, pred_t, obj_term = term_columns(batch)
 
     if with_graph:
         graph_t = _resource_term(batch["graph"].combine_chunks())

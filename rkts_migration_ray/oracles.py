@@ -1812,6 +1812,35 @@ kbfs AS (SELECT node, 0 AS dist FROM kseed
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM kbfs GROUP BY 1"""
 
 
+def _turtle_select(full_union: str) -> str:
+    """kg_turtle oracle: the same canonical predicate-grouped subject blocks
+    as pipelines/kg.turtle_lines_ds — nested ORDER BY string_agg (objects
+    within predicate, predicates within subject; binary UTF-8 order matches
+    Python sorted(), the adjacency-digest precedent)."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+ttt AS (SELECT '<'||{_nt_esc('subj')}||'>' AS subj_t,
+               '<'||{_nt_esc('pred')}||'>' AS pred_t,
+ CASE WHEN pred IN ({preds}) THEN '<'||{_nt_esc('obj')}||'>'
+      ELSE '"'||{_nt_esc('obj')}||'"'||
+        CASE WHEN obj_lang <> '' THEN '@'||{_nt_esc('obj_lang')}
+             WHEN obj_dt <> '' THEN '^^<'||{_nt_esc('obj_dt')}||'>'
+             ELSE '' END
+ END AS obj_t
+ FROM (
+{full_union}
+) tt_all),
+ttp AS (SELECT subj_t, pred_t,
+               string_agg(obj_t, ' , ' ORDER BY obj_t) AS objs
+        FROM ttt GROUP BY 1, 2)
+SELECT subj_t AS subj,
+       subj_t||' '||string_agg(pred_t||' '||objs, ' ; ' ORDER BY pred_t)
+             ||' .' AS line
+FROM ttp GROUP BY subj_t"""
+
+
 def _ancestors_select(full_union: str) -> str:
     """kg_ancestors oracle: transitive closure of tr:partOf — recursive
     CTE extending each path one parent per step (depth-exact because the
@@ -1965,6 +1994,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     return {
         "kg_ntriples": w + _ntriples_select(full_union),
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
+        "kg_turtle": w + _turtle_select(full_union),
         "kg_adjacency": w + _adjacency_select(full_union),
         "kg_degrees": w + _degrees_select(full_union),
         "kg_degree_histogram": w + ", dg AS ("

@@ -709,6 +709,58 @@ def ntriples_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         lines_table, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def turtle_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    concurrency: int = 8):
+    """Full graph serialized to Turtle subject blocks — the reference's
+    actual per-resource output format (editionxmltottl.php/kernelxmltottl.php
+    write .ttl per record; the engine emits one canonical predicate-grouped
+    line per subject):
+
+        <subj> <p1> o1 , o2 ; <p2> o3 .
+
+    Canonical ordering (predicate term ascending; object terms ascending
+    within a predicate; duplicate triples preserved) makes the serialization
+    DETERMINISTIC and byte-comparable — the SQL twin rebuilds the same line
+    with nested ORDER BY string_agg. Term grammar (escaping, @lang/^^dt,
+    OBJ_URI_PREDS resource test) is shared verbatim with the N-Triples
+    writer (functions/ntriples.term_columns).
+
+    Scale shape: per-batch term formatting is vectorized Arrow (zero-copy);
+    the only shuffle is the subject groupby (subject groups are bounded by
+    a resource's own edge count); per-group assembly is one pandas sort +
+    join, proportional to the group."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.ntriples import term_columns
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"subj": pa.array([], pa.string()),
+                             "pred_t": pa.array([], pa.string()),
+                             "obj_t": pa.array([], pa.string())})
+        subj_t, pred_t, obj_t = term_columns(t)
+        # group key is the formatted subject term (1:1 with subj)
+        return pa.table({"subj": subj_t, "pred_t": pred_t, "obj_t": obj_t})
+
+    turtle_schema = pa.schema([("subj", pa.string()), ("line", pa.string())])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["pred_t", "obj_t"], kind="stable")
+        parts = [f"{p} {' , '.join(g['obj_t'])}"
+                 for p, g in df.groupby("pred_t", sort=False)]
+        subj = df["subj"].iloc[0]
+        return pa.Table.from_pydict(
+            {"subj": [subj], "line": [f"{subj} {' ; '.join(parts)} ."]},
+            schema=turtle_schema)
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(term_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("subj").map_groups(assemble, batch_format="pandas"))
+
+
 def nquads_lines_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                     concurrency: int = 8):
     """Full graph serialized to N-Quads lines (the reference's named-graph

@@ -33,7 +33,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_entity_lifespan", "kg_components",
                                   "kg_pmi", "kg_pair_formation",
                                   "conv_tool_stats", "kg_neighbors_topk",
-                                  "kg_dangling_refs", "kg_ancestors"])
+                                  "kg_dangling_refs", "kg_ancestors",
+                                  "kg_turtle"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
