@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_clean_text": kg.conv_clean_text_ds,
         "kg_khop": kg.kg_khop_ds,
         "kg_ancestors": kg.kg_ancestors_ds,
+        "kg_negative_samples": kg.kg_negative_samples_ds,
         "kg_entity_lifespan": kg.kg_entity_lifespan_ds,
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,

@@ -1856,6 +1856,36 @@ panc AS (SELECT node, par AS anc, 1 AS depth FROM ape
 SELECT node, anc, CAST(depth AS BIGINT) AS depth FROM panc"""
 
 
+def _negative_samples_select(full_union: str) -> str:
+    """kg_negative_samples oracle: the same two-level md5 (bucket, rank)
+    replacement address as pipelines/kg.kg_negative_samples_ds — pool =
+    DISTINCT edge endpoints bucketed by md5(node) % 64 with row_number
+    ranks; each triple joins on (bucket, ih % bucket_size)."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+nse AS MATERIALIZED (SELECT subj, pred, obj FROM (
+{full_union}
+) WHERE pred IN ({preds})),
+nsn AS (SELECT node,
+ CAST(CAST(('0x'||substr(md5(node),1,15)) AS UBIGINT) % 64 AS BIGINT) AS nb
+ FROM (SELECT subj AS node FROM nse UNION SELECT obj FROM nse)),
+nsr AS (SELECT node, nb,
+ CAST(row_number() OVER (PARTITION BY nb ORDER BY node) - 1 AS BIGINT)
+   AS rank,
+ CAST(count(*) OVER (PARTITION BY nb) AS BIGINT) AS n_b FROM nsn),
+nst AS (SELECT subj, pred, obj,
+ CAST(CAST(('0x'||substr(md5(subj||chr(31)||pred||chr(31)||obj),1,15))
+      AS UBIGINT) % 64 AS BIGINT) AS nb,
+ CAST(CAST(('0x'||substr(md5(subj||chr(31)||pred||chr(31)||obj),17,15))
+      AS UBIGINT) AS BIGINT) AS ih
+ FROM nse)
+SELECT t.subj, t.pred, t.obj, r.node AS neg_obj,
+       CAST(CASE WHEN r.node = t.obj THEN 1 ELSE 0 END AS BIGINT) AS is_self
+FROM nst t JOIN nsr r ON r.nb = t.nb AND r.rank = t.ih % r.n_b"""
+
+
 def _dangling_select(full_union: str) -> str:
     """kg_dangling_refs oracle: objects of resource-valued predicates with
     no subject row, plus their reference counts (anti-join over the union,
@@ -2004,6 +2034,7 @@ FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_ancestors": w + _ancestors_select(full_union),
+        "kg_negative_samples": w + _negative_samples_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),
         "kg_neighbors_topk": w + """
 , nco AS MATERIALIZED (

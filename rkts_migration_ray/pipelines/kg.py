@@ -1658,6 +1658,99 @@ def kg_ancestors_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         batch_format="pyarrow")
 
 
+NEG_BUCKETS = 64  # FIXED pool-bucket count: results are cluster-size independent
+
+
+def kg_negative_samples_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                           concurrency: int = 8):
+    """Deterministic negative sampling over the resource graph: ONE
+    corrupted (subj, pred, neg_obj) per positive resource-valued edge —
+    the training-pair generator a TransE/DistMult-style KG-embedding job
+    consumes next to the positive triples.
+
+    Deterministic and EXACT: the replacement entity is addressed by a
+    two-level md5 scheme — a triple hashes to pool bucket
+    md5(s␟p␟o)[:15] % 64 and index md5(s␟p␟o)[16:31] % |bucket| into that
+    bucket's SORTED distinct-node list; the SQL twin rebuilds the same
+    (bucket, rank) address with substr(md5(..)) + row_number. Collisions
+    with the true object are kept and flagged (is_self), never re-rolled —
+    re-rolling would make the sample depend on iteration order.
+
+    Scale shape: the entity pool is NEVER broadcast and the corpus never
+    globally sorted — pool rows (per-batch-deduped) and triple rows meet
+    in ONE tagged co-group on the fixed 64-bucket key, where the bucket's
+    pool is deduped/sorted locally (bucket-bounded: |nodes|/64 rows) and
+    the lookup is a vectorized take. A triple whose bucket holds no pool
+    node is dropped (inner-join semantics, matching the twin); with the
+    pool drawn from the same edges, every bucket is populated at any
+    realistic scale."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+    NB = NEG_BUCKETS
+
+    tag_schema = pa.schema([
+        ("nb", pa.int64()), ("tag", pa.int8()), ("subj", pa.string()),
+        ("pred", pa.string()), ("obj", pa.string()), ("ih", pa.int64()),
+        ("node", pa.string())])
+
+    def tagged_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["pred"].combine_chunks(),
+                              value_set=uri_preds))
+        df = t.select(["subj", "pred", "obj"]).to_pandas()
+        hx = [hashlib.md5(f"{a}\x1f{b}\x1f{c}".encode()).hexdigest()
+              for a, b, c in zip(df["subj"], df["pred"], df["obj"])]
+        nb_t = np.array([int(h[:15], 16) % NB for h in hx], dtype=np.int64)
+        ih = np.array([int(h[16:31], 16) for h in hx], dtype=np.int64)
+        nodes = pd.unique(pd.concat([df["subj"], df["obj"]],
+                                    ignore_index=True))
+        nb_p = np.array([int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                         % NB for x in nodes], dtype=np.int64)
+        nt, npl = len(df), len(nodes)
+        return pa.Table.from_pydict({
+            "nb": np.concatenate([nb_t, nb_p]),
+            "tag": np.concatenate([np.ones(nt, np.int8),
+                                   np.zeros(npl, np.int8)]),
+            "subj": np.concatenate([df["subj"].to_numpy(object),
+                                    np.full(npl, "", object)]),
+            "pred": np.concatenate([df["pred"].to_numpy(object),
+                                    np.full(npl, "", object)]),
+            "obj": np.concatenate([df["obj"].to_numpy(object),
+                                   np.full(npl, "", object)]),
+            "ih": np.concatenate([ih, np.zeros(npl, np.int64)]),
+            "node": np.concatenate([np.full(nt, "", object), nodes]),
+        }, schema=tag_schema)
+
+    out_schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+        ("neg_obj", pa.string()), ("is_self", pa.int64())])
+
+    def corrupt(df: pd.DataFrame) -> pa.Table:
+        pool = np.unique(df.loc[df["tag"] == 0, "node"].to_numpy(object))
+        trip = df[df["tag"] == 1]
+        if not len(pool) or not len(trip):
+            return pa.Table.from_pydict(
+                {k: [] for k in out_schema.names}, schema=out_schema)
+        neg = pool[trip["ih"].to_numpy("int64") % len(pool)]
+        obj = trip["obj"].to_numpy(object)
+        return pa.Table.from_pydict({
+            "subj": trip["subj"].to_numpy(object),
+            "pred": trip["pred"].to_numpy(object), "obj": obj,
+            "neg_obj": neg,
+            "is_self": (neg == obj).astype("int64")}, schema=out_schema)
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(tagged_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("nb").map_groups(corrupt, batch_format="pandas"))
+
+
 def _mention_ts_union(sf_dir: str, concurrency: int, nb: int):
     """Tagged union feeding the conv-bucket co-group shared by
     kg_entity_lifespan_ds and kg_pair_formation_ds: linked mention rows
