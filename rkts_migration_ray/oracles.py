@@ -2184,6 +2184,27 @@ FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
 JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
   ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2""",
+        "kg_adamic_adar": w + """
+, aaed AS MATERIALIZED (
+  SELECT DISTINCT a.entity_uri AS e1, b.entity_uri AS e2
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri),
+aadg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+  (SELECT e1 AS node FROM aaed UNION ALL SELECT e2 FROM aaed) GROUP BY 1),
+aawt AS (SELECT node,
+  CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT) AS wm
+  FROM aadg WHERE d >= 2),
+aatri AS (SELECT x.e1 AS a, x.e2 AS b, y.e2 AS c
+  FROM aaed x JOIN aaed y ON y.e1 = x.e2
+  JOIN aaed z ON z.e1 = x.e1 AND z.e2 = y.e2),
+aaco AS (SELECT a AS x, b AS y, c AS z FROM aatri
+  UNION ALL SELECT a, c, b FROM aatri
+  UNION ALL SELECT b, c, a FROM aatri),
+aasc AS (SELECT x, y, sum(wt.wm) AS s
+         FROM aaco JOIN aawt wt ON wt.node = aaco.z GROUP BY 1, 2)
+SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
+FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
         # exact neighborhood-Jaccard over the co-occurrence graph (the
         # adj-join formulation is the order-free twin of the engine's

@@ -1185,44 +1185,22 @@ def kg_pagerank_ds(sf_dir: str, iters: int = PR_ITERS,
         batch_format="pyarrow")
 
 
-def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
-    """Per-entity triangle participation counts over the entity
-    co-occurrence graph — the community/cohesion primitive next to
-    cooccurrence_ds (the resource graph itself is hierarchical and
-    triangle-free; the co-occurrence graph is dense: ~191k triangles over
-    9k edges at sf0.001).
-
-    Scale shape: the classic degree-ordered orientation. Every undirected
-    edge is directed from its lower (degree, node) endpoint to the higher,
-    so each triangle is found exactly once at its minimum corner and the
-    wedge set is bounded by O(m^1.5) regardless of hub skew (a hub of
-    degree d only fans out wedges to neighbors of even HIGHER degree).
-    Stages, all hash-bucket co-groups (no driver materialization, no
-    broadcast of anything node- or edge-sized):
-      1. per-batch partial degree counts → groupby-sum;
-      2. degrees attach to both edge endpoints (two tagged co-groups);
-      3. wedges per oriented source (bucket holds a source's whole
-         out-adjacency; neighbors sorted by (deg, node), pairs via
-         triu indices);
-      4. wedge ∩ edge on a PAIR-HASH bucket (tagged union), matched wedges
-         emit their three corners pre-aggregated per bucket;
-      5. final per-entity sum (map-side combined)."""
+def _oriented_adjacency(edges, nb: int):
+    """Degree-attached, degree-ordered oriented adjacency — the shared
+    front half of kg_triangles_ds and kg_adamic_adar_ds. `edges` contract:
+    distinct undirected edges, e1 < e2, no self-loops. Returns oriented
+    rows (src, dst, deg_src, deg_dst) with every undirected edge directed
+    from its lower (degree, node) endpoint to the higher — each triangle
+    is then found exactly once at its minimum corner, and the wedge set is
+    bounded by O(m^1.5) regardless of hub skew. Stages: per-batch partial
+    degree counts → groupby-sum; two tagged co-groups attach degrees to
+    both endpoints."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
-                                        scale_buckets)
-
-    nb = scale_buckets(32, 2)
-    SEP = "\x1f"
-
-    if edges is None:
-        edges = (cooccurrence_ds(sf_dir, concurrency)
-                 .select_columns(["e1", "e2"]))
-    # `edges` contract: distinct undirected edges, e1 < e2, no self-loops
-    # (cooccurrence_ds guarantees all three; tests inject random graphs)
+    from ..functions.arrowutils import from_pandas_clean, hash_bucket
 
     def explode(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays([t["e1"].combine_chunks(),
@@ -1292,13 +1270,46 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
         m = m[keep]
         return from_pandas_clean(pd.DataFrame({
             "src": m["node"], "dst": m["key"],
+            "deg_src": m["deg_node"].astype("int64"),
             "deg_dst": m["d"].astype("int64")}))
 
-    oriented = (adj_d.map_batches(tag_adj_nbr, batch_format="pyarrow")
-                .union(deg.map_batches(tag_deg2, batch_format="pyarrow"))
-                .groupby("kb").map_groups(attach_nbr_deg,
-                                          batch_format="pandas")
-                .materialize())
+    return (adj_d.map_batches(tag_adj_nbr, batch_format="pyarrow")
+            .union(deg.map_batches(tag_deg2, batch_format="pyarrow"))
+            .groupby("kb").map_groups(attach_nbr_deg,
+                                      batch_format="pandas")
+            .materialize())
+
+
+def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
+    """Per-entity triangle participation counts over the entity
+    co-occurrence graph — the community/cohesion primitive next to
+    cooccurrence_ds (the resource graph itself is hierarchical and
+    triangle-free; the co-occurrence graph is dense: ~191k triangles over
+    9k edges at sf0.001).
+
+    Scale shape: the classic degree-ordered orientation
+    (_oriented_adjacency), then — all hash-bucket co-groups, no driver
+    materialization, no broadcast of anything node- or edge-sized:
+      3. wedges per oriented source (bucket holds a source's whole
+         out-adjacency; neighbors sorted by (deg, node), pairs via
+         triu indices);
+      4. wedge ∩ edge on a PAIR-HASH bucket (tagged union), matched wedges
+         emit their three corners pre-aggregated per bucket;
+      5. final per-entity sum (map-side combined)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(32, 2)
+    SEP = "\x1f"
+
+    if edges is None:
+        edges = (cooccurrence_ds(sf_dir, concurrency)
+                 .select_columns(["e1", "e2"]))
+    oriented = _oriented_adjacency(edges, nb)
 
     # wedges: bucket on hash(src) holds a source's whole out-adjacency
     def tag_src(t: pa.Table) -> pa.Table:
@@ -1359,6 +1370,146 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
             .groupby("pb").map_groups(match_bucket, batch_format="pandas")
             .groupby("entity")
             .aggregate(Sum("n", alias_name="n_triangles")))
+
+
+def kg_adamic_adar_ds(sf_dir: str, concurrency: int = 8, edges=None):
+    """Adamic–Adar link strength for every co-occurrence edge:
+    AA(a,b) = Σ over common neighbors z of 1/ln(deg z) — the classic
+    link-prediction / edge-confidence score (here scored on EXISTING edges
+    as a tie-strength signal next to kg_pmi; restricting to existing edges
+    is what keeps the op wedge-bounded — scoring arbitrary non-edges would
+    be the all-pairs shape this engine rejects).
+
+    EXACT: each node's weight 1/ln(deg) is quantized ONCE to int64 micros
+    (round-half-away; every triangle corner has deg ≥ 2 so ln > 0); an
+    edge's AA is the integer sum of its common neighbors' weights —
+    order-independent, hash-matching the SQL twin's triangle-join.
+
+    Scale shape: every triangle {a,b,c} is discovered exactly once via the
+    degree-ordered orientation (shared _oriented_adjacency front half +
+    the kg_triangles wedge∩edge pair-hash co-group, O(m^1.5) wedges), and
+    contributes THREE rows — weight(c) to edge (a,b), weight(b) to (a,c),
+    weight(a) to (b,c) — pre-aggregated per bucket; a zero stream from the
+    edge list completes triangle-free edges; final (e1, e2) integer
+    groupby-sum. Degrees ride the oriented rows, so no extra join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(32, 2)
+    SEP = "\x1f"
+
+    if edges is None:
+        edges = (cooccurrence_ds(sf_dir, concurrency)
+                 .select_columns(["e1", "e2"]))
+    edges = edges.materialize()  # feeds orientation AND the zero stream
+    oriented = _oriented_adjacency(edges, nb)
+
+    def w_micro(deg: np.ndarray) -> np.ndarray:
+        return np.floor(1e6 / np.log(deg.astype("float64")) + 0.5).astype(
+            "int64")
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        return pa.table({"sb": hash_bucket(t["src"].combine_chunks(), nb),
+                         "src": t["src"], "dst": t["dst"],
+                         "deg_src": t["deg_src"], "deg_dst": t["deg_dst"]})
+
+    wedge_schema = pa.schema([
+        ("pb", pa.int64()), ("v", pa.string()), ("w", pa.string()),
+        ("u", pa.string()), ("du", pa.int64()), ("dv", pa.int64()),
+        ("dw", pa.int64())])
+
+    def wedge_rows(df: pd.DataFrame) -> pa.Table:
+        us, vs, ws, dus, dvs, dws = [], [], [], [], [], []
+        for u, g in df.groupby("src", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["deg_dst", "dst"], kind="stable")
+            nbrs = g["dst"].to_numpy(dtype=object)
+            degs = g["deg_dst"].to_numpy("int64")
+            du = int(g["deg_src"].iloc[0])
+            i, j = np.triu_indices(len(nbrs), 1)
+            us.append(np.full(len(i), u, dtype=object))
+            vs.append(nbrs[i])
+            ws.append(nbrs[j])
+            dus.append(np.full(len(i), du, dtype="int64"))
+            dvs.append(degs[i])
+            dws.append(degs[j])
+        if not us:
+            return pa.Table.from_pydict(
+                {k: [] for k in wedge_schema.names}, schema=wedge_schema)
+        v_a = pa.array(np.concatenate(vs), pa.string())
+        w_a = pa.array(np.concatenate(ws), pa.string())
+        key = pc.binary_join_element_wise(v_a, w_a, SEP)
+        return pa.Table.from_pydict({
+            "pb": np.asarray(hash_bucket(key, nb), dtype="int64"),
+            "v": np.concatenate(vs), "w": np.concatenate(ws),
+            "u": np.concatenate(us), "du": np.concatenate(dus),
+            "dv": np.concatenate(dvs), "dw": np.concatenate(dws),
+        }, schema=wedge_schema)
+
+    wedges = (oriented.map_batches(tag_src, batch_format="pyarrow")
+              .groupby("sb").map_groups(wedge_rows, batch_format="pandas"))
+
+    def tag_edge_probe(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["src"], pa.string()), pc.cast(t["dst"], pa.string()),
+            SEP)
+        n = t.num_rows
+        return pa.table({"pb": pc.cast(hash_bucket(key.combine_chunks(), nb),
+                                       pa.int64()),
+                         "v": t["src"], "w": t["dst"],
+                         "u": pa.nulls(n, pa.string()),
+                         "du": pa.nulls(n, pa.int64()),
+                         "dv": pa.nulls(n, pa.int64()),
+                         "dw": pa.nulls(n, pa.int64())})
+
+    out_schema = pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                            ("aa_micro", pa.int64())])
+
+    def match_bucket(df: pd.DataFrame) -> pa.Table:
+        probe = df.loc[df["u"].isna(), ["v", "w"]]
+        wd = df.loc[df["u"].notna()]
+        hit = wd.merge(probe, on=["v", "w"], how="inner")
+        if not len(hit):
+            return pa.Table.from_pydict(
+                {k: [] for k in out_schema.names}, schema=out_schema)
+        u = hit["u"].to_numpy(object)
+        v = hit["v"].to_numpy(object)
+        w = hit["w"].to_numpy(object)
+        wu = w_micro(hit["du"].to_numpy("int64"))
+        wv = w_micro(hit["dv"].to_numpy("int64"))
+        ww = w_micro(hit["dw"].to_numpy("int64"))
+        # triangle {u,v,w}: each corner's weight credits the OPPOSITE edge
+        x = np.concatenate([np.minimum(v, w), np.minimum(u, w),
+                            np.minimum(u, v)])
+        y = np.concatenate([np.maximum(v, w), np.maximum(u, w),
+                            np.maximum(u, v)])
+        s = np.concatenate([wu, wv, ww])
+        agg = (pd.DataFrame({"e1": x, "e2": y, "s": s})
+               .groupby(["e1", "e2"], as_index=False)["s"].sum())
+        return pa.Table.from_pydict({
+            "e1": agg["e1"].to_numpy(object),
+            "e2": agg["e2"].to_numpy(object),
+            "aa_micro": agg["s"].to_numpy("int64")}, schema=out_schema)
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"e1": t["e1"], "e2": t["e2"],
+                         "aa_micro": pa.array(
+                             np.zeros(t.num_rows, np.int64))})
+
+    zeros = edges.map_batches(zero_rows, batch_format="pyarrow")
+
+    return (wedges
+            .union(oriented.map_batches(tag_edge_probe,
+                                        batch_format="pyarrow"))
+            .groupby("pb").map_groups(match_bucket, batch_format="pandas")
+            .union(zeros)
+            .groupby(["e1", "e2"])
+            .aggregate(Sum("aa_micro", alias_name="aa_micro")))
 
 
 # transcript markup families (fixtures.py:20-28 grammar; the reference's

@@ -886,6 +886,40 @@ def test_triangles_random_graph_crosscheck(tmp_path):
         assert got == truth, (n, p)
 
 
+def test_adamic_adar_random_graph_crosscheck(tmp_path):
+    """kg_adamic_adar per-edge scores equal brute-force common-neighbor
+    sums (same micro quantization) on random graphs — exercises the
+    triangle-once orientation and the three-way contribution fan-out."""
+    import itertools
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    rng = np.random.default_rng(31)
+    for n, p in ((12, 0.5), (30, 0.2), (20, 0.85)):
+        nodes = [f"N{i:03d}" for i in range(n)]
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < p]
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        wm = {v: math.floor(1e6 / math.log(len(adj[v])) + 0.5)
+              for v in nodes if len(adj[v]) >= 2}
+        truth = {(a, b): sum(wm[z] for z in adj[a] & adj[b])
+                 for a, b in edges}
+        eds = rd.from_pandas(pd.DataFrame(
+            {"e1": [a for a, _ in edges], "e2": [b for _, b in edges]}))
+        out = kg.kg_adamic_adar_ds("sf0.001", edges=eds).to_pandas()
+        got = {(r["e1"], r["e2"]): int(r["aa_micro"])
+               for _, r in out.iterrows()}
+        assert got == truth, (n, p)
+
+
 def test_group_topk_exact_and_deterministic(sf_tag):
     """sample_group_topk keeps exactly min(k, group size) docs per lang,
     ranks 1..n by md5 order, and two runs agree row-for-row."""

@@ -34,7 +34,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_pmi", "kg_pair_formation",
                                   "conv_tool_stats", "kg_neighbors_topk",
                                   "kg_dangling_refs", "kg_ancestors",
-                                  "kg_turtle", "kg_negative_samples"])
+                                  "kg_turtle", "kg_negative_samples",
+                                  "kg_adamic_adar"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
