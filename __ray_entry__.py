@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ancestors": kg.kg_ancestors_ds,
         "kg_negative_samples": kg.kg_negative_samples_ds,
         "kg_entity_lifespan": kg.kg_entity_lifespan_ds,
+        "kg_entity_growth": kg.kg_entity_growth_ds,
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,
         "kg_pair_formation": kg.kg_pair_formation_ds,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": docs.tfidf_top_term_ds,
         "text_postings": docs.text_postings_ds,
         "text_bm25": docs.bm25_topk_ds,
+        "text_hash_features": docs.hash_features_ds,
         "text_bpe_tokens": docs.bpe_token_stats_ds,
         "text_bpe_merges": docs.bpe_merge_candidates_ds,
         "text_distinct_sketch": docs.distinct_sketch_ds,

@@ -1171,6 +1171,15 @@ SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cluster, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
   FROM d3) WHERE rn = 1""",
+        "text_hash_features": """
+WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS w FROM documents)
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) % 64 AS BIGINT)
+    AS dim_idx,
+  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS UBIGINT) < 8
+                THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM tk GROUP BY 1, 2""",
         "text_bm25": """
 WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),
@@ -2144,6 +2153,18 @@ FROM (
   JOIN t ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
   GROUP BY 1, 2)
 GROUP BY 1""",
+        "kg_entity_growth": w + """
+, lf AS (
+  SELECT entity_uri, min(f) AS first_ts_us FROM (
+    SELECT d.entity_uri, d.conv_id, min(epoch_us(t.ts)) AS f
+    FROM (SELECT DISTINCT conv_id, turn_idx, entity_uri FROM linked) d
+    JOIN t ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+    GROUP BY 1, 2) GROUP BY 1),
+pd AS (SELECT first_ts_us // 86400000000 AS day,
+              CAST(count(*) AS BIGINT) AS n_new FROM lf GROUP BY 1)
+SELECT day, n_new AS n_new_entities,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_entities
+FROM pd""",
         "kg_pred_stats": w + "SELECT pred, CAST(count(*) AS BIGINT) AS "
                              "n_triples FROM (" + full_union +
                              ") GROUP BY pred",

@@ -1163,6 +1163,62 @@ def bigram_score_ds(sf_dir: str):
                        Sum("score_micro", alias_name="score_micro")))
 
 
+HASH_FEAT_DIM = 64  # feature-hashing dimensionality
+
+
+def hash_features_ds(sf_dir: str, dim: int = HASH_FEAT_DIM):
+    """Signed feature hashing (the "hashing trick") — each document's
+    token stream folded into a fixed {dim}-dimensional sparse integer
+    vector: feature index = md5(word)[:15] % dim, sign = md5(word)[15]
+    high-bit, value = signed occurrence sum. The vocabulary-free
+    featurizer a large-scale linear/embedding bootstrap uses when a
+    learned tokenizer/vocab is not available yet; deterministic, exact,
+    and oracle-checkable because the hash is md5 (SQL-replicable).
+
+    Output is the flattened sparse form (doc_id, dim_idx, val) — one row
+    per TOUCHED dimension (a dimension whose +1/−1 contributions cancel
+    still surfaces with val = 0, exactly as the SQL GROUP BY does).
+
+    Scale shape: pure per-batch map (token loop + md5 per DISTINCT word
+    per batch, memoized in the actor) with no shuffle; output is bounded
+    by docs × dim. Per-actor word→(idx, sign) memo persists across
+    batches (__init__ state), so the md5 cost amortizes to once per
+    distinct word per actor."""
+    import hashlib
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dim_idx", pa.int64()),
+                            ("val", pa.int64())])
+
+    class Featurize:
+        def __init__(self):
+            self.memo: dict[str, tuple[int, int]] = {}
+
+        def addr(self, w: str) -> tuple[int, int]:
+            a = self.memo.get(w)
+            if a is None:
+                h = hashlib.md5(w.encode()).hexdigest()
+                a = (int(h[:15], 16) % dim,
+                     1 if int(h[15], 16) < 8 else -1)
+                self.memo[w] = a
+            return a
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            out = {"doc_id": [], "dim_idx": [], "val": []}
+            for did, x in zip(df["doc_id"], df["text"]):
+                acc: dict[int, int] = {}
+                for w in T.tokens_lower(x):
+                    i, s = self.addr(w)
+                    acc[i] = acc.get(i, 0) + s
+                out["doc_id"].extend([int(did)] * len(acc))
+                out["dim_idx"].extend(acc.keys())
+                out["val"].extend(acc.values())
+            return pa.Table.from_pydict(out, schema=out_schema)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Featurize, batch_format="pyarrow", concurrency=(1, 8))
+
+
 BM25_QUERY_MOD = 50   # doc_id % MOD == 0 docs play the query set
 BM25_QLEN = 8         # first N tokens of a query doc form its query
 BM25_K = 10           # results per query

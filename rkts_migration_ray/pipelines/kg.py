@@ -1372,6 +1372,49 @@ def kg_triangles_ds(sf_dir: str, concurrency: int = 8, edges=None):
             .aggregate(Sum("n", alias_name="n_triangles")))
 
 
+def kg_entity_growth_ds(sf_dir: str, concurrency: int = 8):
+    """Entity-introduction growth curve: per UTC day, how many entities
+    were mentioned for the FIRST time, plus the running cumulative — the
+    graph-growth telemetry an incremental KG build plots to see whether
+    the corpus is still discovering new entities or has saturated.
+
+    EXACT: builds on kg_entity_lifespan_ds's first_ts_us (itself an exact
+    min-reduce); day = first_ts_us // 86400e6 (floor; timestamps are
+    positive epoch micros), per-day counts are an integer groupby, and the
+    cumulative is computed in ONE final group over the DAY table — bounded
+    by the corpus timespan in days, not by its size, so the single-group
+    step is a deliberate small-side pass, not a driver collect of data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["first_ts_us"], pa.int64()),
+                      pa.scalar(US_PER_DAY, pa.int64()))
+        return pa.table({"day": d,
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_day = (kg_entity_lifespan_ds(sf_dir, concurrency)
+               .map_batches(day_rows, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("n", alias_name="n_new")))
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        return pd.DataFrame({
+            "day": df["day"].to_numpy("int64"),
+            "n_new_entities": df["n_new"].to_numpy("int64"),
+            "cum_entities": df["n_new"].cumsum().to_numpy("int64")})
+
+    return (per_day
+            .map_batches(lambda t: t.append_column(
+                "g", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow")
+            .groupby("g").map_groups(cum, batch_format="pandas"))
+
+
 def kg_adamic_adar_ds(sf_dir: str, concurrency: int = 8, edges=None):
     """Adamic–Adar link strength for every co-occurrence edge:
     AA(a,b) = Σ over common neighbors z of 1/ln(deg z) — the classic

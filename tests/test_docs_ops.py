@@ -90,6 +90,31 @@ def test_bigram_score_matches_brute(sf_tag):
         assert int(row["score_micro"]) == sum(lpm[g] for g in bgs)
 
 
+def test_hash_features_matches_brute(sf_tag):
+    """Independent single-process cross-check of the hashing-trick
+    featurizer: same md5 addressing computed with plain dicts."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    t = pq.read_table(os.path.join(docs.resolve_sf_dir(sf_tag),
+                                   "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas()
+    want = {}
+    for did, x in zip(t["doc_id"], t["text"]):
+        for w in T.tokens_lower(x):
+            h = hashlib.md5(w.encode()).hexdigest()
+            k = (int(did), int(h[:15], 16) % docs.HASH_FEAT_DIM)
+            want[k] = want.get(k, 0) + (1 if int(h[15], 16) < 8 else -1)
+    got = docs.hash_features_ds(sf_tag).to_pandas()
+    assert len(got) == len(want)
+    for did, idx, val in got.itertuples(index=False):
+        assert want[(int(did), int(idx))] == int(val)
+
+
 def test_embed_kmeans_matches_single_process_lloyd(sf_tag):
     """Independent cross-check: the same integer-quantized Lloyd iterations
     run single-process in numpy must reproduce the distributed result

@@ -35,7 +35,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "conv_tool_stats", "kg_neighbors_topk",
                                   "kg_dangling_refs", "kg_ancestors",
                                   "kg_turtle", "kg_negative_samples",
-                                  "kg_adamic_adar"])
+                                  "kg_adamic_adar", "kg_entity_growth"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -63,6 +63,21 @@ def test_ancestors_matches_chain_walk(sf_tag):
     got = kg.kg_ancestors_ds(sf_tag).to_pandas()
     assert set(map(tuple, got[["node", "anc", "depth"]].values.tolist())) == want
     assert len(got) == len(want)  # no duplicate path rows
+
+
+def test_entity_growth_matches_lifespan_cumsum(sf_tag):
+    """Independent cross-check: the growth curve must be exactly the
+    per-day histogram + running sum of the lifespan stage's first_ts_us
+    (computed here with pandas on the collected small table)."""
+    life = kg.kg_entity_lifespan_ds(sf_tag).to_pandas()
+    days = (life["first_ts_us"].astype("int64") // 86_400_000_000)
+    want = days.value_counts().sort_index()
+    got = kg.kg_entity_growth_ds(sf_tag).to_pandas().sort_values(
+        "day").reset_index(drop=True)
+    assert got["day"].tolist() == want.index.tolist()
+    assert got["n_new_entities"].tolist() == want.tolist()
+    assert got["cum_entities"].tolist() == want.cumsum().tolist()
+    assert int(got["cum_entities"].iloc[-1]) == len(life)
 
 
 def test_determinism_two_runs(sf_tag):
