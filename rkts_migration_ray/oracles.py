@@ -1821,6 +1821,36 @@ kbfs AS (SELECT node, 0 AS dist FROM kseed
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM kbfs GROUP BY 1"""
 
 
+def _walks_select(k: int = 4) -> str:
+    """kg_walks oracle: replay the deterministic md5-addressed walks hop
+    by hop — neighbor lists ordered with row_number(), the hop index
+    picked by the same md5("walk|step|cur") % deg address the engine
+    computes, one unrolled CTE per step (k is a small constant)."""
+    parts = [""",
+wdce AS MATERIALIZED (SELECT DISTINCT conv_id, entity_uri FROM linked),
+wed AS MATERIALIZED (
+  SELECT a.entity_uri AS e1, b.entity_uri AS e2
+  FROM wdce a JOIN wdce b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+wadj AS MATERIALIZED (
+  SELECT e1 AS a, e2 AS b FROM wed UNION ALL SELECT e2, e1 FROM wed),
+wr AS MATERIALIZED (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY a) AS deg FROM wadj),
+ws0 AS (SELECT DISTINCT a AS walk_id, a AS cur FROM wadj)"""]
+    for i in range(k):
+        parts.append(f""",
+ws{i + 1} AS (SELECT s.walk_id, r.b AS cur FROM ws{i} s
+  JOIN wr r ON r.a = s.cur AND r.rn = 1 + CAST(
+    CAST(('0x' || substr(md5(s.walk_id || '|{i}|' || s.cur), 1, 15))
+         AS UBIGINT) % CAST(r.deg AS UBIGINT) AS BIGINT))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS BIGINT) AS step, cur AS node FROM ws{i}"
+        for i in range(k + 1))
+    return "".join(parts) + "\n" + sel
+
+
 def _turtle_select(full_union: str) -> str:
     """kg_turtle oracle: the same canonical predicate-grouped subject blocks
     as pipelines/kg.turtle_lines_ds — nested ORDER BY string_agg (objects
@@ -2042,6 +2072,7 @@ SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
+        "kg_walks": w + _walks_select(),
         "kg_ancestors": w + _ancestors_select(full_union),
         "kg_negative_samples": w + _negative_samples_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),

@@ -1555,6 +1555,123 @@ def kg_adamic_adar_ds(sf_dir: str, concurrency: int = 8, edges=None):
             .aggregate(Sum("aa_micro", alias_name="aa_micro")))
 
 
+KG_WALK_LEN = 4  # hops per walk (positions 0..KG_WALK_LEN emitted)
+
+
+def kg_walks_ds(sf_dir: str, walk_len: int = KG_WALK_LEN,
+                concurrency: int = 8, edges=None):
+    """Deterministic md5-addressed random walks over the entity
+    co-occurrence graph — one walk per node, the DeepWalk/node2vec-style
+    corpus generator for graph-embedding training data. At node u on step
+    i of walk w the next hop is sorted_neighbors(u)[md5("w|i|u") % deg(u)]:
+    content-addressed, so walks are reproducible across runs, resumable
+    shards and cluster sizes (no RNG state anywhere — the same discipline
+    as M7's minted ids), and the DuckDB twin replays every hop exactly via
+    row_number()-ordered neighbor lists.
+
+    Scale shape: the symmetric adjacency (node, nbr) is materialized ONCE;
+    each of the walk_len steps is one tagged co-group on a node-hash
+    bucket between adjacency and the frontier (one row per live walk), so
+    per-step shuffle payload is |E| + |V| rows and the md5 hop loop runs
+    over FRONTIER rows only (|V| per step — never corpus-sized). Every
+    node in the symmetric adjacency has deg >= 1, so walks never dead-end
+    and output is exactly |V| x (walk_len + 1) rows. On a multi-node
+    cluster the adjacency side would be hash-partitioned once and reused
+    across steps; Ray Data re-ships it per step, bounded by the small
+    constant walk_len."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(32, 2)
+    if edges is None:
+        edges = cooccurrence_ds(sf_dir, concurrency)
+
+    def explode_sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["e1"].combine_chunks(),
+                                      t["e2"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["e2"].combine_chunks(),
+                                     t["e1"].combine_chunks()])})
+
+    adj = edges.map_batches(explode_sym, batch_format="pyarrow").materialize()
+
+    def node_distinct(t: pa.Table) -> pa.Table:
+        d = t.group_by("node").aggregate([])
+        return pa.table({"kb": hash_bucket(d["node"].combine_chunks(), nb),
+                         "node": d["node"]})
+
+    def start_walks(df: pd.DataFrame) -> pa.Table:
+        nodes = df["node"].drop_duplicates()
+        return from_pandas_clean(pd.DataFrame({
+            "walk_id": nodes, "cur": nodes}))
+
+    frontiers = [(adj.map_batches(node_distinct, batch_format="pyarrow")
+                  .groupby("kb").map_groups(start_walks,
+                                            batch_format="pandas")
+                  .materialize())]
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        return pa.table({"kb": hash_bucket(t["node"].combine_chunks(), nb),
+                         "key": t["node"], "nbr": t["nbr"],
+                         "walk_id": pa.nulls(t.num_rows, pa.string())})
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        return pa.table({"kb": hash_bucket(t["cur"].combine_chunks(), nb),
+                         "key": t["cur"],
+                         "nbr": pa.nulls(t.num_rows, pa.string()),
+                         "walk_id": t["walk_id"]})
+
+    empty_frontier = pa.schema([("walk_id", pa.string()),
+                                ("cur", pa.string())])
+
+    def make_hop(step: int):
+        def hop(df: pd.DataFrame) -> pa.Table:
+            f = df.loc[df["walk_id"].notna(), ["walk_id", "key"]]
+            if not len(f):
+                return pa.Table.from_pydict({"walk_id": [], "cur": []},
+                                            schema=empty_frontier)
+            a = df.loc[df["walk_id"].isna(), ["key", "nbr"]]
+            nbrs = {k: np.sort(g["nbr"].to_numpy(dtype=object))
+                    for k, g in a.groupby("key", sort=False)}
+            outw, outc = [], []
+            for wid, cur in zip(f["walk_id"], f["key"]):
+                ns = nbrs[cur]  # loud KeyError if a walk ever dead-ends
+                h = hashlib.md5(f"{wid}|{step}|{cur}".encode()).hexdigest()
+                outw.append(wid)
+                outc.append(ns[int(h[:15], 16) % len(ns)])
+            return pa.Table.from_pydict({"walk_id": outw, "cur": outc},
+                                        schema=empty_frontier)
+        return hop
+
+    for i in range(walk_len):
+        frontiers.append(
+            (adj.map_batches(tag_adj, batch_format="pyarrow")
+             .union(frontiers[-1].map_batches(tag_frontier,
+                                              batch_format="pyarrow"))
+             .groupby("kb").map_groups(make_hop(i), batch_format="pandas")
+             .materialize()))
+
+    def stamp(step: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"walk_id": t["walk_id"],
+                             "step": pa.array(
+                                 np.full(t.num_rows, step, np.int64)),
+                             "node": t["cur"]})
+        return f
+
+    out = frontiers[0].map_batches(stamp(0), batch_format="pyarrow")
+    for i in range(1, walk_len + 1):
+        out = out.union(frontiers[i].map_batches(stamp(i),
+                                                 batch_format="pyarrow"))
+    return out
+
+
 # transcript markup families (fixtures.py:20-28 grammar; the reference's
 # analogs are the inline markers editionxmltottl.php/kernelxmltottl.php
 # parse out of catalog text). Order is irrelevant: no pattern's match can

@@ -35,7 +35,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "conv_tool_stats", "kg_neighbors_topk",
                                   "kg_dangling_refs", "kg_ancestors",
                                   "kg_turtle", "kg_negative_samples",
-                                  "kg_adamic_adar", "kg_entity_growth"])
+                                  "kg_adamic_adar", "kg_entity_growth",
+                                  "kg_walks"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -63,6 +64,35 @@ def test_ancestors_matches_chain_walk(sf_tag):
     got = kg.kg_ancestors_ds(sf_tag).to_pandas()
     assert set(map(tuple, got[["node", "anc", "depth"]].values.tolist())) == want
     assert len(got) == len(want)  # no duplicate path rows
+
+
+def test_walks_match_single_process_replay(sf_tag):
+    """Independent cross-check: replay every md5-addressed walk
+    single-process from the co-occurrence edge list and compare the full
+    (walk_id, step, node) set."""
+    import hashlib
+
+    import numpy as np
+
+    pairs = kg.cooccurrence_ds(sf_tag).to_pandas()
+    nbrs: dict = {}
+    for a, b in zip(pairs["e1"], pairs["e2"]):
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {k: np.sort(np.array(sorted(v), dtype=object))
+            for k, v in nbrs.items()}
+    want = set()
+    for start in nbrs:
+        cur = start
+        want.add((start, 0, start))
+        for i in range(kg.KG_WALK_LEN):
+            h = hashlib.md5(f"{start}|{i}|{cur}".encode()).hexdigest()
+            cur = nbrs[cur][int(h[:15], 16) % len(nbrs[cur])]
+            want.add((start, i + 1, cur))
+    got = kg.kg_walks_ds(sf_tag).to_pandas()
+    assert set(map(tuple,
+                   got[["walk_id", "step", "node"]].values.tolist())) == want
+    assert len(got) == len(want) == len(nbrs) * (kg.KG_WALK_LEN + 1)
 
 
 def test_entity_growth_matches_lifespan_cumsum(sf_tag):
