@@ -2073,6 +2073,12 @@ FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_walks": w + _walks_select(),
+        "kg_alias_pairs": w + """
+, apal AS (SELECT DISTINCT alias FROM linked)
+SELECT a1, a2, CAST(levenshtein(a1, a2) AS BIGINT) AS dist FROM (
+  SELECT a.alias AS a1, b.alias AS a2
+  FROM apal a JOIN apal b ON a.alias < b.alias)
+WHERE levenshtein(a1, a2) <= 2""",
         "kg_ancestors": w + _ancestors_select(full_union),
         "kg_negative_samples": w + _negative_samples_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),

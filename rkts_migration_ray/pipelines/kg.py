@@ -1672,6 +1672,132 @@ def kg_walks_ds(sf_dir: str, walk_len: int = KG_WALK_LEN,
     return out
 
 
+ALIAS_EDIT_MAX = 2  # Levenshtein radius of the alias-candidate join
+
+
+def kg_alias_pairs_ds(sf_dir: str, max_dist: int = ALIAS_EDIT_MAX):
+    """Gazetteer-expansion candidates: every pair of DISTINCT mention
+    surface forms within Levenshtein distance <= max_dist — the alias-
+    discovery pass a KG pipeline runs to catch misspelled/variant sigla
+    the curated alias maps (rkts.yaml:38-113, J1/J2) don't list yet.
+
+    EXACT without all-pairs, via the symmetric-delete (SymSpell)
+    neighborhood join: lev(a, b) <= d implies the <= d-deletion
+    neighborhoods of a and b intersect, so exploding each alias's
+    deletion variants and co-grouping on the variant surfaces every
+    qualifying pair as a candidate; ONE exact DP verification per
+    deduplicated candidate then removes the (few) over-generated pairs.
+
+    Scale shape: everything downstream of the first distinct is
+    VOCABULARY-sized, not corpus-sized. Variants explode <=
+    1 + L + L(L-1)/2 rows per alias (alias lengths are bounded);
+    quadratic pair generation happens only within one variant's alias
+    list (aliases sharing a 2-deletion core — the blocking key), and
+    candidates are deduplicated on a pair-hash bucket before the DP."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+    from ..stages.extract import explode_mentions
+
+    nb = scale_buckets(32, 2)
+
+    feats = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text",
+                                          "role", "tool", "ts"])
+             .select_columns(["conv_id", "turn_idx", "mentions"]))
+
+    def batch_aliases(t: pa.Table) -> pa.Table:
+        m = explode_mentions(t)
+        if m.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"ab": [], "alias": []},
+                schema=pa.schema([("ab", pa.int64()), ("alias", pa.string())]))
+        d = m.select(["alias"]).group_by("alias").aggregate([])
+        return pa.table({"ab": hash_bucket(d["alias"].combine_chunks(), nb),
+                         "alias": d["alias"]})
+
+    def del_variants(s: str, d: int) -> set[str]:
+        cur = {s}
+        out = {s}
+        for _ in range(d):
+            cur = {t[:i] + t[i + 1:] for t in cur for i in range(len(t))}
+            out |= cur
+        return out
+
+    var_schema = pa.schema([("vb", pa.int64()), ("variant", pa.string()),
+                            ("alias", pa.string())])
+
+    def explode_variants(df: pd.DataFrame) -> pa.Table:
+        aliases = df["alias"].drop_duplicates()
+        vs, als = [], []
+        for a in aliases:
+            for v in del_variants(a, max_dist):
+                vs.append(v)
+                als.append(a)
+        t = pa.Table.from_pydict({"variant": vs, "alias": als},
+                                 schema=pa.schema([("variant", pa.string()),
+                                                   ("alias", pa.string())]))
+        return pa.Table.from_pydict(
+            {"vb": hash_bucket(t["variant"].combine_chunks(), nb),
+             "variant": t["variant"], "alias": t["alias"]},
+            schema=var_schema)
+
+    pair_schema = pa.schema([("pb", pa.int64()), ("a1", pa.string()),
+                             ("a2", pa.string())])
+
+    def variant_pairs(df: pd.DataFrame) -> pa.Table:
+        o1, o2 = [], []
+        for _, g in df.groupby("variant", sort=False):
+            als = np.sort(g["alias"].drop_duplicates().to_numpy(dtype=object))
+            if len(als) < 2:
+                continue
+            i, j = np.triu_indices(len(als), 1)
+            o1.append(als[i])
+            o2.append(als[j])
+        if not o1:
+            return pa.Table.from_pydict({"pb": [], "a1": [], "a2": []},
+                                        schema=pair_schema)
+        pr = pd.DataFrame({"a1": np.concatenate(o1),
+                           "a2": np.concatenate(o2)}).drop_duplicates()
+        key = pa.array((pr["a1"] + "\x1f" + pr["a2"]).to_numpy(dtype=object),
+                       pa.string())
+        return pa.Table.from_pydict(
+            {"pb": hash_bucket(key, nb), "a1": pr["a1"], "a2": pr["a2"]},
+            schema=pair_schema)
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out_schema = pa.schema([("a1", pa.string()), ("a2", pa.string()),
+                            ("dist", pa.int64())])
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        pr = df[["a1", "a2"]].drop_duplicates()
+        ds = [lev(x, y) for x, y in zip(pr["a1"], pr["a2"])]
+        keep = pd.Series(ds, index=pr.index) <= max_dist
+        return pa.Table.from_pydict(
+            {"a1": pr["a1"][keep], "a2": pr["a2"][keep],
+             "dist": pd.Series(ds, index=pr.index)[keep].astype("int64")},
+            schema=out_schema)
+
+    return (feats.map_batches(batch_aliases, batch_format="pyarrow")
+            .groupby("ab").map_groups(explode_variants,
+                                      batch_format="pandas")
+            .groupby("vb").map_groups(variant_pairs, batch_format="pandas")
+            .groupby("pb").map_groups(verify, batch_format="pandas"))
+
+
 # transcript markup families (fixtures.py:20-28 grammar; the reference's
 # analogs are the inline markers editionxmltottl.php/kernelxmltottl.php
 # parse out of catalog text). Order is irrelevant: no pattern's match can

@@ -36,7 +36,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_dangling_refs", "kg_ancestors",
                                   "kg_turtle", "kg_negative_samples",
                                   "kg_adamic_adar", "kg_entity_growth",
-                                  "kg_walks"])
+                                  "kg_walks", "kg_alias_pairs"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -93,6 +93,41 @@ def test_walks_match_single_process_replay(sf_tag):
     assert set(map(tuple,
                    got[["walk_id", "step", "node"]].values.tolist())) == want
     assert len(got) == len(want) == len(nbrs) * (kg.KG_WALK_LEN + 1)
+
+
+def test_alias_pairs_match_brute_force(sf_tag):
+    """Completeness check for the SymSpell deletion-neighborhood join:
+    brute-force O(V^2) Levenshtein over the distinct alias vocabulary must
+    yield exactly the same (a1, a2, dist) set — i.e. the blocking key
+    never loses a qualifying pair and verification removes every
+    over-generated one."""
+    import itertools
+
+    import ray
+
+    feats = kg.features_ds(sf_tag).select_columns(
+        ["conv_id", "turn_idx", "mentions"])
+    aliases = sorted({a for row in ray.get(feats.to_arrow_refs())
+                      for ms in row["mentions"].to_pylist() if ms
+                      for a in ms})
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(x, y, lev(x, y)) for x, y in itertools.combinations(aliases, 2)
+            if lev(x, y) <= kg.ALIAS_EDIT_MAX}
+    got = kg.kg_alias_pairs_ds(sf_tag).to_pandas()
+    assert set(map(tuple, got[["a1", "a2", "dist"]].values.tolist())) == want
+    assert len(got) == len(want)
 
 
 def test_entity_growth_matches_lifespan_cumsum(sf_tag):
