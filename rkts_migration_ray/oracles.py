@@ -2079,6 +2079,22 @@ SELECT a1, a2, CAST(levenshtein(a1, a2) AS BIGINT) AS dist FROM (
   SELECT a.alias AS a1, b.alias AS a2
   FROM apal a JOIN apal b ON a.alias < b.alias)
 WHERE levenshtein(a1, a2) <= 2""",
+        "kg_alias_clusters": w + """
+, apal AS MATERIALIZED (SELECT DISTINCT alias FROM linked),
+ape AS MATERIALIZED (
+  SELECT a.alias AS a, b.alias AS b FROM apal a JOIN apal b
+  ON a.alias < b.alias WHERE levenshtein(a.alias, b.alias) <= 2),
+apes AS (SELECT a, b FROM ape UNION ALL SELECT b, a FROM ape
+         UNION ALL SELECT alias, alias FROM apal),
+apreach AS (
+  SELECT a AS node, a AS member FROM apes
+  UNION
+  SELECT r.node, e.b FROM apreach r JOIN apes e ON e.a = r.member)
+SELECT node AS alias,
+  min(CAST(CAST(('0x' || substr(md5(member), 1, 15)) AS UBIGINT) AS BIGINT))
+    AS component,
+  min(member) AS rep_alias
+FROM apreach GROUP BY 1""",
         "kg_ancestors": w + _ancestors_select(full_union),
         "kg_negative_samples": w + _negative_samples_select(full_union),
         "kg_dangling_refs": w + _dangling_select(full_union),

@@ -1675,6 +1675,37 @@ def kg_walks_ds(sf_dir: str, walk_len: int = KG_WALK_LEN,
 ALIAS_EDIT_MAX = 2  # Levenshtein radius of the alias-candidate join
 
 
+def _alias_vocab_ds(sf_dir: str, nb: int):
+    """Globally DISTINCT mention surface forms (the alias vocabulary):
+    per-batch distinct → alias-hash bucket co-group dedup. Everything
+    downstream of this is vocabulary-sized, not corpus-sized."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket
+    from ..stages.extract import explode_mentions
+
+    feats = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text",
+                                          "role", "tool", "ts"])
+             .select_columns(["conv_id", "turn_idx", "mentions"]))
+
+    def batch_aliases(t: pa.Table) -> pa.Table:
+        m = explode_mentions(t)
+        if m.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"ab": [], "alias": []},
+                schema=pa.schema([("ab", pa.int64()), ("alias", pa.string())]))
+        d = m.select(["alias"]).group_by("alias").aggregate([])
+        return pa.table({"ab": hash_bucket(d["alias"].combine_chunks(), nb),
+                         "alias": d["alias"]})
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("alias")[["alias"]]
+
+    return (feats.map_batches(batch_aliases, batch_format="pyarrow")
+            .groupby("ab").map_groups(dedup, batch_format="pandas"))
+
+
 def kg_alias_pairs_ds(sf_dir: str, max_dist: int = ALIAS_EDIT_MAX):
     """Gazetteer-expansion candidates: every pair of DISTINCT mention
     surface forms within Levenshtein distance <= max_dist — the alias-
@@ -1698,25 +1729,10 @@ def kg_alias_pairs_ds(sf_dir: str, max_dist: int = ALIAS_EDIT_MAX):
     import pandas as pd
     import pyarrow as pa
 
-    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
-                                        scale_buckets)
-    from ..stages.extract import explode_mentions
+    from ..functions.arrowutils import hash_bucket, scale_buckets
 
     nb = scale_buckets(32, 2)
-
-    feats = (features_ds(sf_dir, columns=["conv_id", "turn_idx", "text",
-                                          "role", "tool", "ts"])
-             .select_columns(["conv_id", "turn_idx", "mentions"]))
-
-    def batch_aliases(t: pa.Table) -> pa.Table:
-        m = explode_mentions(t)
-        if m.num_rows == 0:
-            return pa.Table.from_pydict(
-                {"ab": [], "alias": []},
-                schema=pa.schema([("ab", pa.int64()), ("alias", pa.string())]))
-        d = m.select(["alias"]).group_by("alias").aggregate([])
-        return pa.table({"ab": hash_bucket(d["alias"].combine_chunks(), nb),
-                         "alias": d["alias"]})
+    vocab = _alias_vocab_ds(sf_dir, nb)
 
     def del_variants(s: str, d: int) -> set[str]:
         cur = {s}
@@ -1729,8 +1745,8 @@ def kg_alias_pairs_ds(sf_dir: str, max_dist: int = ALIAS_EDIT_MAX):
     var_schema = pa.schema([("vb", pa.int64()), ("variant", pa.string()),
                             ("alias", pa.string())])
 
-    def explode_variants(df: pd.DataFrame) -> pa.Table:
-        aliases = df["alias"].drop_duplicates()
+    def explode_variants(t: pa.Table) -> pa.Table:
+        aliases = t["alias"].to_pylist()
         vs, als = [], []
         for a in aliases:
             for v in del_variants(a, max_dist):
@@ -1791,11 +1807,98 @@ def kg_alias_pairs_ds(sf_dir: str, max_dist: int = ALIAS_EDIT_MAX):
              "dist": pd.Series(ds, index=pr.index)[keep].astype("int64")},
             schema=out_schema)
 
-    return (feats.map_batches(batch_aliases, batch_format="pyarrow")
-            .groupby("ab").map_groups(explode_variants,
-                                      batch_format="pandas")
+    return (vocab.map_batches(explode_variants, batch_format="pyarrow")
             .groupby("vb").map_groups(variant_pairs, batch_format="pandas")
             .groupby("pb").map_groups(verify, batch_format="pandas"))
+
+
+def kg_alias_clusters_ds(sf_dir: str, max_iters: int = 32, pairs=None):
+    """Alias resolution: connected components over the kg_alias_pairs
+    edit-distance graph, plus a canonical representative (min alias) per
+    cluster — the data-derived gazetteer-expansion table an ER pass feeds
+    back into the broadcast alias maps (the curated KTMapping/redirect
+    maps, rkts.yaml:38-113 / kernelxmltottl.php:255-270, are the
+    hand-maintained version of exactly this table). Singleton aliases
+    (no near-miss within the edit radius) keep their own cluster, so the
+    output covers the WHOLE vocabulary.
+
+    EXACT, same machinery as kg_components_ds: component id = min 60-bit
+    md5 over members, min-label propagation with one tagged co-group +
+    min-reduce per round (shared _tagged_min_step), label vector
+    checkpointed between rounds, convergence certified by the exact
+    big-int label sum, and exhausting max_iters RAISES (no silent caps).
+
+    Scale shape: the whole op is VOCABULARY-sized (the alias universe is
+    the ST2 gazetteer bound, orders of magnitude below the corpus); the
+    representative join is one groupby over the final cluster table."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    if pairs is None:
+        pairs = kg_alias_pairs_ds(sf_dir)
+    vocab = _alias_vocab_ds(sf_dir, nb)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["a1"].combine_chunks(), pa.string())
+        b = pc.cast(t["a2"].combine_chunks(), pa.string())
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        return pa.table({"kb": hash_bucket(src, nb), "src": src, "dst": dst})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        als = t["alias"].to_pylist()
+        lbl = np.fromiter(
+            (int(hashlib.md5(a.encode()).hexdigest()[:15], 16) for a in als),
+            dtype="int64", count=len(als))
+        return pa.table({"node": pa.array(als, pa.string()),
+                         "lbl": pa.array(lbl)})
+
+    labels = _checkpoint(
+        vocab.map_batches(init_labels, batch_format="pyarrow"),
+        os.path.join(_session_ckpt_root(), "alias_cc_init"))
+    prev_sum = _exact_i64_sum(labels, "lbl")
+
+    converged = False
+    for it in range(max_iters):
+        labels = _checkpoint(
+            _tagged_min_step(edges, labels, nb, val="lbl", bump=0),
+            os.path.join(_session_ckpt_root(), f"alias_cc_{it}"))
+        cur_sum = _exact_i64_sum(labels, "lbl")
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"kg_alias_clusters: min-label propagation did not reach a "
+            f"fixpoint within max_iters={max_iters} rounds; raise max_iters")
+
+    def lbl_bucket(t: pa.Table) -> pa.Table:
+        # lb = lbl % nb (labels are non-negative 60-bit ints)
+        q = pc.divide(t["lbl"], pa.scalar(nb, pa.int64()))
+        lb = pc.subtract(t["lbl"], pc.multiply(q, pa.scalar(nb, pa.int64())))
+        return t.append_column("lb", pc.cast(lb, pa.int64()))
+
+    def attach_rep(df: pd.DataFrame) -> pa.Table:
+        rep = df.groupby("lbl", sort=False)["node"].transform("min")
+        return from_pandas_clean(pd.DataFrame({
+            "alias": df["node"],
+            "component": df["lbl"].astype("int64"),
+            "rep_alias": rep}))
+
+    return (labels.map_batches(lbl_bucket, batch_format="pyarrow")
+            .groupby("lb").map_groups(attach_rep, batch_format="pandas"))
 
 
 # transcript markup families (fixtures.py:20-28 grammar; the reference's

@@ -36,7 +36,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_dangling_refs", "kg_ancestors",
                                   "kg_turtle", "kg_negative_samples",
                                   "kg_adamic_adar", "kg_entity_growth",
-                                  "kg_walks", "kg_alias_pairs"])
+                                  "kg_walks", "kg_alias_pairs",
+                                  "kg_alias_clusters"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -128,6 +129,40 @@ def test_alias_pairs_match_brute_force(sf_tag):
     got = kg.kg_alias_pairs_ds(sf_tag).to_pandas()
     assert set(map(tuple, got[["a1", "a2", "dist"]].values.tolist())) == want
     assert len(got) == len(want)
+
+
+def test_alias_clusters_match_union_find(sf_tag):
+    """Independent cross-check: single-process union-find over the alias
+    pair list must give the same partition, representative and min-md5
+    component id (singletons included)."""
+    import hashlib
+
+    pairs = kg.kg_alias_pairs_ds(sf_tag).to_pandas()
+    clusters = kg.kg_alias_clusters_ds(sf_tag).to_pandas()
+    parent: dict = {a: a for a in clusters["alias"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a1"], pairs["a2"]):
+        parent[find(a)] = find(b)
+    groups: dict = {}
+    for a in parent:
+        groups.setdefault(find(a), []).append(a)
+    want = {}
+    for mem in groups.values():
+        rep = min(mem)
+        comp = min(int(hashlib.md5(m.encode()).hexdigest()[:15], 16)
+                   for m in mem)
+        for m in mem:
+            want[m] = (comp, rep)
+    got = {a: (int(c), r) for a, c, r in
+           clusters[["alias", "component", "rep_alias"]].itertuples(
+               index=False)}
+    assert got == want
 
 
 def test_entity_growth_matches_lifespan_cumsum(sf_tag):
