@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,
+        "text_bloom_contamination": docs.bloom_contamination_ds,
         "text_vocab": docs.text_vocab_ds,
         "text_entropy": docs.text_entropy_ds,
         "text_bigram_lm": docs.bigram_lm_ds,

@@ -842,6 +842,33 @@ SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams,
 FROM documents d
 LEFT JOIN ng ON d.doc_id = ng.doc_id
 LEFT JOIN hits ON d.doc_id = hits.doc_id""",
+        "text_bloom_contamination": """
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, CAST(len(toks) AS BIGINT) - 6),
+        i -> array_to_string(toks[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')))) AS gram
+      FROM s WHERE len(toks) >= 8),
+ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+bbits AS (SELECT DISTINCT
+    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15))
+         AS UBIGINT) % 65536 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), range(3) r(j)),
+probe AS (SELECT doc_id, gram,
+    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15))
+         AS UBIGINT) % 65536 AS BIGINT) AS bit
+  FROM g, range(3) r(j)),
+hitg AS (SELECT doc_id, gram FROM probe JOIN bbits USING (bit)
+         GROUP BY doc_id, gram HAVING count(*) = 3),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hitg
+         GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams,
+       COALESCE(hits.n, 0) AS n_bloom_hits,
+       (d.doc_id % 50 = 0) AS is_benchmark,
+       (COALESCE(hits.n, 0) > 0 AND d.doc_id % 50 != 0) AS flagged
+FROM documents d
+LEFT JOIN ng ON d.doc_id = ng.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id""",
         "text_unigram_logprob": """
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
              FROM documents),

@@ -1415,6 +1415,93 @@ def contamination_ds(sf_dir: str,
         batch_format="pyarrow", concurrency=(1, 8))
 
 
+BLOOM_BITS = 1 << 16  # bloom filter width (bits)
+BLOOM_K = 3           # hash functions per gram
+
+
+def bloom_contamination_ds(sf_dir: str,
+                           ngram: int = CONTAM_NGRAM,
+                           bench_mod: int = CONTAM_BENCH_MOD,
+                           n_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    """Bloom-filter decontamination screen — the SKETCH path next to the
+    exact contamination_ds: the benchmark gram set is folded into an
+    n_bits-wide Bloom filter (k md5-salted hash functions), and the corpus
+    probe tests each document gram against the filter. At 100 TB this is
+    the production shape when the benchmark gram set itself outgrows the
+    broadcast budget: the filter is a FIXED-size bitmap (n_bits/8 bytes)
+    regardless of benchmark size, ray.put once.
+
+    Fully deterministic INCLUDING false positives (bit addresses are
+    md5("j|gram") % n_bits), so the DuckDB twin reproduces every count
+    exactly — n_bloom_hits >= the exact op's n_hits, with equality except
+    where the filter's documented FP rate fires; `flagged` is the
+    screen's decision (send to the exact verifier / drop).
+
+    Scale shape: the build side explodes DISTINCT benchmark grams to k
+    bit rows (per-batch distinct, bits deduped per batch — the driver
+    collect is bounded by n_bits, NOT by benchmark size); the probe is a
+    stateless per-batch membership map, no shuffle anywhere."""
+    import hashlib
+
+    import ray
+
+    def grams_of(ws: list[str]) -> set[str]:
+        if len(ws) < ngram:
+            return set()
+        return {" ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)}
+
+    def bits_of(gram: str) -> list[int]:
+        return [int(hashlib.md5(f"{j}|{gram}".encode()).hexdigest()[:15], 16)
+                % n_bits for j in range(k)]
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        bits: set[int] = set()
+        for x in t["text"].to_pylist():
+            for g in grams_of(T.tokens_lower(x)):
+                bits.update(bits_of(g))
+        return pa.Table.from_pydict(
+            {"bit": sorted(bits)},
+            schema=pa.schema([("bit", pa.int64())]))
+
+    bench_bits = (_docs(sf_dir, ["doc_id", "text"])
+                  .map_batches(lambda t: t.filter(pc.equal(
+                      pc.subtract(t["doc_id"],
+                                  pc.multiply(pc.divide(t["doc_id"],
+                                                        bench_mod),
+                                              bench_mod)), 0)),
+                      batch_format="pyarrow")
+                  .map_batches(bit_partial, batch_format="pyarrow")
+                  .to_pandas())
+    filt = np.zeros(n_bits, dtype=bool)
+    filt[bench_bits["bit"].to_numpy("int64")] = True
+    filt_ref = ray.put(filt)
+
+    class Probe:
+        def __init__(self, ref):
+            self.filt = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            n_grams, n_hits = [], []
+            for x in df["text"]:
+                gs = grams_of(T.tokens_lower(x))
+                n_grams.append(len(gs))
+                n_hits.append(sum(
+                    1 for g in gs if all(self.filt[b] for b in bits_of(g))))
+            is_bench = (df["doc_id"] % bench_mod == 0).to_numpy()
+            hits = np.array(n_hits, dtype="int64")
+            return from_pandas_clean(pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "n_grams": np.array(n_grams, dtype="int64"),
+                "n_bloom_hits": hits,
+                "is_benchmark": is_bench,
+                "flagged": (hits > 0) & ~is_bench}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Probe, fn_constructor_kwargs={"ref": filt_ref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def unigram_logprob_ds(sf_dir: str):
     """Corpus-unigram-LM quality score per document (the classic
     perplexity-proxy a curation pass uses to rank documents against the

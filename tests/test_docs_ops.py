@@ -90,6 +90,24 @@ def test_bigram_score_matches_brute(sf_tag):
         assert int(row["score_micro"]) == sum(lpm[g] for g in bgs)
 
 
+def test_bloom_contamination_never_misses(sf_tag):
+    """The Bloom guarantee: no false negatives. Every exact hit is a bloom
+    hit (n_bloom_hits >= n_hits per doc), every exactly-contaminated doc
+    is flagged, and benchmark rows agree between the two ops."""
+    from rkts_migration_ray.pipelines import docs
+
+    exact = docs.contamination_ds(sf_tag).to_pandas().set_index("doc_id")
+    bloom = docs.bloom_contamination_ds(sf_tag).to_pandas().set_index(
+        "doc_id")
+    assert set(exact.index) == set(bloom.index)
+    j = exact.join(bloom, lsuffix="_e", rsuffix="_b")
+    assert (j["n_grams_e"] == j["n_grams_b"]).all()
+    assert (j["n_bloom_hits"] >= j["n_hits"]).all()
+    assert bool(j.loc[j["contaminated"].astype(bool), "flagged"].all())
+    assert (j["is_benchmark_e"].astype(bool)
+            == j["is_benchmark_b"].astype(bool)).all()
+
+
 def test_hash_features_matches_brute(sf_tag):
     """Independent single-process cross-check of the hashing-trick
     featurizer: same md5 addressing computed with plain dicts."""
