@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": kg.kg_triangles_ds,
         "kg_adamic_adar": kg.kg_adamic_adar_ds,
         "kg_walks": kg.kg_walks_ds,
+        "kg_walk_pairs": kg.kg_walk_pairs_ds,
         "kg_alias_pairs": kg.kg_alias_pairs_ds,
         "kg_alias_clusters": kg.kg_alias_clusters_ds,
         "conv_clean_text": kg.conv_clean_text_ds,

@@ -1878,6 +1878,21 @@ ws{i + 1} AS (SELECT s.walk_id, r.b AS cur FROM ws{i} s
     return "".join(parts) + "\n" + sel
 
 
+def _walk_pairs_select(k: int = 4, window: int = 2) -> str:
+    """kg_walk_pairs oracle: skip-gram self-join over the replayed walks —
+    (center, context) within +-window steps of the same walk, counted."""
+    body = _walks_select(k)
+    i = body.index("\nSELECT walk_id, CAST(0 AS BIGINT)")
+    ctes, sel = body[:i], body[i + 1:]
+    return f"""{ctes},
+wall AS ({sel})
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n
+FROM wall a JOIN wall b ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) BETWEEN 1 AND {window}
+GROUP BY 1, 2"""
+
+
 def _turtle_select(full_union: str) -> str:
     """kg_turtle oracle: the same canonical predicate-grouped subject blocks
     as pipelines/kg.turtle_lines_ds — nested ORDER BY string_agg (objects
@@ -2100,6 +2115,7 @@ FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_walks": w + _walks_select(),
+        "kg_walk_pairs": w + _walk_pairs_select(),
         "kg_alias_pairs": w + """
 , apal AS (SELECT DISTINCT alias FROM linked)
 SELECT a1, a2, CAST(levenshtein(a1, a2) AS BIGINT) AS dist FROM (

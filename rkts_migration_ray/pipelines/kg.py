@@ -1672,6 +1672,56 @@ def kg_walks_ds(sf_dir: str, walk_len: int = KG_WALK_LEN,
     return out
 
 
+WALK_PAIR_WINDOW = 2  # skip-gram context radius over walk positions
+
+
+def kg_walk_pairs_ds(sf_dir: str, window: int = WALK_PAIR_WINDOW,
+                     walks=None):
+    """Skip-gram (center, context) training pairs from the deterministic
+    walk corpus — the pair stream a graph-embedding trainer (DeepWalk /
+    node2vec word2vec step) consumes; counted so repeated co-visits weight
+    the pair. Composes kg_walks_ds (pass ``walks`` to reuse a checkpointed
+    corpus).
+
+    Scale shape: walk rows bucket on hash(walk_id) — a walk's walk_len+1
+    positions land in one group, so pair generation is a per-bucket merge
+    bounded by walk_len², never cross-walk; per-bucket partial counts then
+    one groupby(center, context) sum."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(32, 2)
+    if walks is None:
+        walks = kg_walks_ds(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({"wb": hash_bucket(t["walk_id"].combine_chunks(), nb),
+                         "walk_id": t["walk_id"], "step": t["step"],
+                         "node": t["node"]})
+
+    pair_schema = pa.schema([("center", pa.string()),
+                             ("context", pa.string()), ("n", pa.int64())])
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        d = df[["walk_id", "step", "node"]]
+        m = d.merge(d, on="walk_id", suffixes=("_a", "_b"))
+        gap = (m["step_a"] - m["step_b"]).abs()
+        m = m[(gap >= 1) & (gap <= window)]
+        agg = (m.groupby(["node_a", "node_b"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pydict(
+            {"center": agg["node_a"], "context": agg["node_b"],
+             "n": agg["n"].astype("int64")}, schema=pair_schema)
+
+    return (walks.map_batches(tag, batch_format="pyarrow")
+            .groupby("wb").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["center", "context"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 ALIAS_EDIT_MAX = 2  # Levenshtein radius of the alias-candidate join
 
 

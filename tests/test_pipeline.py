@@ -37,7 +37,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_turtle", "kg_negative_samples",
                                   "kg_adamic_adar", "kg_entity_growth",
                                   "kg_walks", "kg_alias_pairs",
-                                  "kg_alias_clusters"])
+                                  "kg_alias_clusters", "kg_walk_pairs"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
@@ -94,6 +94,23 @@ def test_walks_match_single_process_replay(sf_tag):
     assert set(map(tuple,
                    got[["walk_id", "step", "node"]].values.tolist())) == want
     assert len(got) == len(want) == len(nbrs) * (kg.KG_WALK_LEN + 1)
+
+
+def test_walk_pairs_match_walk_replay(sf_tag):
+    """Independent cross-check: regenerate skip-gram pairs from the walk
+    table with a plain dict loop and compare counts."""
+    walks = kg.kg_walks_ds(sf_tag).to_pandas()
+    want: dict = {}
+    for _, g in walks.groupby("walk_id", sort=False):
+        g = g.sort_values("step")
+        nodes = g["node"].tolist()
+        for i, a in enumerate(nodes):
+            for j, b in enumerate(nodes):
+                if 1 <= abs(i - j) <= kg.WALK_PAIR_WINDOW:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = kg.kg_walk_pairs_ds(sf_tag).to_pandas()
+    assert {(c, x): int(n) for c, x, n in
+            got[["center", "context", "n"]].itertuples(index=False)} == want
 
 
 def test_alias_pairs_match_brute_force(sf_tag):
