@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,
         "kg_pair_formation": kg.kg_pair_formation_ds,
+        "conv_summary": kg.conv_summary_ds,
         "conv_tool_stats": kg.conv_tool_stats_ds,
         "conv_turn_gaps": kg.conv_turn_gaps_ds,
         "conv_role_transitions": kg.conv_role_transitions_ds,

@@ -2155,6 +2155,14 @@ SELECT entity_uri, neighbor_uri, n_convs, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY entity_uri
             ORDER BY n_convs DESC, neighbor_uri) AS BIGINT) AS rank
   FROM nsym) WHERE rank <= 5""",
+        "conv_summary": w + """
+, smt AS (SELECT conv_id, turn_idx,
+          CAST(count(DISTINCT entity_uri) AS BIGINT) AS n_entities
+          FROM linked GROUP BY 1, 2)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_entities FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+            ORDER BY n_entities DESC, turn_idx) AS rn FROM smt)
+WHERE rn = 1""",
         "conv_role_transitions": w + """
 , o AS (SELECT conv_id, COALESCE(role, '') AS role,
          lag(COALESCE(role, '')) OVER (PARTITION BY conv_id

@@ -2695,6 +2695,59 @@ def kg_pair_formation_ds(sf_dir: str, concurrency: int = 8):
         batch_format="pyarrow")
 
 
+def conv_summary_ds(sf_dir: str, concurrency: int = 8):
+    """Extractive conversation summary: the most entity-DENSE turn per
+    conversation (distinct linked entities; ties broken by earliest
+    turn_idx) — the deterministic 'conv-has-summary' analog of the
+    reference's title policy (kernelxmltottl.php:5-34 picks the FIRST
+    title per language; here the pick is content-scored instead of
+    first-wins). Conversations with no linked mentions have no summary
+    row, exactly as works without titles get no title node.
+
+    Scale shape: linked mention rows are already globally distinct per
+    (conv, turn, entity) — the fused linker dedups within the turn and a
+    turn never straddles a batch — so per-turn entity counts are a
+    map-side-combined groupby; the per-conv argmax co-groups on a
+    conv-hash bucket (one row per mentioning TURN, not per mention)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby(["conv_id", "turn_idx"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g)
+
+    per_turn = (linked_mentions_ds(sf_dir, concurrency)
+                .select_columns(["conv_id", "turn_idx"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(["conv_id", "turn_idx"])
+                .aggregate(Sum("n", alias_name="n"))
+                .map_batches(add_conv_bucket,
+                             fn_kwargs={"n_buckets": conv_buckets()},
+                             batch_format="pyarrow"))
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("turn_idx", pa.int64()),
+                            ("n_entities", pa.int64())])
+
+    def argmax(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "n", "turn_idx"],
+                            ascending=[True, False, True], kind="stable")
+        top = df.groupby("conv_id", sort=False).head(1)
+        return pa.Table.from_pydict(
+            {"conv_id": top["conv_id"],
+             "turn_idx": top["turn_idx"].astype("int64"),
+             "n_entities": top["n"].astype("int64")}, schema=out_schema)
+
+    return per_turn.groupby("conv_bucket").map_groups(
+        argmax, batch_format="pandas")
+
+
 def conv_tool_stats_ds(sf_dir: str):
     """Per-tool usage census over the transcript stream: call count,
     distinct-conversation count and first/last call time (epoch micros) for
