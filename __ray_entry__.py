@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_pairs": kg.kg_alias_pairs_ds,
         "kg_alias_clusters": kg.kg_alias_clusters_ds,
         "conv_clean_text": kg.conv_clean_text_ds,
+        "conv_pii_spans": kg.conv_pii_spans_ds,
+        "conv_pii_redact": kg.conv_pii_redact_ds,
         "kg_khop": kg.kg_khop_ds,
         "kg_ancestors": kg.kg_ancestors_ds,
         "kg_negative_samples": kg.kg_negative_samples_ds,

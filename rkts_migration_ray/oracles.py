@@ -2007,6 +2007,46 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM t"""
 
 
+def _pii_spans_select() -> str:
+    """conv_pii_spans oracle: per-family regexp_extract_all zipped with
+    generate_subscripts (DuckDB runs same-length unnests in lockstep) —
+    one UNION ALL arm per family, each extracting from the ORIGINAL text,
+    exactly the engine's independent per-family streams."""
+    from .pipelines.kg import PII_PATTERNS
+
+    parts = []
+    for fam, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        parts.append(f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, '{fam}' AS family,
+ CAST(generate_subscripts(regexp_extract_all(COALESCE(text, ''), '{lit}'), 1)
+      - 1 AS BIGINT) AS match_idx,
+ unnest(regexp_extract_all(COALESCE(text, ''), '{lit}')) AS span
+FROM t""")
+    return "\nUNION ALL ".join(parts)
+
+
+def _pii_redact_select() -> str:
+    """conv_pii_redact oracle: per-family counts on the raw text, then
+    sequential regexp_replace with typed <FAMILY> placeholders — the same
+    RE2 semantics as the engine's Arrow kernels."""
+    from .pipelines.kg import PII_PATTERNS
+
+    red = "COALESCE(text, '')"
+    counts = []
+    for fam, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all(COALESCE(text, ''), '{lit}'))")
+        red = f"regexp_replace({red}, '{lit}', '<{fam.upper()}>', 'g')"
+    total = " + ".join(counts)
+    return f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+ {red} AS redacted_text,
+ CAST({total} AS BIGINT) AS n_redacted
+FROM t"""
+
+
 def _img_numbers_select(sf_dir_or_tag: str) -> str:
     """SQL twin of kg.image_numbers_ds (stages/imgnum.py ↔
     utils.php:280-404): volume index reconstruction (missing→next,
@@ -2331,6 +2371,8 @@ aasc AS (SELECT x, y, sum(wt.wm) AS s
 SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
 FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
+        "conv_pii_spans": w + _pii_spans_select(),
+        "conv_pii_redact": w + _pii_redact_select(),
         # exact neighborhood-Jaccard over the co-occurrence graph (the
         # adj-join formulation is the order-free twin of the engine's
         # prefix-filtered candidate generation)

@@ -2002,6 +2002,92 @@ def conv_clean_text_ds(sf_dir: str):
             clean, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# sensitive-span families for the PII-scrubber pair below. The first three
+# are the standard PII surface of a web-corpus pipeline (exercised by unit
+# tests; the synthetic corpus contains none by construction); the identifier
+# families are the fixture's own "sensitive ids" — entity mentions and
+# location/chapter refs (fixtures.py:20-28), the rKTs analog of user
+# identifiers. Patterns are RE2-compatible AND Rust-regex-compatible (no
+# backrefs/lookaround), so polars extract_all and the DuckDB twin agree;
+# each family is extracted from the ORIGINAL text independently, so family
+# order and overlap cannot change any family's match stream.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{4}"),
+    ("entity_id", r"@\[[^\]]*\]"),
+    ("location_ref", r"locs?\{[^}]*\}"),
+    ("chapter_ref", r"chls?\{[^}]*\}"),
+)
+
+
+def conv_pii_spans_ds(sf_dir: str):
+    """Typed sensitive-span extraction (the audit table a PII scrubber
+    emits before redacting): one row per (turn, family, match ordinal)
+    with the matched span text, in document order. Pure per-batch map —
+    polars extract_all (vectorized Rust regex) + explode, no Python in
+    the row path, no shuffle; match_idx is batch-local-safe because a
+    turn's rows never straddle a batch (each input row IS one turn)."""
+    import polars as pl
+
+    def spans(t) -> "pa.Table":
+        import pyarrow as pa
+
+        df = pl.from_arrow(t).with_columns(
+            pl.col("text").fill_null(""),
+            pl.col("turn_idx").cast(pl.Int64))
+        outs = []
+        for fam, pat in PII_PATTERNS:
+            e = (df.select(
+                    "conv_id", "turn_idx",
+                    pl.col("text").str.extract_all(pat).alias("span"))
+                 .explode("span").drop_nulls("span"))
+            outs.append(e.with_columns(
+                pl.lit(fam).alias("family"),
+                pl.int_range(pl.len()).over(["conv_id", "turn_idx"])
+                  .alias("match_idx"))
+                .select("conv_id", "turn_idx", "family", "match_idx", "span"))
+        out = pl.concat(outs)
+        return out.to_arrow().cast(pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+            ("family", pa.string()), ("match_idx", pa.int64()),
+            ("span", pa.string())]))
+
+    return readers.read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]).map_batches(
+            spans, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def conv_pii_redact_ds(sf_dir: str):
+    """Redacted per-turn text: every sensitive span replaced by a typed
+    `<FAMILY>` placeholder (redaction, not deletion — downstream training
+    keeps the discourse shape), plus the total replaced-span count.
+    Counts are taken per family on the ORIGINAL text, replacements run
+    sequentially in PII_PATTERNS order (families don't overlap on real
+    matches, so the order is a tie-break, not a semantic). Pure Arrow
+    RE2 kernel map like conv_clean_text_ds — no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    def redact(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        text = pc.if_else(pc.is_valid(text), text, pa.scalar("", pa.string()))
+        n = pa.array(np.zeros(len(text), np.int64))
+        for _, pat in PII_PATTERNS:
+            n = pc.add(n, pc.cast(pc.count_substring_regex(text, pat),
+                                  pa.int64()))
+        for fam, pat in PII_PATTERNS:
+            text = pc.replace_substring_regex(
+                text, pat, "<" + fam.upper() + ">")
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "redacted_text": text, "n_redacted": n})
+
+    return readers.read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]).map_batches(
+            redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 KHOP_K = 4          # BFS depth bound
 KHOP_SEED_PREFIX = "C:"   # conversation root nodes seed the frontier
 

@@ -38,7 +38,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_adamic_adar", "kg_entity_growth",
                                   "kg_walks", "kg_alias_pairs",
                                   "kg_alias_clusters", "kg_walk_pairs",
-                                  "conv_summary"])
+                                  "conv_summary", "conv_pii_spans",
+                                  "conv_pii_redact"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
