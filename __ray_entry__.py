@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: text analysis -------------------------------
         "text_stats": docs.text_stats_ds,
         "text_repetition": docs.text_repetition_ds,
+        "text_gopher_quality": docs.text_gopher_quality_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,

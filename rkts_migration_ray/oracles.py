@@ -786,6 +786,7 @@ th AS (SELECT g.k, min(r.q_micro) AS t
 SELECT q.doc_id, q.q_micro,
        CAST(COALESCE(sum(CASE WHEN q.q_micro > th.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS decile
 FROM q CROSS JOIN th GROUP BY q.doc_id, q.q_micro""",
+        "text_gopher_quality": _gopher_select(),
         "text_repetition": """
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
            FROM documents),
@@ -2005,6 +2006,46 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
  trim(regexp_replace({cleaned}, '\\s+', ' ', 'g')) AS clean_text,
  CAST({total} AS BIGINT) AS n_markers
 FROM t"""
+
+
+def _gopher_select() -> str:
+    """text_gopher_quality oracle: the same RE2 counts the engine's Arrow
+    kernels take (verified kernel-by-kernel incl. (?m) anchors), the same
+    integer cross-multiplied keep rule, round-6 ratio reporting."""
+    from .pipelines.docs import (GOPHER_MAX_WORDS, GOPHER_MIN_WORDS,
+                                 GOPHER_STOPS)
+
+    hits = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPS)
+    return rf"""
+WITH m AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+  CAST(length(text) - len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_wchars,
+  CAST(len(regexp_extract_all(text, '\n')) + 1 AS BIGINT) AS n_lines,
+  CAST(len(regexp_extract_all(text, '#'))
+     + len(regexp_extract_all(text, '\.\.\.'))
+     + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym,
+  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
+  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_ell,
+  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha,
+  CAST({hits} AS BIGINT) AS stop_hits
+ FROM documents)
+SELECT doc_id, n_words, n_lines,
+ round(CASE WHEN n_words > 0 THEN CAST(n_wchars AS DOUBLE) / n_words ELSE 0 END, 6) AS mean_word_len,
+ round(CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words ELSE 0 END, 6) AS symbol_ratio,
+ round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+ round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+ round(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0 END, 6) AS alpha_frac,
+ stop_hits,
+ (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+  AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+  AND 10 * n_sym < n_words
+  AND 10 * n_bullet < 9 * n_lines
+  AND 10 * n_ell < 3 * n_lines
+  AND 5 * n_alpha >= 4 * n_words
+  AND stop_hits >= 2) AS keep
+FROM m"""
 
 
 def _pii_spans_select() -> str:

@@ -899,6 +899,92 @@ def text_repetition_ds(sf_dir: str,
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow")
 
 
+# the Gopher rule set (Rae et al. 2021, §A1.1) — required-stopword list and
+# the published thresholds, restated as INTEGER cross-multiplications so the
+# keep flag can never flip on a float-representation boundary:
+#   50 ≤ n_words ≤ 100000; 3 ≤ mean word len ≤ 10  ⇔  3·W ≤ C ≤ 10·W
+#   symbol/word < 0.1      ⇔ 10·S <  W      bullet lines < 0.9 ⇔ 10·B < 9·L
+#   ellipsis lines < 0.3   ⇔ 10·E < 3·L     alpha words ≥ 0.8  ⇔ 5·A ≥ 4·W
+#   ≥ 2 distinct required stopwords present
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def text_gopher_quality_ds(sf_dir: str):
+    """Gopher-style document-quality filter (the full published rule set,
+    complementing text_repetition's repetition rules and text_stats'
+    stopword score): per-doc word/line counts, mean word length, symbol
+    ratio, bullet- and ellipsis-line fractions, alpha-word fraction,
+    required-stopword hits, and the composite keep flag.
+
+    Pure per-batch map, zero shuffle, zero Python in the row path — every
+    metric is ONE Arrow RE2 kernel over the batch (count_substring_regex /
+    count_substring / utf8_length), the same RE2 grammar the DuckDB twin
+    evaluates (verified kernel-by-kernel incl. (?m) line anchors). Ratios
+    are reported as round-6 doubles for humans; the keep flag uses only the
+    integer counts (see GOPHER_STOPS block comment), so engine and oracle
+    agree bit-for-bit."""
+
+    def gopher(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        i64 = pa.int64()
+        W = pc.cast(pc.count_substring_regex(text, r"\S+"), i64)
+        # word characters = codepoints minus whitespace codepoints
+        C = pc.subtract(
+            pc.cast(pc.utf8_length(text), i64),
+            pc.cast(pc.count_substring_regex(text, r"\s"), i64))
+        L = pc.add(pc.cast(pc.count_substring(text, "\n"), i64), 1)
+        S = pc.add(
+            pc.cast(pc.count_substring(text, "#"), i64),
+            pc.add(pc.cast(pc.count_substring_regex(text, r"\.\.\."), i64),
+                   pc.cast(pc.count_substring(text, "…"), i64)))
+        B = pc.cast(pc.count_substring_regex(text, r"(?m)^[ \t]*[-*•]"), i64)
+        E = pc.cast(
+            pc.count_substring_regex(text, r"(?m)(\.\.\.|…)[ \t]*$"), i64)
+        A = pc.cast(
+            pc.count_substring_regex(text, r"\S*[A-Za-z]\S*"), i64)
+        low = pc.utf8_lower(text)
+        hits = pa.array(np.zeros(len(text), np.int64))
+        for w in GOPHER_STOPS:
+            hits = pc.add(hits, pc.cast(pc.greater(
+                pc.count_substring_regex(low, rf"\b{w}\b"), 0), i64))
+
+        wn = np.asarray(W, dtype=np.float64)
+        ln = np.asarray(L, dtype=np.float64)
+        safe_w = np.maximum(wn, 1.0)
+        keep = (
+            pc.and_(pc.and_(pc.and_(
+                pc.greater_equal(W, GOPHER_MIN_WORDS),
+                pc.less_equal(W, GOPHER_MAX_WORDS)),
+                pc.and_(pc.less_equal(pc.multiply(W, 3), C),
+                        pc.less_equal(C, pc.multiply(W, 10)))),
+                pc.and_(pc.and_(
+                    pc.less(pc.multiply(S, 10), W),
+                    pc.less(pc.multiply(B, 10), pc.multiply(L, 9))),
+                    pc.and_(pc.and_(
+                        pc.less(pc.multiply(E, 10), pc.multiply(L, 3)),
+                        pc.greater_equal(pc.multiply(A, 5),
+                                         pc.multiply(W, 4))),
+                        pc.greater_equal(hits, 2)))))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": W, "n_lines": L,
+            "mean_word_len": pa.array(round_half_away(
+                np.where(wn > 0, np.asarray(C, np.float64) / safe_w, 0.0))),
+            "symbol_ratio": pa.array(round_half_away(
+                np.where(wn > 0, np.asarray(S, np.float64) / safe_w, 0.0))),
+            "bullet_frac": pa.array(round_half_away(
+                np.asarray(B, np.float64) / ln)),
+            "ellipsis_frac": pa.array(round_half_away(
+                np.asarray(E, np.float64) / ln)),
+            "alpha_frac": pa.array(round_half_away(
+                np.where(wn > 0, np.asarray(A, np.float64) / safe_w, 0.0))),
+            "stop_hits": hits, "keep": keep})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def text_vocab_ds(sf_dir: str, k: int = 100):
     """Corpus vocabulary top-k: the canonical pre-aggregated wordcount.
 

@@ -305,7 +305,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "split_assign", "split_leakage",
                                   "rel_basket_pairs", "rel_events_zscore",
                                   "rel_events_wau", "text_bigram_score",
-                                  "text_bm25", "embed_kmeans"])
+                                  "text_bm25", "embed_kmeans",
+                                  "text_gopher_quality"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1737,3 +1738,33 @@ def test_jsonl_export_roundtrip_and_resume(sf_tag, tmp_path):
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2[sorted(got2.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_gopher_keep_flag_both_polarities(tmp_path):
+    """The sf fixtures never satisfy stop_hits >= 2, so the oracle-parity
+    hash only sees keep=false there; drive the REAL pipeline over crafted
+    docs that exercise every rule in both directions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    good = ("the quick brown fox jumps over that lazy dog and we have fun "
+            "with plain words " * 5)            # 80 words, all rules pass
+    cases = {
+        1: (good, True),
+        2: ("word " * 10, False),               # < 50 words
+        3: (good + "## # ### ## # ## # ## #", False),   # symbol ratio
+        4: (good + "\n" + "\n".join("- b" for _ in range(40)), False),  # bullets
+        5: (good.replace("words ", "words... \n") , False),  # ellipsis lines
+        6: (good + " " + "9 " * 40, False),     # alpha-word frac < 0.8
+        7: ("zz qq xx vv kk " * 16, False),     # no required stopwords
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(cases), pa.int64()),
+        "text": pa.array([cases[i][0] for i in sorted(cases)], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (docs.text_gopher_quality_ds(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    for i, (_, want) in cases.items():
+        assert bool(got.loc[i, "keep"]) is want, (i, got.loc[i].to_dict())
