@@ -743,6 +743,22 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "docs_mixture_weights": """
+WITH tok AS (SELECT source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n
+      FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS sqrt_micro FROM s),
+t AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS tot_swt,
+             CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM w)
+SELECT source, n_docs, n_tokens, sqrt_micro,
+ CAST(n_tokens * 1000000 // greatest(t.tot_tok, 1) AS BIGINT) AS share_ppm,
+ CAST(sqrt_micro * 1000000 // greatest(t.tot_swt, 1) AS BIGINT) AS weight_ppm,
+ CAST((sqrt_micro * 1000000 // greatest(t.tot_swt, 1))
+      * (t.tot_tok // 1000000) AS BIGINT) AS expected_tokens
+FROM w, t""",
         "sample_token_budget": """
 WITH tok AS (SELECT doc_id, source,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens

@@ -796,6 +796,70 @@ def sample_token_budget_ds(sf_dir: str):
     return per_doc.map_batches(keep, batch_format="pyarrow")
 
 
+def docs_mixture_weights_ds(sf_dir: str):
+    """Data-derived domain-mixture weights: per-source sampling weight
+    proportional to sqrt(source token count) — the α=0.5 temperature
+    sampling a multi-domain pre-training mix applies so small domains are
+    up-weighted without letting giant domains dominate (the complement of
+    sample_token_budget, whose mix is CONFIG-driven).
+
+    EXACT by construction: the only float op is one IEEE-correctly-rounded
+    sqrt per source, immediately floored into integer micro-units
+    (sqrt_micro = floor(sqrt(n_tokens)·1e6)); weights and shares are
+    integer-division ppm, and expected_tokens = weight_ppm · (total_tokens
+    // 1e6) keeps every product under 2^63 even at 10^13 corpus tokens.
+
+    Scale shape: text is tokenized once in a per-batch map that emits only
+    (source, n_docs, n_tokens) PARTIALS (one row per source per batch);
+    the groupby-sum shuffle moves rows bounded by n_sources × n_blocks;
+    normalization needs the cross-source totals, so the final stage is one
+    map_groups over a constant key — a single task over n_sources rows,
+    never over documents."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"].combine_chunks())
+        n = pc.cast(pc.count_substring_regex(low, "[a-z]+"), pa.int64())
+        df = pd.DataFrame({"source": t["source"].to_pandas(),
+                           "n": np.asarray(n)})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "size"), n_tokens=("n", "sum"))
+        return pa.table({"source": pa.array(agg["source"], pa.string()),
+                         "n_docs": pa.array(agg["n_docs"].to_numpy("int64")),
+                         "n_tokens": pa.array(
+                             agg["n_tokens"].to_numpy("int64"))})
+
+    def normalize(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("source").reset_index(drop=True)
+        n_tok = df["n_tokens"].to_numpy("int64")
+        swt = np.floor(np.sqrt(n_tok.astype(np.float64)) * 1e6).astype("int64")
+        tot_swt = int(swt.sum())
+        tot_tok = int(n_tok.sum())
+        weight = swt * 1_000_000 // max(tot_swt, 1)
+        share = n_tok * 1_000_000 // max(tot_tok, 1)
+        return pa.table({
+            "source": pa.array(df["source"], pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy("int64")),
+            "n_tokens": pa.array(n_tok),
+            "sqrt_micro": pa.array(swt),
+            "share_ppm": pa.array(share),
+            "weight_ppm": pa.array(weight),
+            "expected_tokens": pa.array(weight * (tot_tok // 1_000_000))})
+
+    return (_docs(sf_dir, ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .map_batches(lambda t: t.append_column(
+                "k", pa.array(np.zeros(len(t), np.int32))),
+                batch_format="pyarrow")
+            .groupby("k")
+            .map_groups(lambda df: normalize(df.drop(columns=["k"])),
+                        batch_format="pandas"))
+
+
 def quality_bins_ds(sf_dir: str, n_bins: int = 10):
     """Quality-decile binning (curriculum / mixture construction: split the
     corpus into quality tiers before weighting them into a training mix).
