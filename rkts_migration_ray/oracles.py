@@ -661,6 +661,8 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 
 
 def _doc_rel_oracle_sql_base() -> dict[str, str]:
+    from .pipelines.docs import KNN_GRAPH_K as _KNN_GRAPH_K
+
     return {
         "dedup_simhash": _simhash_fp_ctes() + """
 SELECT s.doc_id, lower(lpad(hex(s.v), 16, '0')) AS simhash,
@@ -914,6 +916,23 @@ FROM h""",
         "doc_fingerprint": r"""
 SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
 FROM documents""",
+        "knn_graph": f"""
+WITH sims AS (
+ SELECT a.vec_id AS src, b.vec_id AS dst,
+  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) AS s
+ FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, s,
+       row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+      FROM sims),
+t AS (SELECT * FROM r WHERE rank <= {_KNN_GRAPH_K}),
+m AS (SELECT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b,
+       CAST(sum(CASE WHEN src < dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ab,
+       CAST(sum(CASE WHEN src > dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ba,
+       max(s) AS s, count(*) AS c
+      FROM t GROUP BY 1, 2)
+SELECT doc_a, doc_b, rank_ab, rank_ba, round(s, 6) AS cos_sim
+FROM m WHERE c = 2""",
         "knn_brute": """
 WITH sims AS (
  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -2059,6 +2059,104 @@ def _load_queries(sf_dir: str, n: int = KNN_N_QUERIES):
     return ids, Q
 
 
+KNN_GRAPH_K = 5
+
+
+class _KnnGraphPartial:
+    """Per-batch exact top-k against the broadcast normalized corpus matrix
+    — because the corpus side of the matmul is COMPLETE, each batch's top-k
+    rows are already globally exact (no merge stage needed)."""
+
+    def __init__(self, c_ref=None, corpus=None, k: int = KNN_GRAPH_K):
+        import ray
+
+        ids, C = corpus if corpus is not None else ray.get(c_ref)
+        self.cids = ids
+        self.Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(batch)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = En @ self.Cn.T  # (batch, corpus)
+        # deterministic per-row top-k: sort by (-sim, dst), self excluded
+        order = np.lexsort((self.cids[None, :].repeat(len(ids), 0),
+                            -sims), axis=1)
+        src, dst, rank, cos = [], [], [], []
+        for i, sid in enumerate(ids):
+            row = order[i]
+            row = row[self.cids[row] != sid][:self.k]
+            src.extend([sid] * len(row))
+            dst.extend(self.cids[row])
+            rank.extend(range(1, len(row) + 1))
+            cos.extend(sims[i, row])
+        return pa.table({"src": pa.array(np.asarray(src, np.int64)),
+                         "dst": pa.array(np.asarray(dst, np.int64)),
+                         "rank": pa.array(np.asarray(rank, np.int64)),
+                         "s": pa.array(np.asarray(cos, np.float64))})
+
+
+def knn_graph_ds(sf_dir: str, k: int = KNN_GRAPH_K):
+    """Mutual-kNN graph over the embedding table: edge (a, b) iff b is in
+    a's exact cosine top-k AND a is in b's — the neighborhood graph that
+    seeds embedding-space clustering / diversity analysis / semantic-dedup
+    blocking, with both directions' ranks attached.
+
+    Scale shape: the corpus matrix is broadcast ONCE (ray.put; this brute
+    variant is the oracle-checkable baseline — the corpus-larger-than-RAM
+    path is the partitioned knn_ivf/knn_lsh indexes, same as knn_brute) and
+    every batch's matmul row is exact against the FULL corpus, so there is
+    no per-query merge; the only shuffle is the mutuality check, which
+    ships one 32-byte row per directed top-k edge (k·N rows total,
+    text/vectors never move) through a groupby on the undirected pair key.
+    Determinism: per-row ties break to the smaller dst; cos(a,b) is the
+    same BLAS dot in both directions, so Max() over the pair is exact."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    corpus = (np.asarray(t["vec_id"]),
+              np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    c_ref = ray.put(corpus)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"]); dst = np.asarray(t["dst"])
+        rank = np.asarray(t["rank"])
+        fwd = src < dst
+        return pa.table({
+            "doc_a": pa.array(np.where(fwd, src, dst)),
+            "doc_b": pa.array(np.where(fwd, dst, src)),
+            "rank_ab": pa.array(np.where(fwd, rank, 0)),
+            "rank_ba": pa.array(np.where(fwd, 0, rank)),
+            "s": t["s"]})
+
+    def mutual(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["rank_ab"], 0),
+                       pc.greater(t["rank_ba"], 0))
+        t = t.filter(keep)
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "rank_ab": pc.cast(t["rank_ab"], pa.int64()),
+            "rank_ba": pc.cast(t["rank_ba"], pa.int64()),
+            "cos_sim": pa.array(round_half_away(np.asarray(t["s"])))})
+
+    return (_embeddings(sf_dir)
+            .map_batches(_KnnGraphPartial, batch_format="pyarrow",
+                         fn_constructor_kwargs={"c_ref": c_ref, "k": k},
+                         concurrency=(1, 4))
+            .map_batches(undirect, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Sum("rank_ab", alias_name="rank_ab"),
+                       Sum("rank_ba", alias_name="rank_ba"),
+                       Max("s", alias_name="s"))
+            .map_batches(mutual, batch_format="pyarrow"))
+
+
 def knn_brute_ds(sf_dir: str):
     """Exact cosine top-k for the first KNN_N_QUERIES vectors (the baseline).
 
