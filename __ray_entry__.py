@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg.kg_degrees_ds,
         "kg_degree_histogram": kg.kg_degree_histogram_ds,
         "kg_pagerank": kg.kg_pagerank_ds,
+        "kg_hits": kg.kg_hits_ds,
         "kg_triangles": kg.kg_triangles_ds,
         "kg_adamic_adar": kg.kg_adamic_adar_ds,
         "kg_walks": kg.kg_walks_ds,

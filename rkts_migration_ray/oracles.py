@@ -1863,6 +1863,43 @@ pr{i} AS MATERIALIZED (
     return s + f"\nSELECT node, r AS pagerank FROM pr{iters}"
 
 
+def _hits_select(full_union: str, iters: int = 3) -> str:
+    """kg_hits oracle: fixed-iteration HITS in int64 — raw score = exact
+    integer sum over neighbors, renormalized by integer division with
+    g = max(max_raw // SCALE, 1). Unrolled MATERIALIZED CTEs for the same
+    plan-explosion reason as _pagerank_select; h0 = SCALE for every node."""
+    from .functions.ntriples import OBJ_URI_PREDS
+    from .pipelines.kg import HITS_SCALE
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    s = f""",
+he AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM (
+{full_union}
+) WHERE pred IN ({preds})),
+hnn AS MATERIALIZED (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM he UNION ALL SELECT dst FROM he)),
+hh0 AS MATERIALIZED (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS r FROM hnn)"""
+    for i in range(1, iters + 1):
+        s += f""",
+har{i} AS MATERIALIZED (SELECT he.dst AS node, CAST(SUM(p.r) AS BIGINT) AS r
+        FROM he JOIN hh{i - 1} p ON he.src = p.node GROUP BY 1),
+hag{i} AS MATERIALIZED (SELECT greatest(COALESCE(max(r), 0) // {HITS_SCALE}, 1)
+        AS g FROM har{i}),
+haa{i} AS MATERIALIZED (SELECT node, CAST(r // hag{i}.g AS BIGINT) AS r
+        FROM har{i} CROSS JOIN hag{i}),
+hhr{i} AS MATERIALIZED (SELECT he.src AS node, CAST(SUM(p.r) AS BIGINT) AS r
+        FROM he JOIN haa{i} p ON he.dst = p.node GROUP BY 1),
+hhg{i} AS MATERIALIZED (SELECT greatest(COALESCE(max(r), 0) // {HITS_SCALE}, 1)
+        AS g FROM hhr{i}),
+hh{i} AS MATERIALIZED (SELECT node, CAST(r // hhg{i}.g AS BIGINT) AS r
+        FROM hhr{i} CROSS JOIN hhg{i})"""
+    return s + f"""
+SELECT n.node, CAST(COALESCE(h.r, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a.r, 0) AS BIGINT) AS authority
+FROM hnn n LEFT JOIN hh{iters} h USING (node)
+LEFT JOIN haa{iters} a USING (node)"""
+
+
 def _khop_select(full_union: str, k: int = 4) -> str:
     """kg_khop oracle: depth-limited BFS from the C:* conversation roots
     over the symmetric resource graph — recursive CTE with UNION (dedup)
@@ -2229,6 +2266,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
 SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
+        "kg_hits": w + _hits_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_walks": w + _walks_select(),
         "kg_walk_pairs": w + _walk_pairs_select(),

@@ -1185,6 +1185,179 @@ def kg_pagerank_ds(sf_dir: str, iters: int = PR_ITERS,
         batch_format="pyarrow")
 
 
+HITS_ITERS = 3
+HITS_SCALE = 10 ** 12
+
+
+def kg_hits_ds(sf_dir: str, iters: int = HITS_ITERS,
+               cfg: PipelineConfig = DEFAULT_CONFIG,
+               concurrency: int = 8):
+    """Fixed-iteration HITS (hubs & authorities) over the directed resource
+    graph — the second classic eigenvector-style centrality next to
+    kg_pagerank, separating nodes that POINT AT important things (hubs:
+    conversations, sections) from nodes POINTED AT (authorities: entities,
+    locations).
+
+    EXACT by construction, like kg_pagerank: scores are int64, every
+    half-step is sum-over-neighbors (associative) followed by one scalar
+    renormalization a_i = raw_i // max(max_raw // SCALE, 1) — integer
+    division by an exact global Max, which keeps magnitudes ~SCALE so an
+    in-degree-10^6 hub can't overflow int64 (raw ≤ indeg·SCALE ≈ 10^18),
+    while staying bit-reproducible regardless of summation order. The SQL
+    twin unrolls the same iterations.
+
+    Scale shape: the edge table is materialized ONCE with BOTH endpoint
+    hash-buckets attached; each half-iteration is one tagged co-group
+    (vector joins edges on the shared bucket key — no driver round-trip for
+    the vector) + one bucketed sum + one scalar Max; vectors are
+    checkpointed to Parquet per half-step (the kg_pagerank lesson: bounded
+    lineage, distributed, never on the driver)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        t = t.filter(keep)
+        src = pc.cast(t["subj"].combine_chunks(), pa.string())
+        dst = pc.cast(t["obj"].combine_chunks(), pa.string())
+        return pa.table({"sbucket": hash_bucket(src, nb),
+                         "dbucket": hash_bucket(dst, nb),
+                         "src": src, "dst": dst})
+
+    edges = (kg_triples_ds(sf_dir, cfg, concurrency)
+             .map_batches(edge_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .materialize())
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.int64()),
+                      "authority": pa.array([], pa.int64())})
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        both = pc.unique(pa.concat_arrays([t["src"].combine_chunks(),
+                                           t["dst"].combine_chunks()]))
+        return pa.table({"nbucket": hash_bucket(both, nb), "node": both})
+
+    def uniq_nodes(df: pd.DataFrame) -> pa.Table:
+        u = df["node"].unique()
+        return pa.table({"nbucket": pa.array(
+            np.full(len(u), df["nbucket"].iloc[0], np.int32)),
+            "node": pa.array(u, pa.string())})
+
+    nodes = (edges.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("nbucket").map_groups(uniq_nodes,
+                                            batch_format="pandas")
+             .materialize())
+    ckpt = _session_ckpt_root()
+
+    def tag_edges(bucket_col: str, key_col: str, other_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"kbucket": t[bucket_col],
+                             "tag": pa.array(np.zeros(n, np.int8)),
+                             "key": t[key_col], "other": t[other_col],
+                             "r": pa.array(np.zeros(n, np.int64))})
+        return f
+
+    def tag_vec(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["nbucket"],
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": t["node"], "other": pa.nulls(n, pa.string()),
+                         "r": t["r"]})
+
+    def flow_bucket(df: pd.DataFrame) -> pa.Table:
+        e = df[df["tag"] == 0][["key", "other"]]
+        v = df[df["tag"] == 1][["key", "r"]]
+        m = e.merge(v, on="key", how="left")
+        other = pa.array(m["other"], pa.string())
+        return pa.table({
+            "nbucket": hash_bucket(other, nb), "node": other,
+            "c": pa.array(m["r"].fillna(0).astype("int64").to_numpy())})
+
+    def sum_bucket(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("node", as_index=False)["c"].sum()
+        return pa.table({
+            "nbucket": pa.array(np.full(len(agg), df["nbucket"].iloc[0],
+                                        np.int32)),
+            "node": pa.array(agg["node"], pa.string()),
+            "r": pa.array(agg["c"].to_numpy("int64"))})
+
+    def half_step(vec, edges_tagger, path: str):
+        raw = _checkpoint(
+            edges.map_batches(edges_tagger, batch_format="pyarrow")
+            .union(vec.map_batches(tag_vec, batch_format="pyarrow"))
+            .groupby("kbucket").map_groups(flow_bucket,
+                                           batch_format="pandas")
+            .groupby("nbucket").map_groups(sum_bucket,
+                                           batch_format="pandas"),
+            path)
+        mx = raw.max("r")
+        g = max(int(mx) // HITS_SCALE, 1) if mx is not None else 1
+        return raw.map_batches(
+            lambda t: pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                                "r": pc.divide(pc.cast(t["r"], pa.int64()),
+                                               g)}),
+            batch_format="pyarrow")
+
+    h = nodes.map_batches(
+        lambda t: pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                            "r": pa.array(np.full(t.num_rows, HITS_SCALE,
+                                                  np.int64))}),
+        batch_format="pyarrow")
+    a = None
+    for it in range(iters):
+        # authority: mass flows src → dst (join h on src, land on dst)
+        a = half_step(h, tag_edges("sbucket", "src", "dst"),
+                      os.path.join(ckpt, f"hits_a_{it}"))
+        # hub: mass flows dst → src (join a on dst, land on src)
+        h = half_step(a, tag_edges("dbucket", "dst", "src"),
+                      os.path.join(ckpt, f"hits_h_{it}"))
+
+    def out_tag(col: str, tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                             "tag": pa.array(np.full(t.num_rows, tag,
+                                                     np.int8)),
+                             "r": pc.cast(t[col], pa.int64())})
+        return f
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        base = df[df["tag"] == 0][["node"]].drop_duplicates()
+        hh = df[df["tag"] == 1].groupby("node")["r"].sum()
+        aa = df[df["tag"] == 2].groupby("node")["r"].sum()
+        return pa.table({
+            "node": pa.array(base["node"], pa.string()),
+            "hub": pa.array(base["node"].map(hh).fillna(0)
+                            .astype("int64").to_numpy()),
+            "authority": pa.array(base["node"].map(aa).fillna(0)
+                                  .astype("int64").to_numpy())})
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"nbucket": t["nbucket"], "node": t["node"],
+                            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+                            "r": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    return (zeros
+            .union(h.map_batches(out_tag("r", 1), batch_format="pyarrow"))
+            .union(a.map_batches(out_tag("r", 2), batch_format="pyarrow"))
+            .groupby("nbucket")
+            .map_groups(finish, batch_format="pandas"))
+
+
 def _oriented_adjacency(edges, nb: int):
     """Degree-attached, degree-ordered oriented adjacency — the shared
     front half of kg_triangles_ds and kg_adamic_adar_ds. `edges` contract:
