@@ -69,6 +69,16 @@ def _mm_embed(sf_dir: str) -> Any:
     return multimodal.embed_flat_ds(path)
 
 
+def _mm_phash(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.phash_media_ds(path)
+
+
+def _mm_phash_dups(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.phash_dups_ds(path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (the reference's capability surface) ---------
@@ -233,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize": _mm_resize,                           # oracle (byte math)
         "mm_frames": _mm_frames,                           # oracle (byte math)
         "mm_embed": _mm_embed,                             # oracle (md5-of-hex)
+        "mm_phash": _mm_phash,                             # oracle (byte math)
+        "mm_phash_dups": _mm_phash_dups,                   # oracle (byte math)
     }
 
 

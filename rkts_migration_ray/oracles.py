@@ -495,9 +495,36 @@ d AS (SELECT media_id, kind, n_bytes,
       THEN CAST(CAST(('0x' || substr(hx, 17, 8)) AS UBIGINT) AS BIGINT)
       ELSE -1 END AS height
  FROM h)"""
+    phash_cte = f"""
+ph0 AS (SELECT media_id, kind, hex(payload) AS hx,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        FROM read_parquet('{media_path}')),
+ph1 AS (SELECT *, CASE WHEN n_bytes >= 12 AND substr(hx, 1, 8) = '47524654'
+                       THEN 12 ELSE 0 END AS boff FROM ph0),
+ph2 AS (SELECT *, n_bytes - boff AS blen FROM ph1),
+phb AS (SELECT media_id, k,
+   CASE WHEN blen <= 0 THEN 0
+        WHEN CAST(('0x' || substr(hx,
+               CAST(1 + 2 * (boff + ((k * 7) % blen)) AS BIGINT), 2))
+             AS UBIGINT) >= 128 THEN 1 ELSE 0 END AS b
+  FROM ph2, range(63) r(k)),
+ph AS (SELECT media_id,
+        CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT)
+          AS phash
+       FROM phb GROUP BY 1)"""
     return {"mm_decode": f"""
 WITH {decode_cte}
 SELECT media_id, kind, width, height, n_bytes FROM d""",
+            "mm_phash": f"""
+WITH {phash_cte}
+SELECT b.media_id, b.kind, ph.phash, printf('%016x', ph.phash) AS phash_hex
+FROM ph2 b JOIN ph USING (media_id)""",
+            "mm_phash_dups": f"""
+WITH {phash_cte}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+ CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
             "mm_media_stats": f"""
 WITH {decode_cte}
 SELECT kind, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,

@@ -30,12 +30,28 @@ MAGIC = b"GRFT"
 KINDS = ("image", "audio", "video")
 
 
+_MEDIA_FIXTURE_VERSION = 2  # v2: near-dup tail rows for the phash ops
+
+
 def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     """Deterministic binary table: (media_id, kind, payload, meta).
-    payload = MAGIC + u32 width + u32 height + seed-derived bytes."""
+    payload = MAGIC + u32 width + u32 height + seed-derived bytes.
+
+    v2: when n_rows ≥ 40 the last 20 rows are NEAR-DUPS of earlier rows —
+    10 exact payload copies and 10 one-byte body flips — so the perceptual
+    dedup ops (phash_media_ds / phash_dups_ds) have true positives to find.
+    A version marker file triggers regeneration when the layout changes
+    (the fixture lives in /tmp and may survive across engine versions)."""
     path = os.path.join(root_dir, "media.parquet")
+    ver = os.path.join(root_dir, "media.fixture_version")
     if os.path.exists(path):
-        return path
+        try:
+            with open(ver) as f:
+                if int(f.read().strip()) == _MEDIA_FIXTURE_VERSION:
+                    return path
+        except (OSError, ValueError):
+            pass
+        os.remove(path)
     os.makedirs(root_dir, exist_ok=True)
     rng = np.random.default_rng(5)
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
@@ -47,6 +63,18 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
         rows["kind"].append(KINDS[i % len(KINDS)])
         rows["payload"].append(MAGIC + struct.pack(">II", w, h) + body)
         rows["meta"].append('{"codec":"stub"}')
+    if n_rows >= 40:
+        for j in range(20):
+            i = n_rows - 20 + j
+            if j < 10:
+                rows["payload"][i] = rows["payload"][j * 3]
+                rows["meta"][i] = '{"codec":"stub","dup_of":%d}' % (j * 3)
+            else:
+                src = bytearray(rows["payload"][(j - 10) * 5])
+                src[12] ^= 0x80  # flip the top bit of the first body byte
+                rows["payload"][i] = bytes(src)
+                rows["meta"][i] = ('{"codec":"stub","near_dup_of":%d}'
+                                   % ((j - 10) * 5))
     t = pa.table({"media_id": pa.array(rows["media_id"], pa.int64()),
                   "kind": pa.array(rows["kind"], pa.string()),
                   "payload": pa.array(rows["payload"], pa.binary()),
@@ -54,6 +82,8 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     tmp = path + f".tmp.{os.getpid()}"
     pq.write_table(t, tmp)
     os.rename(tmp, path)
+    with open(ver, "w") as f:
+        f.write(str(_MEDIA_FIXTURE_VERSION))
     return path
 
 
@@ -280,3 +310,110 @@ def media_stats_ds(media_path: str):
                        Min("width", alias_name="min_width"),
                        Max("height", alias_name="max_height"),
                        Sum("one", alias_name="n_media")))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (stubbed "pixels": deterministic body-byte
+# sampling standing in for the DCT of a decoded image — the Ray plumbing,
+# banding shuffle and verify are the real production shape)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 63          # top bit left clear so the hash is a clean int64
+PHASH_STRIDE = 7         # body-byte sampling stride (coprime with 256)
+PHASH_MAX_HAMMING = 3    # < n_bands, so banding has ZERO recall loss
+_PHASH_BANDS = ((0, 16), (16, 16), (32, 16), (48, 15))  # 4 slices of 63 bits
+
+
+def _phash_value(payload: bytes) -> int:
+    """63-bit perceptual hash of a payload: bit k = (body byte at position
+    (k·7) mod len(body)) ≥ 128. With a real codec this is where the
+    grayscale-DCT pHash goes; the sampling stub keeps the value exactly
+    reproducible in SQL byte math (the oracle twin)."""
+    boff = 12 if (len(payload) >= 12 and payload[:4] == MAGIC) else 0
+    body = payload[boff:]
+    if not body:
+        return 0
+    v = 0
+    for k in range(PHASH_BITS):
+        if body[(k * PHASH_STRIDE) % len(body)] >= 128:
+            v |= 1 << k
+    return v
+
+
+class PhashStub:
+    """Actor-pool feature-extract stage: per-payload perceptual hash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = np.fromiter((_phash_value(p) for p in df["payload"]),
+                        dtype=np.int64, count=len(df))
+        return pa.table({
+            "media_id": pa.array(df["media_id"].to_numpy("int64")),
+            "kind": pa.array(df["kind"], pa.string()),
+            "phash": pa.array(v),
+            "phash_hex": pa.array([format(x, "016x") for x in v],
+                                  pa.string())})
+
+
+def phash_media_ds(media_path: str, concurrency: int = 2,
+                   batch_size: int = 32):
+    """Per-media perceptual hash — small batches (binary payloads), actor
+    pool, pruned projection on the way out (payload never leaves the
+    stage)."""
+    import ray.data as rd
+
+    return rd.read_parquet(media_path).map_batches(
+        PhashStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
+def phash_dups_ds(media_path: str, max_hamming: int = PHASH_MAX_HAMMING,
+                  concurrency: int = 2):
+    """Near-duplicate media pairs by perceptual-hash hamming distance.
+
+    Scale shape — the SimHash banding pattern: each hash ships 4 (band,
+    16-bit slice) rows; candidates are pairs sharing a band bucket (the
+    groupby shuffle moves 32 bytes/row, never payloads); each candidate is
+    verified with one exact popcount. max_hamming (3) < n_bands (4), so by
+    pigeonhole every qualifying pair shares at least one full band — the
+    banding loses NOTHING and the result equals the all-pairs SQL twin."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["phash"], dtype=np.int64)
+        ids = np.asarray(t["media_id"], dtype=np.int64)
+        outs = []
+        for bi, (off, width) in enumerate(_PHASH_BANDS):
+            outs.append(pa.table({
+                "band": pa.array(np.full(len(v), bi, np.int8)),
+                "val": pa.array((v >> off) & ((1 << width) - 1)),
+                "media_id": pa.array(ids),
+                "phash": pa.array(v)}))
+        return pa.concat_tables(outs)
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("media_id").reset_index(drop=True)
+        ids = df["media_id"].to_numpy("int64")
+        v = df["phash"].to_numpy("int64").astype(np.uint64)
+        n = len(df)
+        ai, bi = np.triu_indices(n, k=1)
+        ham = np.array([int(x).bit_count()
+                        for x in (v[ai] ^ v[bi])], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"media_a": pa.array(ids[ai][keep]),
+                         "media_b": pa.array(ids[bi][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    return (phash_media_ds(media_path, concurrency=concurrency)
+            .map_batches(band_rows, batch_format="pyarrow")
+            .groupby(["band", "val"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["media_a", "media_b"])
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .map_batches(lambda t: pa.table({
+                "media_a": pc.cast(t["media_a"], pa.int64()),
+                "media_b": pc.cast(t["media_b"], pa.int64()),
+                "hamming": pc.cast(t["hamming"], pa.int64())}),
+                batch_format="pyarrow"))

@@ -127,3 +127,34 @@ def test_embed_deterministic_fixed_dim(media_path):
     assert av == bv
     flat = [x for v in av for x in v]
     assert all(0.0 <= x < 1.0 for x in flat)
+
+
+def test_phash_deterministic_and_hex(media_path):
+    a = multimodal.phash_media_ds(media_path).to_pandas().sort_values("media_id")
+    b = multimodal.phash_media_ds(media_path).to_pandas().sort_values("media_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    for v, hx in zip(a["phash"], a["phash_hex"]):
+        assert int(v) >= 0 and format(int(v), "016x") == hx
+
+
+def test_phash_dups_match_brute_force_and_find_planted(media_path):
+    """Banding must equal all-pairs brute force exactly (max_hamming=3 <
+    n_bands=4 ⇒ pigeonhole guarantees zero recall loss), and the fixture's
+    planted exact copies must surface at hamming 0."""
+    ph = multimodal.phash_media_ds(media_path).to_pandas()
+    ids = ph["media_id"].to_numpy()
+    v = ph["phash"].to_numpy().astype("uint64")
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = int(v[i] ^ v[j]).bit_count()
+            if h <= multimodal.PHASH_MAX_HAMMING:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b, h))
+    got = multimodal.phash_dups_ds(media_path).to_pandas()
+    got_set = set(map(tuple, got[["media_a", "media_b", "hamming"]]
+                      .astype(int).values.tolist()))
+    assert got_set == want
+    # the 10 planted exact copies (media 40+j copies j*3 at n_rows=60)
+    for j in range(10):
+        assert (min(j * 3, 40 + j), max(j * 3, 40 + j), 0) in got_set
