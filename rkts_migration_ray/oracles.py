@@ -1927,6 +1927,36 @@ FROM hnn n LEFT JOIN hh{iters} h USING (node)
 LEFT JOIN haa{iters} a USING (node)"""
 
 
+def _neighbor_sample_select(full_union: str) -> str:
+    """kg_neighbor_sample oracle: ranked symmetric-distinct adjacency via
+    row_number() ordered by (md5(src|dst), dst) — the engine's exact
+    content-addressed sampling — then fanout-truncated hop-1 (seeds =
+    'C:' roots) and hop-2 joins."""
+    from .functions.ntriples import OBJ_URI_PREDS
+    from .pipelines.kg import NS_FANOUT_1, NS_FANOUT_2, NS_SEED_PREFIX
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+nse0 AS MATERIALIZED (SELECT subj AS s, obj AS d FROM (
+{full_union}
+) WHERE pred IN ({preds})),
+nsym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        (SELECT s AS src, d AS dst FROM nse0
+         UNION ALL SELECT d, s FROM nse0)),
+nra AS MATERIALIZED (SELECT src, dst,
+        CAST(row_number() OVER (PARTITION BY src
+             ORDER BY md5(src || '|' || dst), dst) AS BIGINT) AS rank
+       FROM nsym),
+nh1 AS MATERIALIZED (SELECT src AS seed, CAST(1 AS BIGINT) AS hop,
+        src, dst, rank
+       FROM nra WHERE rank <= {NS_FANOUT_1}
+        AND src LIKE '{NS_SEED_PREFIX}%')
+SELECT seed, hop, src, dst, rank FROM nh1
+UNION ALL
+SELECT nh1.seed, CAST(2 AS BIGINT) AS hop, r.src, r.dst, r.rank
+FROM nh1 JOIN nra r ON r.src = nh1.dst WHERE r.rank <= {NS_FANOUT_2}"""
+
+
 def _khop_select(full_union: str, k: int = 4) -> str:
     """kg_khop oracle: depth-limited BFS from the C:* conversation roots
     over the symmetric resource graph — recursive CTE with UNION (dedup)
@@ -2294,6 +2324,7 @@ SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_hits": w + _hits_select(full_union),
+        "kg_neighbor_sample": w + _neighbor_sample_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_walks": w + _walks_select(),
         "kg_walk_pairs": w + _walk_pairs_select(),

@@ -1358,6 +1358,127 @@ def kg_hits_ds(sf_dir: str, iters: int = HITS_ITERS,
             .map_groups(finish, batch_format="pandas"))
 
 
+NS_FANOUT_1 = 4   # hop-1 sample size per seed
+NS_FANOUT_2 = 2   # hop-2 sample size per frontier node
+NS_SEED_PREFIX = "C:"   # conversation roots seed the sampled subgraphs
+
+
+def kg_neighbor_sample_ds(sf_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG,
+                          concurrency: int = 8):
+    """GraphSAGE-style 2-hop neighbor sampling over the symmetric resource
+    graph: for every conversation-root seed, keep the md5-lowest
+    NS_FANOUT_1 neighbors, then each sampled node's md5-lowest NS_FANOUT_2
+    neighbors — the deterministic minibatch-subgraph generator GNN training
+    reads, with one row per sampled edge (seed, hop, src, dst, rank).
+
+    Content-addressed sampling (rank by md5(src|dst), ties by dst — the
+    kg_walks discipline): no RNG state, reproducible across runs, shards
+    and cluster sizes, and replayable in SQL via row_number() over the
+    same ordering.
+
+    Scale shape: the ranked adjacency is built ONCE — symmetric distinct
+    edges bucketed by hash(src) (a bucket holds EVERY edge of its sources,
+    so dedup + md5 ranking + fanout truncation are in-bucket transforms;
+    only rank ≤ max fanout rows survive, capping it at fanout·|V| rows) —
+    then hop 2 is a single tagged co-group joining the hop-1 frontier to
+    the ranked adjacency on the node hash. Nothing corpus-sized ever
+    reaches the driver."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        t = t.filter(keep)
+        subj = pc.cast(t["subj"].combine_chunks(), pa.string())
+        obj = pc.cast(t["obj"].combine_chunks(), pa.string())
+        src = pa.concat_arrays([subj, obj])
+        dst = pa.concat_arrays([obj, subj])
+        return pa.table({"kbucket": hash_bucket(src, nb),
+                         "src": src, "dst": dst})
+
+    def rank_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["src", "dst"])
+        score = [hashlib.md5(f"{s}|{d}".encode()).hexdigest()
+                 for s, d in zip(df["src"], df["dst"])]
+        df = df.assign(score=score).sort_values(
+            ["src", "score", "dst"], kind="stable")
+        rank = df.groupby("src", sort=False).cumcount() + 1
+        keep = rank <= NS_FANOUT_1
+        return pa.table({
+            "kbucket": pa.array(df.loc[keep, "kbucket"].to_numpy("int32")),
+            "src": pa.array(df.loc[keep, "src"], pa.string()),
+            "dst": pa.array(df.loc[keep, "dst"], pa.string()),
+            "rank": pa.array(rank[keep].to_numpy("int64"))})
+
+    ranked = (kg_triples_ds(sf_dir, cfg, concurrency)
+              .map_batches(edge_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("kbucket")
+              .map_groups(rank_bucket, batch_format="pandas")
+              .materialize())
+
+    def hop1_rows(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["src"].combine_chunks(), NS_SEED_PREFIX)
+        t = t.filter(keep)
+        n = t.num_rows
+        return pa.table({"seed": t["src"],
+                         "hop": pa.array(np.ones(n, np.int64)),
+                         "src": t["src"], "dst": t["dst"],
+                         "rank": pc.cast(t["rank"], pa.int64())})
+
+    hop1 = ranked.map_batches(hop1_rows, batch_format="pyarrow")
+
+    # tagged co-group: hop-1 frontier keyed by its dst joins the ranked
+    # adjacency (rank <= NS_FANOUT_2) keyed by its src, on the shared
+    # node-hash bucket
+    def f_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(t["dst"].combine_chunks(),
+                                                nb),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["dst"], "seed": t["seed"],
+                         "dst": pa.nulls(n, pa.string()),
+                         "rank": pa.array(np.zeros(n, np.int64))})
+
+    def a_tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["rank"], NS_FANOUT_2))
+        n = t.num_rows
+        return pa.table({"kbucket": t["kbucket"],
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": t["src"],
+                         "seed": pa.nulls(n, pa.string()),
+                         "dst": t["dst"],
+                         "rank": pc.cast(t["rank"], pa.int64())})
+
+    def hop2_bucket(df: pd.DataFrame) -> pa.Table:
+        f = df[df["tag"] == 0][["key", "seed"]]
+        a = df[df["tag"] == 1][["key", "dst", "rank"]]
+        m = f.merge(a, on="key", how="inner")
+        n = len(m)
+        return pa.table({"seed": pa.array(m["seed"], pa.string()),
+                         "hop": pa.array(np.full(n, 2, np.int64)),
+                         "src": pa.array(m["key"], pa.string()),
+                         "dst": pa.array(m["dst"], pa.string()),
+                         "rank": pa.array(m["rank"].to_numpy("int64"))})
+
+    hop2 = (hop1.map_batches(f_tag, batch_format="pyarrow")
+            .union(ranked.map_batches(a_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(hop2_bucket, batch_format="pandas"))
+    return hop1.union(hop2)
+
+
 def _oriented_adjacency(edges, nb: int):
     """Degree-attached, degree-ordered oriented adjacency — the shared
     front half of kg_triangles_ds and kg_adamic_adar_ds. `edges` contract:
