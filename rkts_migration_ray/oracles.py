@@ -772,6 +772,24 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "text_collocations": """
+WITH ctk AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+             FROM documents),
+cgr AS (SELECT list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+        FROM ctk, unnest(range(1, CAST(len(toks) AS BIGINT))) r(i)
+        WHERE len(toks) >= 2),
+cbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM cgr GROUP BY 1, 2),
+cun AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(toks) AS w FROM ctk) GROUP BY 1),
+ctot AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_big,
+                CAST(sum(len(toks)) AS BIGINT) AS n_tok FROM ctk)
+SELECT b.w1, b.w2, b.n_pair, u1.n AS n_w1, u2.n AS n_w2,
+ round(ln((CAST(b.n_pair AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+           * CAST(t.n_tok AS DOUBLE))
+          / CAST(t.n_big * u1.n * u2.n AS DOUBLE)), 6) AS pmi
+FROM cbi b JOIN cun u1 ON u1.w = b.w1 JOIN cun u2 ON u2.w = b.w2
+CROSS JOIN ctot t WHERE b.n_pair >= 5""",
         "docs_mixture_weights": """
 WITH tok AS (SELECT source,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n

@@ -1049,6 +1049,135 @@ def text_gopher_quality_ds(sf_dir: str):
         gopher, batch_format="pyarrow", zero_copy_batch=True)
 
 
+COLLOC_MIN_COUNT = 5
+
+
+def text_collocations_ds(sf_dir: str, min_count: int = COLLOC_MIN_COUNT):
+    """Corpus-wide PMI-ranked collocations: every adjacent bigram seen at
+    least ``min_count`` times, scored pmi = ln(c12·M² / (N·c1·c2)) against
+    the unigram independence baseline — the phrase-mining primitive (a
+    "new york"/"machine learning" detector) upstream of tokenizer vocab
+    building. Complements kg_pmi (entity-pair PMI over conversations) and
+    text_bigram_lm (conditional probabilities) with corpus-level
+    association strength.
+
+    Float parity: scalar math.log per surviving bigram over the same
+    double expression the DuckDB twin evaluates (the kg_pmi lesson: numpy's
+    vectorized log differs from libm in the last ulp); everything before
+    the log is exact integer counting.
+
+    Scale shape: ONE tokenization pass emits tagged per-batch partials —
+    bigram counts, unigram counts, scalar totals — through ONE combined
+    groupby-sum (rows bounded by per-batch distinct vocab, never token
+    count); unigram counts then attach to the min_count-filtered bigram
+    stream via two word-hash-bucketed tagged co-groups (vocabulary is
+    corpus-sized: never broadcast, never on the driver); M and N are two
+    scalar aggregates. The integer product N·c1·c2 stays under 2^63 up to
+    ~10^5-token corpora per the fixture tiers; at larger scale promote the
+    twin to HUGEINT (the engine side is Python bigint-exact already)."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cb: Counter = Counter()
+        cu: Counter = Counter()
+        n_big = n_tok = 0
+        for x in t["text"].to_pylist():
+            ws = T.tokens_lower(x)
+            cu.update(ws)
+            cb.update(zip(ws, ws[1:]))
+            n_tok += len(ws)
+            n_big += max(len(ws) - 1, 0)
+        kinds, w1s, w2s, cs = [], [], [], []
+        for (a, b), c in cb.items():
+            kinds.append("b"); w1s.append(a); w2s.append(b); cs.append(c)
+        for w, c in cu.items():
+            kinds.append("u"); w1s.append(w); w2s.append(""); cs.append(c)
+        kinds += ["tb", "tu"]; w1s += ["", ""]; w2s += ["", ""]
+        cs += [n_big, n_tok]
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    counts = (_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["kind", "w1", "w2"])
+              .aggregate(Sum("c", alias_name="c"))
+              .materialize())
+
+    n_big = counts.filter(lambda r: r["kind"] == "tb").sum("c") or 0
+    n_tok = counts.filter(lambda r: r["kind"] == "tu").sum("c") or 0
+
+    def big_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["kind"], "b"),
+                             pc.greater_equal(t["c"], min_count)))
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(
+                             t["w1"].combine_chunks(), nb),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["w1"], "w2": t["w2"],
+                         "c12": pc.cast(t["c"], pa.int64()),
+                         "cw": pa.array(np.zeros(n, np.int64))})
+
+    def uni_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "u"))
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(
+                             t["w1"].combine_chunks(), nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": t["w1"], "w2": pa.nulls(n, pa.string()),
+                         "c12": pa.array(np.zeros(n, np.int64)),
+                         "cw": pc.cast(t["c"], pa.int64())})
+
+    def attach1(df: pd.DataFrame) -> pa.Table:
+        b = df[df["tag"] == 0][["key", "w2", "c12"]]
+        u = df[df["tag"] == 1][["key", "cw"]]
+        m = b.merge(u, on="key", how="left")
+        # every bigram word IS a unigram, so cw never misses
+        return pa.table({
+            "kbucket": hash_bucket(pa.array(m["w2"], pa.string()), nb),
+            "tag": pa.array(np.zeros(len(m), np.int8)),
+            "key": pa.array(m["w2"], pa.string()),
+            "w2": pa.array(m["key"], pa.string()),  # w1 rides along
+            "c12": pa.array(m["c12"].to_numpy("int64")),
+            "cw": pa.array(m["cw"].fillna(0).astype("int64").to_numpy())})
+
+    def attach2_score(df: pd.DataFrame) -> pa.Table:
+        b = df[df["tag"] == 0][["key", "w2", "c12", "cw"]]
+        u = df[df["tag"] == 1][["key", "cw"]].rename(columns={"cw": "c2"})
+        m = b.merge(u, on="key", how="left")
+        c12 = m["c12"].to_numpy("int64")
+        c1 = m["cw"].to_numpy("int64")
+        c2 = m["c2"].fillna(0).astype("int64").to_numpy()
+        m_f = float(n_tok)
+        pmi = np.fromiter(
+            (math.log((float(c) * m_f * m_f) / float(n_big * x * y))
+             for c, x, y in zip(c12, c1, c2)),
+            dtype=np.float64, count=len(m))
+        return pa.table({"w1": pa.array(m["w2"], pa.string()),
+                         "w2": pa.array(m["key"], pa.string()),
+                         "n_pair": pa.array(c12),
+                         "n_w1": pa.array(c1), "n_w2": pa.array(c2),
+                         "pmi": pa.array(round_half_away(pmi))})
+
+    uni = counts.map_batches(uni_rows, batch_format="pyarrow")
+    step1 = (counts.map_batches(big_rows, batch_format="pyarrow")
+             .union(uni)
+             .groupby("kbucket")
+             .map_groups(attach1, batch_format="pandas"))
+    return (step1.union(uni)
+            .groupby("kbucket")
+            .map_groups(attach2_score, batch_format="pandas"))
+
+
 def text_vocab_ds(sf_dir: str, k: int = 100):
     """Corpus vocabulary top-k: the canonical pre-aggregated wordcount.
 

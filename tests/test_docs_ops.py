@@ -307,7 +307,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "rel_events_wau", "text_bigram_score",
                                   "text_bm25", "embed_kmeans",
                                   "text_gopher_quality",
-                                  "docs_mixture_weights", "knn_graph"])
+                                  "docs_mixture_weights", "knn_graph",
+                                  "text_collocations"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
