@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gopher_quality": docs.text_gopher_quality_ds,
         "docs_mixture_weights": docs.docs_mixture_weights_ds,
         "text_collocations": docs.text_collocations_ds,
+        "text_winnowing": docs.text_winnowing_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,

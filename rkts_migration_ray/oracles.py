@@ -772,6 +772,24 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
+        "text_winnowing": """
+WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+             FROM documents),
+wgr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(list_extract(toks, i) || ' ' ||
+               list_extract(toks, i + 1) || ' ' ||
+               list_extract(toks, i + 2)), 1, 15)) AS UBIGINT) AS h
+        FROM wtk, unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) r(i)
+        WHERE len(toks) >= 3),
+wwin AS (SELECT doc_id, pos AS j, min(h) OVER win AS m,
+                count(*) OVER win AS c
+         FROM wgr WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+wsel AS (SELECT g.doc_id, max(g.pos) AS pos, w.m AS fp
+         FROM wwin w JOIN wgr g ON g.doc_id = w.doc_id
+          AND g.pos BETWEEN w.j AND w.j + 3 AND g.h = w.m
+         WHERE w.c = 4 GROUP BY g.doc_id, w.j, w.m)
+SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM wsel""",
         "text_collocations": """
 WITH ctk AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
              FROM documents),

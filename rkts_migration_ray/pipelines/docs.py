@@ -1049,6 +1049,57 @@ def text_gopher_quality_ds(sf_dir: str):
         gopher, batch_format="pyarrow", zero_copy_batch=True)
 
 
+WINNOW_K = 3   # word k-gram size
+WINNOW_W = 4   # winnowing window (guarantee: every W consecutive grams
+               # contribute at least one fingerprint)
+
+
+def text_winnowing_ds(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    al. 2003): hash every word k-gram, slide a w-wide window over the hash
+    sequence, keep each window's RIGHTMOST minimum — a position-aware
+    fingerprint set with the density guarantee (≥1 selection per window)
+    that whole-doc hashing (doc_fingerprint) and fixed-stride sampling
+    lack; the substring-level near-dup/plagiarism primitive.
+
+    Determinism: gram hash = first 60 bits of md5("w1 w2 w3") (positive in
+    int64, so engine int and SQL UBIGINT order identically — the uint64
+    ordering trap); rightmost-min tie rule replayed in SQL as max(pos)
+    over the in-window argmin set. Docs with fewer than w grams emit
+    nothing (spec'd identically on both sides).
+
+    Scale shape: pure per-batch map — tokenize, hash, numpy
+    sliding-window argmin — zero shuffle, ~32 bytes per fingerprint out."""
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def fp(t: pa.Table) -> pa.Table:
+        dids, poss, fps = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = T.tokens_lower(x)
+            m = len(ws) - k + 1
+            if m < w:
+                continue
+            hs = np.fromiter(
+                (int(hashlib.md5(" ".join(ws[i:i + k]).encode())
+                     .hexdigest()[:15], 16) for i in range(m)),
+                dtype=np.int64, count=m)
+            win = sliding_window_view(hs, w)            # (m-w+1, w)
+            right_idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+            pos = np.arange(1, m - w + 2) + right_idx   # 1-based gram pos
+            sel = np.unique(pos)
+            dids.extend([did] * len(sel))
+            poss.extend(sel)
+            fps.extend(hs[sel - 1])
+        return pa.table({"doc_id": pa.array(np.asarray(dids, np.int64)),
+                         "pos": pa.array(np.asarray(poss, np.int64)),
+                         "fp": pa.array(np.asarray(fps, np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 COLLOC_MIN_COUNT = 5
 
 

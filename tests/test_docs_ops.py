@@ -308,7 +308,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_bm25", "embed_kmeans",
                                   "text_gopher_quality",
                                   "docs_mixture_weights", "knn_graph",
-                                  "text_collocations"])
+                                  "text_collocations", "text_winnowing"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1770,3 +1770,36 @@ def test_gopher_keep_flag_both_polarities(tmp_path):
            .set_index("doc_id"))
     for i, (_, want) in cases.items():
         assert bool(got.loc[i, "keep"]) is want, (i, got.loc[i].to_dict())
+
+
+def test_winnowing_density_guarantee(sf_tag):
+    """Every w consecutive gram positions must contain >= 1 fingerprint
+    (the winnowing guarantee), and every fp must equal the gram hash at
+    its position."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.functions import text as T
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.text_winnowing_ds(sf_tag).to_pandas()
+    src = pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    by_doc = {d: set(g["pos"]) for d, g in got.groupby("doc_id")}
+    checked = 0
+    for did, x in zip(src["doc_id"].head(50), src["text"].head(50)):
+        ws = T.tokens_lower(x)
+        m = len(ws) - docs.WINNOW_K + 1
+        if m < docs.WINNOW_W:
+            assert did not in by_doc
+            continue
+        sel = by_doc[did]
+        for j in range(1, m - docs.WINNOW_W + 2):
+            assert sel & set(range(j, j + docs.WINNOW_W)), (did, j)
+        p = min(sel)
+        h = int(hashlib.md5(" ".join(ws[p - 1:p - 1 + docs.WINNOW_K])
+                            .encode()).hexdigest()[:15], 16)
+        assert int(got[(got.doc_id == did) & (got.pos == p)]["fp"].iloc[0]) == h
+        checked += 1
+    assert checked > 0
