@@ -687,6 +687,25 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE bit_count(xor(a.v, b.v)) <= 3)"""
 
 
+_WINNOW_CTES = """
+WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+             FROM documents),
+wgr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(list_extract(toks, i) || ' ' ||
+               list_extract(toks, i + 1) || ' ' ||
+               list_extract(toks, i + 2)), 1, 15)) AS UBIGINT) AS h
+        FROM wtk, unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) r(i)
+        WHERE len(toks) >= 3),
+wwin AS (SELECT doc_id, pos AS j, min(h) OVER win AS m,
+                count(*) OVER win AS c
+         FROM wgr WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+wsel AS (SELECT g.doc_id, max(g.pos) AS pos, w.m AS fp
+         FROM wwin w JOIN wgr g ON g.doc_id = w.doc_id
+          AND g.pos BETWEEN w.j AND w.j + 3 AND g.h = w.m
+         WHERE w.c = 4 GROUP BY g.doc_id, w.j, w.m)"""
+
+
 def _doc_rel_oracle_sql_base() -> dict[str, str]:
     from .pipelines.docs import KNN_GRAPH_K as _KNN_GRAPH_K
 
@@ -772,24 +791,17 @@ SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2, n_tokens, n_stop,
  round((1.0 - CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
        * least(1.0, n_tokens / 200.0), 6) AS quality
 FROM s2""",
-        "text_winnowing": """
-WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-             FROM documents),
-wgr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         CAST(('0x' || substr(md5(list_extract(toks, i) || ' ' ||
-               list_extract(toks, i + 1) || ' ' ||
-               list_extract(toks, i + 2)), 1, 15)) AS UBIGINT) AS h
-        FROM wtk, unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) r(i)
-        WHERE len(toks) >= 3),
-wwin AS (SELECT doc_id, pos AS j, min(h) OVER win AS m,
-                count(*) OVER win AS c
-         FROM wgr WINDOW win AS (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
-wsel AS (SELECT g.doc_id, max(g.pos) AS pos, w.m AS fp
-         FROM wwin w JOIN wgr g ON g.doc_id = w.doc_id
-          AND g.pos BETWEEN w.j AND w.j + 3 AND g.h = w.m
-         WHERE w.c = 4 GROUP BY g.doc_id, w.j, w.m)
+        "text_winnowing": _WINNOW_CTES + """
 SELECT DISTINCT doc_id, pos, CAST(fp AS BIGINT) AS fp FROM wsel""",
+        "text_winnow_pairs": _WINNOW_CTES + """,
+wfp AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wsel),
+wdf AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM wfp GROUP BY 1),
+wok AS (SELECT f.doc_id, f.fp FROM wfp f JOIN wdf USING (fp)
+        WHERE df BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+ CAST(count(*) AS BIGINT) AS n_shared
+FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
         "text_collocations": """
 WITH ctk AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
              FROM documents),

@@ -1100,6 +1100,56 @@ def text_winnowing_ds(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
         fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+WINNOW_MAX_DF = 50   # fingerprints shared by more docs than this are
+                     # boilerplate (stopword k-grams) and generate no pairs
+
+
+def text_winnow_pairs_ds(sf_dir: str, max_df: int = WINNOW_MAX_DF):
+    """Substring-level near-dup candidates from the winnowing index: doc
+    pairs sharing ≥1 selected fingerprint, with the shared-fingerprint
+    count — what MOSS reports, and the blocking key set a substring-dedup
+    pass verifies (complements minhash/simhash, which see BAG overlap, not
+    contiguous passages).
+
+    Scale shape — inverted-index join: fingerprints shuffle by fp value
+    (16 bytes/row); a (fp → distinct docs) bucket emits its in-bucket
+    pairs; ubiquitous fingerprints (df > max_df, boilerplate) are DROPPED
+    before pairing — the hot-key guard that bounds any single bucket's
+    pair fan-out at max_df², spec'd identically in the SQL twin. The final
+    groupby sums shared counts per pair."""
+    from ray.data.aggregate import Sum
+
+    def fp_docs(t: pa.Table) -> pa.Table:
+        # distinct (fp, doc) per batch: winnowing can select the same gram
+        # hash at several positions of one doc
+        df = t.to_pandas()[["fp", "doc_id"]].drop_duplicates()
+        return pa.table({"fp": pa.array(df["fp"].to_numpy("int64")),
+                         "doc_id": pa.array(df["doc_id"].to_numpy("int64"))})
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        ids = np.unique(df["doc_id"].to_numpy("int64"))
+        if len(ids) < 2 or len(ids) > max_df:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[ai]),
+                         "doc_b": pa.array(ids[bi]),
+                         "n": pa.array(np.ones(len(ai), np.int64))})
+
+    return (text_winnowing_ds(sf_dir)
+            .map_batches(fp_docs, batch_format="pyarrow")
+            .groupby("fp")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Sum("n", alias_name="n_shared"))
+            .map_batches(lambda t: pa.table({
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "n_shared": pc.cast(t["n_shared"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 COLLOC_MIN_COUNT = 5
 
 
