@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pca_project": docs.embed_pca_project_ds,  # rows-only (eigh)
         "knn_brute": docs.knn_brute_ds,
         "knn_graph": docs.knn_graph_ds,
+        "embed_outliers": docs.embed_outliers_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
         # --- relational surface ---------------------------------------------

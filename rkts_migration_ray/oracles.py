@@ -687,6 +687,51 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE bit_count(xor(a.v, b.v)) <= 3)"""
 
 
+# exact-integer Lloyd k-means (k=8, 3 assignment passes) — shared by the
+# embed_kmeans and embed_outliers twins; mirrors pipelines/docs.py
+# embed_kmeans_ds micro-unit arithmetic step for step
+_KMEANS_CTES = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+    CAST(CASE WHEN v < 0 THEN -floor(-v * 1000000 + 0.5)
+              ELSE floor(v * 1000000 + 0.5) END AS BIGINT) AS vm
+  FROM (SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, vm AS cm
+                    FROM e WHERE vec_id < 8),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
+  FROM e JOIN c0 c ON c.dim = e.dim GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d1) WHERE rn = 1),
+c1 AS MATERIALIZED (
+  SELECT cluster, dim,
+    CAST(CASE WHEN m < 0 THEN -floor(-m + 0.5)
+              ELSE floor(m + 0.5) END AS BIGINT) AS cm
+  FROM (SELECT a.cluster, e.dim, CAST(sum(e.vm) AS DOUBLE) / count(*) AS m
+        FROM a1 a JOIN e USING (vec_id) GROUP BY 1, 2)),
+d2t AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
+  FROM e JOIN c1 c ON c.dim = e.dim GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d2t) WHERE rn = 1),
+c2 AS MATERIALIZED (
+  SELECT cluster, dim,
+    CAST(CASE WHEN m < 0 THEN -floor(-m + 0.5)
+              ELSE floor(m + 0.5) END AS BIGINT) AS cm
+  FROM (SELECT a.cluster, e.dim, CAST(sum(e.vm) AS DOUBLE) / count(*) AS m
+        FROM a2 a JOIN e USING (vec_id) GROUP BY 1, 2)),
+d3 AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
+  FROM e JOIN c2 c ON c.dim = e.dim GROUP BY 1, 2)"""
+
+
 _WINNOW_CTES = """
 WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
              FROM documents),
@@ -1265,50 +1310,22 @@ cx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx FROM c GROUP BY 1)
 SELECT c.w1, c.w2, c.n, round(CAST(c.n AS DOUBLE) / cx.ctx, 6) AS cond_p
 FROM c JOIN cx USING (w1)
 ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""",
-        "embed_kmeans": """
-WITH e AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS dim,
-    CAST(CASE WHEN v < 0 THEN -floor(-v * 1000000 + 0.5)
-              ELSE floor(v * 1000000 + 0.5) END AS BIGINT) AS vm
-  FROM (SELECT vec_id,
-               unnest(CAST(embedding AS DOUBLE[])) AS v,
-               unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings)),
-c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, vm AS cm
-                    FROM e WHERE vec_id < 8),
-d1 AS MATERIALIZED (
-  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
-  FROM e JOIN c0 c ON c.dim = e.dim GROUP BY 1, 2),
-a1 AS (SELECT vec_id, cluster FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-  FROM d1) WHERE rn = 1),
-c1 AS MATERIALIZED (
-  SELECT cluster, dim,
-    CAST(CASE WHEN m < 0 THEN -floor(-m + 0.5)
-              ELSE floor(m + 0.5) END AS BIGINT) AS cm
-  FROM (SELECT a.cluster, e.dim, CAST(sum(e.vm) AS DOUBLE) / count(*) AS m
-        FROM a1 a JOIN e USING (vec_id) GROUP BY 1, 2)),
-d2t AS MATERIALIZED (
-  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
-  FROM e JOIN c1 c ON c.dim = e.dim GROUP BY 1, 2),
-a2 AS (SELECT vec_id, cluster FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-  FROM d2t) WHERE rn = 1),
-c2 AS MATERIALIZED (
-  SELECT cluster, dim,
-    CAST(CASE WHEN m < 0 THEN -floor(-m + 0.5)
-              ELSE floor(m + 0.5) END AS BIGINT) AS cm
-  FROM (SELECT a.cluster, e.dim, CAST(sum(e.vm) AS DOUBLE) / count(*) AS m
-        FROM a2 a JOIN e USING (vec_id) GROUP BY 1, 2)),
-d3 AS MATERIALIZED (
-  SELECT e.vec_id, c.cluster, sum((e.vm - c.cm) * (e.vm - c.cm)) AS d2
-  FROM e JOIN c2 c ON c.dim = e.dim GROUP BY 1, 2)
+        "embed_kmeans": _KMEANS_CTES + """
 SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cluster, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
   FROM d3) WHERE rn = 1""",
+        "embed_outliers": _KMEANS_CTES + """,
+easg AS (SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d3) WHERE rn = 1),
+ecs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dist2) AS BIGINT) AS s
+        FROM easg GROUP BY 1)
+SELECT a.vec_id, a.cluster, a.dist2,
+       (a.dist2 * c.n > 4 * c.s) AS is_outlier
+FROM easg a JOIN ecs c USING (cluster)""",
         "text_hash_features": """
 WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
             AS w FROM documents)

@@ -1049,6 +1049,51 @@ def text_gopher_quality_ds(sf_dir: str):
         gopher, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embed_outliers_ds(sf_dir: str):
+    """Embedding-space outlier flags: a vector is an outlier when its
+    squared distance to its k-means centroid exceeds 4× the cluster's mean
+    squared distance — the garbage-vector screen (mis-encoded docs, empty
+    inputs) a curation pass runs before embedding-based sampling.
+
+    EXACT: builds on embed_kmeans_ds's all-integer assignment (dist2 is
+    int64 micros²); the threshold is the integer cross-multiplication
+    dist2 · n_cluster > 4 · Σ dist2 — no division, no float, no flip risk.
+
+    Scale shape: one groupby(cluster) sum over the assignment stream (k
+    rows out — broadcast-small), then a pure per-batch flag map with the
+    k-row table shipped once via ray.put."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    asg = embed_kmeans_ds(sf_dir).materialize()
+    stats = (asg.groupby("cluster")
+             .aggregate(Sum("dist2", alias_name="s"),
+                        Count(alias_name="n"))
+             .to_pandas())
+    ref = ray.put({int(r["cluster"]): (int(r["n"]), int(r["s"]))
+                   for _, r in stats.iterrows()})
+
+    class Flag:
+        def __init__(self, stats_ref=None):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cl = np.asarray(t["cluster"], dtype=np.int64)
+            d2 = np.asarray(t["dist2"], dtype=np.int64)
+            n = np.fromiter((self.stats[c][0] for c in cl),
+                            dtype=np.int64, count=len(cl))
+            s = np.fromiter((self.stats[c][1] for c in cl),
+                            dtype=np.int64, count=len(cl))
+            return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                             "cluster": pa.array(cl),
+                             "dist2": pa.array(d2),
+                             "is_outlier": pa.array(d2 * n > 4 * s)})
+
+    return asg.map_batches(Flag, batch_format="pyarrow",
+                           fn_constructor_kwargs={"stats_ref": ref},
+                           concurrency=(1, 4))
+
+
 WINNOW_K = 3   # word k-gram size
 WINNOW_W = 4   # winnowing window (guarantee: every W consecutive grams
                # contribute at least one fingerprint)
