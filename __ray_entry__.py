@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_pairs": kg.kg_alias_pairs_ds,
         "kg_alias_clusters": kg.kg_alias_clusters_ds,
         "conv_clean_text": kg.conv_clean_text_ds,
+        "sft_dpo_pairs": kg.sft_dpo_pairs_ds,
         "conv_pii_spans": kg.conv_pii_spans_ds,
         "conv_pii_redact": kg.conv_pii_redact_ds,
         "kg_khop": kg.kg_khop_ds,

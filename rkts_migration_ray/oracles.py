@@ -2242,6 +2242,32 @@ SELECT doc_id, n_words, n_lines,
 FROM m"""
 
 
+def _dpo_pairs_select() -> str:
+    """sft_dpo_pairs oracle: lag() pairs each assistant turn with its
+    directly-preceding user turn; the rejected partner is lead(chosen)
+    wrapping to first_value within the fixed md5 rotation bucket — the
+    engine's np.roll(-1), exactly."""
+    from .pipelines.kg import DPO_BUCKETS
+
+    return f""",
+dp0 AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+               COALESCE(text, '') AS text FROM t),
+dp1 AS (SELECT *,
+         lag(text) OVER cw AS prev_text, lag(role) OVER cw AS prev_role,
+         lag(turn_idx) OVER cw AS prev_idx
+        FROM dp0 WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+dp2 AS (SELECT conv_id, turn_idx, prev_text AS prompt, text AS chosen,
+               md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS mdk
+        FROM dp1 WHERE role = 'assistant' AND prev_role = 'user'
+         AND prev_idx = turn_idx - 1),
+dp3 AS (SELECT *, CAST(CAST(('0x' || substr(mdk, 1, 15)) AS UBIGINT)
+                       % {DPO_BUCKETS} AS BIGINT) AS bucket FROM dp2)
+SELECT conv_id, turn_idx, prompt, chosen,
+       COALESCE(lead(chosen) OVER bw, first_value(chosen) OVER bw)
+         AS rejected
+FROM dp3 WINDOW bw AS (PARTITION BY bucket ORDER BY mdk, conv_id, turn_idx)"""
+
+
 def _pii_spans_select() -> str:
     """conv_pii_spans oracle: per-family regexp_extract_all zipped with
     generate_subscripts (DuckDB runs same-length unnests in lockstep) —
@@ -2608,6 +2634,7 @@ aasc AS (SELECT x, y, sum(wt.wm) AS s
 SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
 FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
+        "sft_dpo_pairs": w + _dpo_pairs_select(),
         "conv_pii_spans": w + _pii_spans_select(),
         "conv_pii_redact": w + _pii_redact_select(),
         # exact neighborhood-Jaccard over the co-occurrence graph (the

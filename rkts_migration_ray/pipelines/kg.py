@@ -3395,6 +3395,90 @@ def conv_role_transitions_ds(sf_dir: str):
         batch_format="pyarrow")
 
 
+DPO_BUCKETS = 64   # fixed (the SQL twin inlines it): rejected-sampling
+                   # rotation group — NOT a scale knob, pairs stay exact
+                   # at any cluster size
+
+
+def sft_dpo_pairs_ds(sf_dir: str):
+    """Preference-pair (DPO/RLHF-style) dataset construction from the turn
+    stream: every assistant turn directly answering a user turn becomes
+    (prompt, chosen); `rejected` is the chosen text of the NEXT pair in a
+    deterministic md5-ordered rotation within a fixed md5 bucket (circular,
+    so every pair gets a rejected partner from an unrelated conversation) —
+    the standard "mismatched response" negative a preference-tuning
+    pipeline synthesizes when only positive demonstrations exist.
+
+    Content-addressed like kg_walks/kg_neighbor_sample: no RNG, stable
+    across runs, shards and cluster sizes; DPO_BUCKETS is FIXED (not
+    CPU-scaled) because the rotation order is part of the op's spec.
+
+    Scale shape: two bucket shuffles — (1) conv-hash co-group pairs each
+    assistant turn with its preceding user turn (conv-local, vectorized
+    shift); (2) md5-bucket co-group rotates chosen texts (each bucket ~
+    1/64 of pairs; rotation is a vectorized np.roll). Text crosses the
+    wire once per stage; nothing reaches the driver."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": pc.fill_null(pc.cast(
+                             t["role"].combine_chunks(), pa.string()), ""),
+                         "text": pc.fill_null(pc.cast(
+                             t["text"].combine_chunks(), pa.string()), "")})
+
+    def pair_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy("int64")
+        role = df["role"].to_numpy()
+        text = df["text"].to_numpy()
+        ok = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            ok[1:] = ((conv[1:] == conv[:-1]) & (role[1:] == "assistant")
+                      & (role[:-1] == "user") & (idx[1:] == idx[:-1] + 1))
+        prompt = np.roll(text, 1)
+        sel = np.nonzero(ok)[0]
+        mdk = [hashlib.md5(f"{c}|{i}".encode()).hexdigest()
+               for c, i in zip(conv[sel], idx[sel])]
+        bk = np.array([int(m[:15], 16) % DPO_BUCKETS for m in mdk],
+                      dtype=np.int32)
+        return pa.table({"bucket": pa.array(bk),
+                         "mdk": pa.array(mdk, pa.string()),
+                         "conv_id": pa.array(conv[sel], pa.string()),
+                         "turn_idx": pa.array(idx[sel]),
+                         "prompt": pa.array(prompt[sel], pa.string()),
+                         "chosen": pa.array(text[sel], pa.string())})
+
+    def rotate_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["mdk", "conv_id", "turn_idx"], kind="stable")
+        rejected = np.roll(df["chosen"].to_numpy(), -1)
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"], pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy("int64")),
+            "prompt": pa.array(df["prompt"], pa.string()),
+            "chosen": pa.array(df["chosen"], pa.string()),
+            "rejected": pa.array(rejected, pa.string())})
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cb")
+            .map_groups(pair_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(rotate_bucket, batch_format="pandas"))
+
+
 NEIGHBOR_TOPK = 5
 
 

@@ -39,7 +39,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_walks", "kg_alias_pairs",
                                   "kg_alias_clusters", "kg_walk_pairs",
                                   "conv_summary", "conv_pii_spans",
-                                  "conv_pii_redact", "kg_hits",
+                                  "conv_pii_redact", "kg_hits", "sft_dpo_pairs",
                                   "kg_neighbor_sample"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
