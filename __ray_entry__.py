@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": docs.knn_brute_ds,
         "knn_graph": docs.knn_graph_ds,
         "embed_outliers": docs.embed_outliers_ds,
+        "embed_label_prop": docs.embed_label_prop_ds,
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
         # --- relational surface ---------------------------------------------

@@ -687,6 +687,64 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE bit_count(xor(a.v, b.v)) <= 3)"""
 
 
+def _knn_graph_ctes(k: int) -> str:
+    """Mutual-kNN CTEs shared by the knn_graph and embed_label_prop twins:
+    exact cosine top-k per vector, pair-merged with both ranks; `kgm` has
+    c = 2 for mutual edges."""
+    return f"""
+WITH kgs AS (
+ SELECT a.vec_id AS src, b.vec_id AS dst,
+  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) AS s
+ FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+kgr AS (SELECT src, dst, s,
+       row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
+      FROM kgs),
+kgt AS (SELECT * FROM kgr WHERE rank <= {k}),
+kgm AS (SELECT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b,
+       CAST(sum(CASE WHEN src < dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ab,
+       CAST(sum(CASE WHEN src > dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ba,
+       max(s) AS s, count(*) AS c
+      FROM kgt GROUP BY 1, 2)"""
+
+
+def _label_prop_sql(k: int, rounds: int = 2) -> str:
+    """embed_label_prop oracle: majority-vote label propagation over the
+    mutual-kNN graph, seeds = vec_id % 10 == 0, unrolled per round;
+    majority ties break to the smaller label (row_number ORDER BY c DESC,
+    lab) — the engine's exact rule."""
+    s = _knn_graph_ctes(k) + """,
+lsym AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM kgm WHERE c = 2
+  UNION ALL SELECT doc_b, doc_a FROM kgm WHERE c = 2),
+ll0 AS MATERIALIZED (SELECT vec_id,
+        CASE WHEN vec_id % 10 = 0 THEN CAST(label AS BIGINT)
+             ELSE -1 END AS lab,
+        CASE WHEN vec_id % 10 = 0 THEN 0 ELSE -1 END AS rnd
+       FROM embeddings)"""
+    for r in range(1, rounds + 1):
+        s += f""",
+lcnt{r} AS MATERIALIZED (SELECT e.d AS node, l.lab,
+        CAST(count(*) AS BIGINT) AS cn
+       FROM lsym e JOIN ll{r - 1} l ON l.vec_id = e.s
+       WHERE l.lab >= 0 GROUP BY 1, 2),
+lcand{r} AS MATERIALIZED (SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cn DESC, lab) AS rn
+        FROM lcnt{r}) WHERE rn = 1),
+ll{r} AS MATERIALIZED (SELECT l.vec_id,
+        CASE WHEN l.lab >= 0 THEN l.lab ELSE COALESCE(c.lab, -1) END AS lab,
+        CASE WHEN l.lab >= 0 THEN l.rnd
+             WHEN c.lab IS NOT NULL THEN {r} ELSE -1 END AS rnd
+       FROM ll{r - 1} l LEFT JOIN lcand{r} c ON c.node = l.vec_id)"""
+    return s + f"""
+SELECT vec_id, (vec_id % 10 = 0) AS is_seed,
+       CAST(lab AS BIGINT) AS label_final,
+       CAST(rnd AS BIGINT) AS round_assigned
+FROM ll{rounds}"""
+
+
 # exact-integer Lloyd k-means (k=8, 3 assignment passes) — shared by the
 # embed_kmeans and embed_outliers twins; mirrors pipelines/docs.py
 # embed_kmeans_ds micro-unit arithmetic step for step
@@ -1036,23 +1094,10 @@ FROM h""",
         "doc_fingerprint": r"""
 SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
 FROM documents""",
-        "knn_graph": f"""
-WITH sims AS (
- SELECT a.vec_id AS src, b.vec_id AS dst,
-  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[])) AS s
- FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
-r AS (SELECT src, dst, s,
-       row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rank
-      FROM sims),
-t AS (SELECT * FROM r WHERE rank <= {_KNN_GRAPH_K}),
-m AS (SELECT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b,
-       CAST(sum(CASE WHEN src < dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ab,
-       CAST(sum(CASE WHEN src > dst THEN rank ELSE 0 END) AS BIGINT) AS rank_ba,
-       max(s) AS s, count(*) AS c
-      FROM t GROUP BY 1, 2)
+        "knn_graph": _knn_graph_ctes(_KNN_GRAPH_K) + """
 SELECT doc_a, doc_b, rank_ab, rank_ba, round(s, 6) AS cos_sim
-FROM m WHERE c = 2""",
+FROM kgm WHERE c = 2""",
+        "embed_label_prop": _label_prop_sql(_KNN_GRAPH_K),
         "knn_brute": """
 WITH sims AS (
  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -2432,6 +2432,150 @@ def knn_graph_ds(sf_dir: str, k: int = KNN_GRAPH_K):
             .map_batches(mutual, batch_format="pyarrow"))
 
 
+LABEL_PROP_ROUNDS = 2
+LABEL_SEED_MOD = 10   # vec_id % 10 == 0 keeps its true label as a seed
+
+
+def embed_label_prop_ds(sf_dir: str, rounds: int = LABEL_PROP_ROUNDS):
+    """Semi-supervised label propagation over the mutual-kNN graph: 1 in
+    LABEL_SEED_MOD vectors keeps its true label (the labeled pool); every
+    other node takes the MAJORITY label of its labeled graph neighbors,
+    round by round (newly-labeled nodes vote in the next round) — the
+    classic cheap label-spreading pass a weakly-supervised curation
+    pipeline runs to extend a small labeled set over an embedding corpus.
+
+    Determinism: majority ties break to the SMALLER label; seeds never
+    change; nodes with no labeled neighbor stay -1. round_assigned records
+    provenance (0 = seed, r = round r, -1 = never reached).
+
+    Scale shape: the mutual-kNN edge list is materialized once (symmetric,
+    ~2k·N rows of 16 bytes); each round is one tagged co-group joining the
+    label vector to edges on a node-id bucket, an in-bucket majority vote
+    (a node's incoming votes co-locate: bucket = dst % nb), and one more
+    tagged co-group merging candidates into the label vector — all
+    vectorized pandas per bucket, vector checkpointed per round."""
+    import os
+
+    from .kg import _checkpoint, _session_ckpt_root
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"], dtype=np.int64)
+        b = np.asarray(t["doc_b"], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "kbucket": pa.array((src % nb).astype(np.int32)),
+            "src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = (knn_graph_ds(sf_dir)
+             .map_batches(sym, batch_format="pyarrow").materialize())
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        lab = np.asarray(t["label"], dtype=np.int64)
+        seed = vid % LABEL_SEED_MOD == 0
+        return pa.table({
+            "kbucket": pa.array((vid % nb).astype(np.int32)),
+            "vec_id": pa.array(vid),
+            "lab": pa.array(np.where(seed, lab, -1)),
+            "rnd": pa.array(np.where(seed, 0, -1).astype(np.int64))})
+
+    labels = (_embeddings(sf_dir)
+              .map_batches(init_labels, batch_format="pyarrow")
+              .materialize())
+    ckpt = _session_ckpt_root()
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["kbucket"],
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"],
+                         "lab": pa.array(np.full(n, -1, np.int64)),
+                         "rnd": pa.array(np.zeros(n, np.int64))})
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["kbucket"],
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": t["vec_id"],
+                         "dst": pa.array(np.zeros(n, np.int64)),
+                         "lab": t["lab"], "rnd": t["rnd"]})
+
+    def vote_bucket(df: pd.DataFrame) -> pa.Table:
+        e = df[df["tag"] == 0][["key", "dst"]]
+        l = df[df["tag"] == 1][["key", "lab"]]
+        m = e.merge(l[l["lab"] >= 0], on="key", how="inner")
+        return pa.table({
+            "kbucket": pa.array((m["dst"].to_numpy("int64")
+                                 % nb).astype(np.int32)),
+            "node": pa.array(m["dst"].to_numpy("int64")),
+            "lab": pa.array(m["lab"].to_numpy("int64"))})
+
+    def majority_bucket(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["node", "lab"], as_index=False).size()
+             .sort_values(["node", "size", "lab"],
+                          ascending=[True, False, True], kind="stable")
+             .drop_duplicates("node"))
+        return pa.table({
+            "kbucket": pa.array((g["node"].to_numpy("int64")
+                                 % nb).astype(np.int32)),
+            "node": pa.array(g["node"].to_numpy("int64")),
+            "lab": pa.array(g["lab"].to_numpy("int64"))})
+
+    def c_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kbucket": t["kbucket"],
+                         "tag": pa.array(np.full(n, 2, np.int8)),
+                         "key": t["node"],
+                         "dst": pa.array(np.zeros(n, np.int64)),
+                         "lab": t["lab"],
+                         "rnd": pa.array(np.zeros(n, np.int64))})
+
+    for r in range(1, rounds + 1):
+        cand = (edges.map_batches(e_tag, batch_format="pyarrow")
+                .union(labels.map_batches(l_tag, batch_format="pyarrow"))
+                .groupby("kbucket")
+                .map_groups(vote_bucket, batch_format="pandas")
+                .groupby("kbucket")
+                .map_groups(majority_bucket, batch_format="pandas"))
+
+        def merge_bucket(df: pd.DataFrame, r=r) -> pa.Table:
+            l = df[df["tag"] == 1][["kbucket", "key", "lab", "rnd"]]
+            c = df[df["tag"] == 2][["key", "lab"]].rename(
+                columns={"lab": "cand"})
+            m = l.merge(c, on="key", how="left")
+            lab = m["lab"].to_numpy("int64")
+            cand_v = m["cand"].fillna(-1).astype("int64").to_numpy()
+            take = (lab < 0) & (cand_v >= 0)
+            new_lab = np.where(take, cand_v, lab)
+            rnd = m["rnd"].to_numpy("int64")
+            new_rnd = np.where(take, r, rnd)
+            return pa.table({
+                "kbucket": pa.array(m["kbucket"].to_numpy("int32")),
+                "vec_id": pa.array(m["key"].to_numpy("int64")),
+                "lab": pa.array(new_lab), "rnd": pa.array(new_rnd)})
+
+        labels = _checkpoint(
+            labels.map_batches(l_tag, batch_format="pyarrow")
+            .union(cand.map_batches(c_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(merge_bucket, batch_format="pandas"),
+            os.path.join(ckpt, f"labelprop_{r}"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "is_seed": pa.array(vid % LABEL_SEED_MOD == 0),
+            "label_final": pc.cast(t["lab"], pa.int64()),
+            "round_assigned": pc.cast(t["rnd"], pa.int64())})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 def knn_brute_ds(sf_dir: str):
     """Exact cosine top-k for the first KNN_N_QUERIES vectors (the baseline).
 

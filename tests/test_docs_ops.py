@@ -309,7 +309,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_gopher_quality",
                                   "docs_mixture_weights", "knn_graph",
                                   "text_collocations", "text_winnowing",
-                                  "text_winnow_pairs", "embed_outliers"])
+                                  "text_winnow_pairs", "embed_outliers",
+                                  "embed_label_prop"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
