@@ -905,6 +905,30 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
  CAST(count(*) AS BIGINT) AS n_shared
 FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "dedup_containment_pairs": """
+WITH ctk2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+              AS toks FROM documents),
+csh AS (SELECT DISTINCT doc_id,
+        CAST(('0x' || substr(md5(array_to_string(
+          toks[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ')), 1, 15))
+          AS UBIGINT) AS h
+       FROM ctk2, unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) r(i)
+       WHERE len(toks) >= 3),
+cdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM csh GROUP BY 1),
+cok AS (SELECT s.doc_id, s.h FROM csh s JOIN cdf USING (h)
+        WHERE df BETWEEN 2 AND 50),
+ccn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc
+        FROM csh GROUP BY 1),
+cpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+        FROM cok a JOIN cok b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared, ca.n_doc AS n_a, cb.n_doc AS n_b,
+ round(CAST(p.n_shared AS DOUBLE) / ca.n_doc, 6) AS contain_ab,
+ round(CAST(p.n_shared AS DOUBLE) / cb.n_doc, 6) AS contain_ba
+FROM cpr p JOIN ccn ca ON ca.doc_id = p.doc_a
+JOIN ccn cb ON cb.doc_id = p.doc_b
+WHERE 2 * p.n_shared >= least(ca.n_doc, cb.n_doc)""",
         "text_collocations": """
 WITH ctk AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
              FROM documents),

@@ -310,7 +310,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_mixture_weights", "knn_graph",
                                   "text_collocations", "text_winnowing",
                                   "text_winnow_pairs", "embed_outliers",
-                                  "embed_label_prop"])
+                                  "embed_label_prop",
+                                  "dedup_containment_pairs"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
