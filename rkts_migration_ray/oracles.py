@@ -2061,6 +2061,24 @@ FROM hnn n LEFT JOIN hh{iters} h USING (node)
 LEFT JOIN haa{iters} a USING (node)"""
 
 
+def _pred_paths_select(full_union: str) -> str:
+    """kg_pred_paths oracle: Σ_m n1(m,p1)·n2(m,p2) — the count-then-join
+    formulation, never materializing paths (the engine's exact shape)."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    return f""",
+ppt AS MATERIALIZED (SELECT subj, pred, obj FROM (
+{full_union}
+)),
+ppc1 AS (SELECT obj AS m, pred AS p1, CAST(count(*) AS BIGINT) AS n1
+         FROM ppt WHERE pred IN ({preds}) GROUP BY 1, 2),
+ppc2 AS (SELECT subj AS m, pred AS p2, CAST(count(*) AS BIGINT) AS n2
+         FROM ppt GROUP BY 1, 2)
+SELECT p1, p2, CAST(SUM(n1 * n2) AS BIGINT) AS n_paths
+FROM ppc1 JOIN ppc2 USING (m) GROUP BY 1, 2"""
+
+
 def _neighbor_sample_select(full_union: str) -> str:
     """kg_neighbor_sample oracle: ranked symmetric-distinct adjacency via
     row_number() ordered by (md5(src|dst), dst) — the engine's exact
@@ -2485,6 +2503,7 @@ FROM dg GROUP BY 1""",
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_hits": w + _hits_select(full_union),
         "kg_neighbor_sample": w + _neighbor_sample_select(full_union),
+        "kg_pred_paths": w + _pred_paths_select(full_union),
         "kg_khop": w + _khop_select(full_union),
         "kg_walks": w + _walks_select(),
         "kg_walk_pairs": w + _walk_pairs_select(),

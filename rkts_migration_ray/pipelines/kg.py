@@ -1358,6 +1358,84 @@ def kg_hits_ds(sf_dir: str, iters: int = HITS_ITERS,
             .map_groups(finish, batch_format="pandas"))
 
 
+def kg_pred_paths_ds(sf_dir: str,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     concurrency: int = 8):
+    """2-hop predicate-path census: for every ordered predicate pair
+    (p1, p2), the number of paths a -p1-> m -p2-> b (first hop restricted
+    to resource-valued predicates so m is a node) — the schema-usage
+    profile behind SPARQL property-path planning and join-selectivity
+    estimates, next to kg_pred_cardinality and kg_inverse_preds.
+
+    Scale shape — paths are COUNTED, never materialized: both sides
+    pre-aggregate to (mid-node, pred, n) per batch (pred-vocabulary ×
+    nodes bounded), one mid-node-hash tagged co-group computes
+    Σ_m n1(m,p1)·n2(m,p2) as in-bucket partials (one row per (p1, p2) per
+    bucket), and the final groupby sums a pred²-vocabulary-sized stream. A
+    celebrity mid-node contributes one multiplication, not n1·n2 rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+    from ray.data.aggregate import Sum
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        # side 0: edges INTO the mid node (m = obj, resource-valued preds);
+        # side 1: edges OUT of the mid node (m = subj, any pred)
+        keep = pc.is_in(t["pred"].combine_chunks(), value_set=uri_preds)
+        t1 = t.filter(keep)
+        df1 = pd.DataFrame({"m": t1["obj"].to_pandas(),
+                            "pred": t1["pred"].to_pandas()})
+        g1 = df1.groupby(["m", "pred"], as_index=False).size()
+        df2 = pd.DataFrame({"m": t["subj"].to_pandas(),
+                            "pred": t["pred"].to_pandas()})
+        g2 = df2.groupby(["m", "pred"], as_index=False).size()
+        m = pa.array(pd.concat([g1["m"], g2["m"]]), pa.string())
+        return pa.table({
+            "kbucket": hash_bucket(m, nb), "m": m,
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(g1), np.int8), np.ones(len(g2), np.int8)])),
+            "pred": pa.array(pd.concat([g1["pred"], g2["pred"]]),
+                             pa.string()),
+            "n": pa.array(np.concatenate(
+                [g1["size"].to_numpy("int64"),
+                 g2["size"].to_numpy("int64")]))})
+
+    def cross_bucket(df: pd.DataFrame) -> pa.Table:
+        # complete per-(m, side, pred) counts in-bucket, then per-m outer
+        # product of side-0 × side-1 pred vectors
+        g = df.groupby(["m", "side", "pred"], as_index=False)["n"].sum()
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        m = a.merge(b, on="m", suffixes=("1", "2"))
+        if not len(m):
+            return pa.table({"p1": pa.array([], pa.string()),
+                             "p2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        m["n"] = m["n1"].to_numpy("int64") * m["n2"].to_numpy("int64")
+        out = m.groupby(["pred1", "pred2"], as_index=False)["n"].sum()
+        return pa.table({"p1": pa.array(out["pred1"], pa.string()),
+                         "p2": pa.array(out["pred2"], pa.string()),
+                         "n": pa.array(out["n"].to_numpy("int64"))})
+
+    return (kg_triples_ds(sf_dir, cfg, concurrency)
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(cross_bucket, batch_format="pandas")
+            .groupby(["p1", "p2"])
+            .aggregate(Sum("n", alias_name="n_paths"))
+            .map_batches(lambda t: pa.table({
+                "p1": t["p1"], "p2": t["p2"],
+                "n_paths": pc.cast(t["n_paths"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 NS_FANOUT_1 = 4   # hop-1 sample size per seed
 NS_FANOUT_2 = 2   # hop-2 sample size per frontier node
 NS_SEED_PREFIX = "C:"   # conversation roots seed the sampled subgraphs
