@@ -147,7 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_pairs": docs.ngram_pairs_ds,
         "dedup_embed_pairs": docs.embed_pairs_ds,
         "dedup_minhash_pairs": docs.minhash_pairs_ds,      # oracle (md5 MinHash)
-        "dedup_prefix_pairs": docs.prefix_pairs_ds,        # exact PPJoin-style
+        "dedup_prefix_pairs": docs.prefix_pairs_ds,
+        "dedup_minhash_eval": docs.dedup_minhash_eval_ds,  # recall audit
         "minhash_signatures": docs.minhash_signatures_ds,  # oracle (md5 MinHash)
         "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
         "dedup_simhash_pairs": docs.simhash_pairs_ds,      # banded Hamming ≤ 3

@@ -651,6 +651,36 @@ SELECT doc_a, doc_b,
 FROM lab
 WHERE (CASE WHEN ha < 80 THEN 'train' WHEN ha < 90 THEN 'val' ELSE 'test' END)
    <> (CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END)""")
+    # MinHash recall audit: the LSH pair list vs the EXACT all-qualifying
+    # pair set at the same threshold (the prefix-filter select minus its
+    # prefix optimization — SQL computes the exact intersection join
+    # directly), summarized to one integer-ppm row
+    truth_02 = _shingle_ctes() + """,
+nsh AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shx a JOIN shx b ON b.hv = a.hv AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b
+FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+             JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2"""
+    sqls["dedup_minhash_eval"] = (
+        "WITH mhp AS (" + sqls["dedup_minhash_pairs"] + """),
+tru AS (""" + truth_02 + """),
+jj AS (SELECT COALESCE(p.doc_a, t.doc_a) AS doc_a,
+              (p.doc_a IS NOT NULL) AS in_pred,
+              (t.doc_a IS NOT NULL) AS in_true
+       FROM mhp p FULL JOIN tru t
+         ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+cnt AS (SELECT
+  CAST(count(*) FILTER (in_pred AND in_true) AS BIGINT) AS tp,
+  CAST(count(*) FILTER (in_pred AND NOT in_true) AS BIGINT) AS fp,
+  CAST(count(*) FILTER (in_true AND NOT in_pred) AS BIGINT) AS fn
+ FROM jj)
+SELECT tp + fp AS n_pred, tp + fn AS n_true, tp, fp, fn,
+ CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+ CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm
+FROM cnt""")
     return sqls
 
 

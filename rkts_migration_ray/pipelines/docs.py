@@ -1094,6 +1094,43 @@ def embed_outliers_ds(sf_dir: str):
                            concurrency=(1, 4))
 
 
+def dedup_minhash_eval_ds(sf_dir: str, threshold: float = 0.2):
+    """Pipeline-quality metric: recall/precision of the production MinHash
+    path against the EXACT prefix-filter join at the same Jaccard
+    threshold, as one summary row (n_pred, n_true, tp, fp, fn,
+    precision_ppm, recall_ppm in exact integer ppm) — the recall audit a
+    dedup rollout reports before trusting LSH parameters at scale (fp is
+    0 by construction: minhash verifies candidates exactly; fn counts the
+    true pairs LSH banding never bucketed).
+
+    Scale shape: both inputs are already OUTPUT-SIZED pair lists (the
+    distributed work — banding, verification, prefix filtering — happens
+    inside the two upstream ops; minhash_pairs_ds itself returns a driver
+    DataFrame by design), so the set comparison is a plain merge over
+    those small lists."""
+    pred = minhash_pairs_ds(sf_dir, threshold=threshold)
+    if not isinstance(pred, pd.DataFrame):
+        pred = pred.to_pandas()
+    truth = prefix_pairs_ds(sf_dir, threshold=threshold)
+    if not isinstance(truth, pd.DataFrame):
+        truth = truth.to_pandas()
+    p = set(map(tuple, pred[["doc_a", "doc_b"]]
+                .astype("int64").values.tolist()))
+    t = set(map(tuple, truth[["doc_a", "doc_b"]]
+                .astype("int64").values.tolist()))
+    tp, fp, fn = len(p & t), len(p - t), len(t - p)
+    return pd.DataFrame({
+        "n_pred": pd.Series([tp + fp], dtype="int64"),
+        "n_true": pd.Series([tp + fn], dtype="int64"),
+        "tp": pd.Series([tp], dtype="int64"),
+        "fp": pd.Series([fp], dtype="int64"),
+        "fn": pd.Series([fn], dtype="int64"),
+        "precision_ppm": pd.Series([tp * 1_000_000 // max(tp + fp, 1)],
+                                   dtype="int64"),
+        "recall_ppm": pd.Series([tp * 1_000_000 // max(tp + fn, 1)],
+                                dtype="int64")})
+
+
 CONTAIN_MAX_DF = 50    # boilerplate-shingle guard (same role as winnowing's)
 CONTAIN_NUM = 1        # keep pairs where 2·shared ≥ min(|A|, |B|) —
 CONTAIN_DEN = 2        # i.e. max containment ≥ 0.5, as an integer compare

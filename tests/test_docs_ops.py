@@ -311,7 +311,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_collocations", "text_winnowing",
                                   "text_winnow_pairs", "embed_outliers",
                                   "embed_label_prop",
-                                  "dedup_containment_pairs"])
+                                  "dedup_containment_pairs",
+                                  "dedup_minhash_eval"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
