@@ -935,6 +935,28 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
  CAST(count(*) AS BIGINT) AS n_shared
 FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "sample_bootstrap": """
+WITH bs AS (SELECT doc_id, source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+          AS ntok
+      FROM documents),
+bx AS (SELECT bs.*, r,
+        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+             CAST(r AS VARCHAR)), 1, 15)) AS UBIGINT) % 1000000 AS BIGINT)
+          AS u
+       FROM bs, range(8) rr(r)),
+bw AS (SELECT r, source, ntok,
+        (CASE WHEN u >= 367879 THEN 1 ELSE 0 END
+       + CASE WHEN u >= 735758 THEN 1 ELSE 0 END
+       + CASE WHEN u >= 919698 THEN 1 ELSE 0 END
+       + CASE WHEN u >= 981011 THEN 1 ELSE 0 END
+       + CASE WHEN u >= 996340 THEN 1 ELSE 0 END
+       + CASE WHEN u >= 999405 THEN 1 ELSE 0 END) AS w
+       FROM bx)
+SELECT CAST(r AS BIGINT) AS r, source,
+ CAST(SUM(w) AS BIGINT) AS n_docs,
+ CAST(SUM(w * ntok) AS BIGINT) AS n_tokens
+FROM bw GROUP BY 1, 2""",
         "dedup_containment_pairs": """
 WITH ctk2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
               AS toks FROM documents),

@@ -1094,6 +1094,74 @@ def embed_outliers_ds(sf_dir: str):
                            concurrency=(1, 4))
 
 
+BOOTSTRAP_REPLICATES = 8
+# Poisson(1) CDF in micro-units (floor(cdf·1e6) for k = 0..5); draws above
+# the last threshold clamp to 6 — the online-bootstrap weight distribution
+POISSON1_CDF_MICRO = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def sample_bootstrap_ds(sf_dir: str, replicates: int = BOOTSTRAP_REPLICATES):
+    """Deterministic Poisson bootstrap: every (doc, replicate) gets a
+    Poisson(1) resampling weight drawn by inverse-CDF over the md5 uniform
+    u = hash(doc|r) % 1e6 — the online-bootstrap trick (Oza & Russell)
+    that replaces with-replacement resampling at corpus scale, here made
+    content-addressed so all shards and cluster sizes agree. Output: per
+    (replicate, source) effective document and token counts — the
+    variance-estimation table for any per-source statistic.
+
+    EXACT: the uniform is an integer in [0, 1e6); CDF thresholds are
+    integer constants (POISSON1_CDF_MICRO), so weights are exact integer
+    comparisons; aggregates are integer sums.
+
+    Scale shape: a pure per-batch map explodes replicates (×R rows of 24
+    bytes, no text) with per-batch (r, source) partial sums; the shuffle
+    ships one row per (r, source, block)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    th = np.asarray(POISSON1_CDF_MICRO, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"].combine_chunks())
+        ntok = np.asarray(
+            pc.cast(pc.count_substring_regex(low, "[a-z]+"), pa.int64()))
+        dids = np.asarray(t["doc_id"], dtype=np.int64)
+        src = t["source"].to_pandas().to_numpy()
+        rows = {"r": [], "source": [], "n_docs": [], "n_tokens": []}
+        for r in range(replicates):
+            u = np.fromiter(
+                (int(hashlib.md5(f"{d}|{r}".encode()).hexdigest()[:15], 16)
+                 % 1_000_000 for d in dids),
+                dtype=np.int64, count=len(dids))
+            w = np.searchsorted(th, u, side="right").astype(np.int64)
+            df = pd.DataFrame({"source": src, "w": w,
+                               "wt": w * ntok})
+            g = df.groupby("source", as_index=False).agg(
+                n_docs=("w", "sum"), n_tokens=("wt", "sum"))
+            rows["r"].extend([r] * len(g))
+            rows["source"].extend(g["source"])
+            rows["n_docs"].extend(g["n_docs"])
+            rows["n_tokens"].extend(g["n_tokens"])
+        return pa.table({
+            "r": pa.array(np.asarray(rows["r"], np.int64)),
+            "source": pa.array(rows["source"], pa.string()),
+            "n_docs": pa.array(np.asarray(rows["n_docs"], np.int64)),
+            "n_tokens": pa.array(np.asarray(rows["n_tokens"], np.int64))})
+
+    return (_docs(sf_dir, ["doc_id", "source", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["r", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .map_batches(lambda t: pa.table({
+                "r": pc.cast(t["r"], pa.int64()), "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 def dedup_minhash_eval_ds(sf_dir: str, threshold: float = 0.2):
     """Pipeline-quality metric: recall/precision of the production MinHash
     path against the EXACT prefix-filter join at the same Jaccard
