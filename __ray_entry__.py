@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_sample": kg.kg_neighbor_sample_ds,
         "kg_pred_paths": kg.kg_pred_paths_ds,
         "kg_triangles": kg.kg_triangles_ds,
+        "kg_clustering_coef": kg.kg_clustering_coef_ds,
         "kg_adamic_adar": kg.kg_adamic_adar_ds,
         "kg_walks": kg.kg_walks_ds,
         "kg_walk_pairs": kg.kg_walk_pairs_ds,

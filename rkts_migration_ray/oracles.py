@@ -2808,6 +2808,26 @@ tri AS MATERIALIZED (
   FROM co x JOIN co y ON y.a = x.b JOIN co z ON z.a = x.a AND z.b = y.b)
 SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
 FROM (SELECT unnest([a, b, c]) AS entity FROM tri) GROUP BY 1""",
+        "kg_clustering_coef": w + """
+, co AS MATERIALIZED (
+  SELECT a.entity_uri AS a, b.entity_uri AS b
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+tri AS MATERIALIZED (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM co x JOIN co y ON y.a = x.b JOIN co z ON z.a = x.a AND z.b = y.b),
+trc AS (SELECT entity, CAST(count(*) AS BIGINT) AS tri
+        FROM (SELECT unnest([a, b, c]) AS entity FROM tri) GROUP BY 1),
+dgc AS (SELECT entity, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS entity FROM co UNION ALL SELECT b FROM co)
+        GROUP BY 1)
+SELECT d.entity, d.deg AS degree, COALESCE(t.tri, 0) AS n_triangles,
+ CAST(CASE WHEN d.deg >= 2
+       THEN (2000000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+       ELSE 0 END AS BIGINT) AS cc_ppm
+FROM dgc d LEFT JOIN trc t USING (entity)""",
         "sft_examples": w + """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
        n_context_turns, COALESCE(context, '') AS context, target

@@ -1787,6 +1787,79 @@ def kg_entity_growth_ds(sf_dir: str, concurrency: int = 8):
             .groupby("g").map_groups(cum, batch_format="pandas"))
 
 
+def kg_clustering_coef_ds(sf_dir: str, concurrency: int = 8):
+    """Per-entity local clustering coefficient over the co-occurrence
+    graph: cc = 2·triangles / (deg·(deg−1)) in integer ppm — the cohesion
+    score that separates entities whose neighbors form a community from
+    hub entities bridging unrelated conversations (the per-node reading of
+    kg_triangles).
+
+    EXACT: cc_ppm = (2·10⁶·T) // (d·(d−1)) — one integer division; nodes
+    with deg < 2 report 0. The edge list is computed ONCE and shared by
+    the degree count and the triangle pass.
+
+    Scale shape: degrees are per-batch partial counts over the distinct
+    pair stream → groupby-sum; triangles ride kg_triangles_ds's
+    wedge-bounded machinery; the two meet in one entity-hash tagged
+    co-group."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    edges = cooccurrence_ds(sf_dir, concurrency).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["e1"].combine_chunks(),
+                                 t["e2"].combine_chunks()])
+        df = pd.DataFrame({"entity": both.to_pandas()})
+        g = df.groupby("entity", as_index=False).size()
+        return pa.table({"entity": pa.array(g["entity"], pa.string()),
+                         "deg": pa.array(g["size"].to_numpy("int64"))})
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("entity").aggregate(Sum("deg", alias_name="deg")))
+
+    def d_tag(t: pa.Table) -> pa.Table:
+        ent = pc.cast(t["entity"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "entity": ent,
+                         "v": pc.cast(t["deg"], pa.int64())})
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        ent = pc.cast(t["entity"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "entity": ent,
+                         "v": pc.cast(t["n_triangles"], pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        d = df[df["tag"] == 0][["entity", "v"]].rename(columns={"v": "deg"})
+        tr = df[df["tag"] == 1][["entity", "v"]].rename(
+            columns={"v": "tri"})
+        m = d.merge(tr, on="entity", how="left")
+        deg = m["deg"].to_numpy("int64")
+        tri = m["tri"].fillna(0).astype("int64").to_numpy()
+        den = deg * (deg - 1)
+        cc = np.where(den > 0, (2_000_000 * tri) // np.maximum(den, 1), 0)
+        return pa.table({"entity": pa.array(m["entity"], pa.string()),
+                         "degree": pa.array(deg),
+                         "n_triangles": pa.array(tri),
+                         "cc_ppm": pa.array(cc.astype(np.int64))})
+
+    tri = kg_triangles_ds(sf_dir, concurrency, edges=edges)
+    return (degrees.map_batches(d_tag, batch_format="pyarrow")
+            .union(tri.map_batches(t_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(combine, batch_format="pandas"))
+
+
 def kg_adamic_adar_ds(sf_dir: str, concurrency: int = 8, edges=None):
     """Adamic–Adar link strength for every co-occurrence edge:
     AA(a,b) = Σ over common neighbors z of 1/ln(deg z) — the classic

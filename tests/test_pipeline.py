@@ -40,7 +40,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_alias_clusters", "kg_walk_pairs",
                                   "conv_summary", "conv_pii_spans",
                                   "conv_pii_redact", "kg_hits", "sft_dpo_pairs",
-                                  "kg_neighbor_sample", "kg_pred_paths"])
+                                  "kg_neighbor_sample", "kg_pred_paths",
+                                  "kg_clustering_coef"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
