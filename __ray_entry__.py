@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_pairs": docs.text_winnow_pairs_ds,
         "dedup_containment_pairs": docs.dedup_containment_pairs_ds,
         "sample_bootstrap": docs.sample_bootstrap_ds,
+        "docs_source_divergence": docs.docs_source_divergence_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,

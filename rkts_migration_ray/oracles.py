@@ -935,6 +935,39 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
  CAST(count(*) AS BIGINT) AS n_shared
 FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "docs_source_divergence": """
+WITH jt AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS w FROM documents),
+jc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       FROM jt GROUP BY 1, 2),
+jn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM jc GROUP BY 1),
+jp AS (SELECT a.source AS sa, b.source AS sb
+       FROM jn a JOIN jn b ON a.source < b.source),
+jw0 AS (SELECT p.sa, p.sb, c.w,
+         CAST(sum(CASE WHEN c.source = p.sa THEN c.c ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN c.source = p.sb THEN c.c ELSE 0 END) AS BIGINT)
+           AS cb
+        FROM jp p JOIN jc c ON c.source IN (p.sa, p.sb)
+        GROUP BY 1, 2, 3),
+jpq AS (SELECT w0.sa, w0.sb,
+         CAST(w0.ca AS DOUBLE) / na.n AS p,
+         CAST(w0.cb AS DOUBLE) / nb.n AS q,
+         w0.ca AS ca, w0.cb AS cb
+        FROM jw0 w0 JOIN jn na ON na.source = w0.sa
+        JOIN jn nb ON nb.source = w0.sb),
+jterm AS (SELECT sa, sb,
+   (CASE WHEN ca > 0 THEN p * ln((2 * p) / (p + q)) ELSE 0 END
+  + CASE WHEN cb > 0 THEN q * ln((2 * q) / (p + q)) ELSE 0 END) AS t
+  FROM jpq),
+jmic AS (SELECT sa, sb,
+   CAST(CASE WHEN t < 0 THEN -floor(-t * 1000000 + 0.5)
+        ELSE floor(t * 1000000 + 0.5) END AS BIGINT) AS micro
+  FROM jterm)
+SELECT sa AS source_a, sb AS source_b,
+ CAST(sum(micro) AS BIGINT) AS js_micro,
+ CAST(count(*) AS BIGINT) AS n_words
+FROM jmic GROUP BY 1, 2""",
         "sample_bootstrap": """
 WITH bs AS (SELECT doc_id, source,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)

@@ -1094,6 +1094,119 @@ def embed_outliers_ds(sf_dir: str):
                            concurrency=(1, 4))
 
 
+def docs_source_divergence_ds(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every source pair — the domain-similarity matrix a
+    mixture designer reads before merging or re-weighting sources (near-0
+    ⇒ redundant domains; large ⇒ complementary).
+
+    EXACT-SUM DISCIPLINE (the text_bigram_score trick): each (word, pair)
+    JS term — p·ln(2p/(p+q)) + q·ln(2q/(p+q)), xlogx(0)=0 — is evaluated
+    once in a fixed IEEE double expression with scalar libm ln (numpy's
+    vectorized log differs in the last ulp), quantized to int64 micros
+    (round half-away), and summed as integers — so the distributed sum is
+    order-independent and the SQL twin hash-matches.
+
+    Scale shape: per-(source, word) counts via per-batch Counter partials
+    → one groupby-sum (vocab × sources bounded); per-source totals are a
+    tiny broadcast; terms are computed per WORD-HASH BUCKET (each bucket
+    sees its words' full source vectors, emitting one partial row per
+    (pair, bucket)) → final pair-keyed integer sum. Pairs are
+    n_sources², never corpus-sized."""
+    import hashlib
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: dict = {}
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            counts.setdefault(s, Counter()).update(T.tokens_lower(x))
+        srcs, words, cs = [], [], []
+        for s, c in counts.items():
+            for w, n in c.items():
+                srcs.append(s); words.append(w); cs.append(n)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "word": pa.array(words, pa.string()),
+                         "c": pa.array(np.asarray(cs, np.int64))})
+
+    counts = (_docs(sf_dir, ["source", "text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["source", "word"])
+              .aggregate(Sum("c", alias_name="c"))
+              .materialize())
+
+    # per-source totals: n_sources rows — closure-captured (tiny)
+    totals = {r["source"]: int(r["c"]) for r in
+              counts.groupby("source")
+              .aggregate(Sum("c", alias_name="c")).take_all()}
+    sources = sorted(totals)
+
+    def add_wbucket(t: pa.Table) -> pa.Table:
+        wb = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % nb
+             for w in t["word"].to_pylist()),
+            dtype=np.int32, count=t.num_rows)
+        return t.append_column("wb", pa.array(wb))
+
+    def terms(df: pd.DataFrame) -> pa.Table:
+        piv = df.pivot_table(index="word", columns="source",
+                             values="c", aggfunc="sum", fill_value=0)
+        out = {"source_a": [], "source_b": [], "js_micro": [],
+               "n_words": []}
+        for i, a in enumerate(sources):
+            ca = (piv[a].to_numpy("int64") if a in piv.columns
+                  else np.zeros(len(piv), np.int64))
+            na = float(totals[a])
+            for b in sources[i + 1:]:
+                cb = (piv[b].to_numpy("int64") if b in piv.columns
+                      else np.zeros(len(piv), np.int64))
+                nbt = float(totals[b])
+                mask = (ca > 0) | (cb > 0)
+                if not mask.any():
+                    continue
+                p = ca[mask] / na
+                q = cb[mask] / nbt
+                m = p + q
+                term = np.fromiter(
+                    ((x * math.log((2.0 * x) / s) if x > 0 else 0.0)
+                     + (y * math.log((2.0 * y) / s) if y > 0 else 0.0)
+                     for x, y, s in zip(p, q, m)),
+                    dtype=np.float64, count=int(mask.sum()))
+                micro = (np.sign(term)
+                         * np.floor(np.abs(term) * 1e6 + 0.5)
+                         ).astype(np.int64)
+                out["source_a"].append(a)
+                out["source_b"].append(b)
+                out["js_micro"].append(int(micro.sum()))
+                out["n_words"].append(int(mask.sum()))
+        return pa.table({
+            "source_a": pa.array(out["source_a"], pa.string()),
+            "source_b": pa.array(out["source_b"], pa.string()),
+            "js_micro": pa.array(np.asarray(out["js_micro"], np.int64)),
+            "n_words": pa.array(np.asarray(out["n_words"], np.int64))})
+
+    return (counts.map_batches(add_wbucket, batch_format="pyarrow")
+            .groupby("wb")
+            .map_groups(terms, batch_format="pandas")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("js_micro", alias_name="js_micro"),
+                       Sum("n_words", alias_name="n_words"))
+            .map_batches(lambda t: pa.table({
+                "source_a": t["source_a"], "source_b": t["source_b"],
+                "js_micro": pc.cast(t["js_micro"], pa.int64()),
+                "n_words": pc.cast(t["n_words"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 BOOTSTRAP_REPLICATES = 8
 # Poisson(1) CDF in micro-units (floor(cdf·1e6) for k = 0..5); draws above
 # the last threshold clamp to 6 — the online-bootstrap weight distribution
