@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_paths": kg.kg_pred_paths_ds,
         "kg_triangles": kg.kg_triangles_ds,
         "kg_clustering_coef": kg.kg_clustering_coef_ds,
+        "kg_assortativity": kg.kg_assortativity_ds,
         "kg_adamic_adar": kg.kg_adamic_adar_ds,
         "kg_walks": kg.kg_walks_ds,
         "kg_walk_pairs": kg.kg_walk_pairs_ds,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_clusters": kg.kg_alias_clusters_ds,
         "conv_clean_text": kg.conv_clean_text_ds,
         "sft_dpo_pairs": kg.sft_dpo_pairs_ds,
+        "conv_speaker_stats": kg.conv_speaker_stats_ds,
         "conv_pii_spans": kg.conv_pii_spans_ds,
         "conv_pii_redact": kg.conv_pii_redact_ds,
         "kg_khop": kg.kg_khop_ds,
@@ -230,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_rollup": relational.revenue_rollup_ds,
         "rel_revenue_cube": relational.revenue_cube_ds,
         "rel_events_lead_lag": relational.events_lead_lag_ds,
+        "rel_events_intervals": relational.events_intervals_ds,
         "rel_orders_above_avg": relational.orders_above_avg_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_funnel": relational.events_funnel_ds,

@@ -1243,6 +1243,17 @@ FROM events GROUP BY 1, 2""",
 SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1""",
+        "rel_events_intervals": """
+SELECT event_id, user_id, event_type,
+ CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+ CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+ CAST(COALESCE(lead(epoch_us(ts)) OVER
+        (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id),
+      253402300800000000) AS BIGINT) AS valid_to_us,
+ (lead(epoch_us(ts)) OVER
+        (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+   IS NULL) AS is_current
+FROM events""",
         "rel_events_rolling": """
 SELECT event_id, user_id,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
@@ -2808,6 +2819,16 @@ SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
 FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
         "sft_dpo_pairs": w + _dpo_pairs_select(),
+        "conv_speaker_stats": w + """
+SELECT COALESCE(role, '') AS role,
+ CAST(count(*) AS BIGINT) AS n_turns,
+ CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+ CAST(sum(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')))
+      AS BIGINT) AS n_tokens,
+ CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
+ CAST(sum(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')))
+      * 1000000 // greatest(count(*), 1) AS BIGINT) AS mean_tokens_ppm
+FROM t GROUP BY 1""",
         "conv_pii_spans": w + _pii_spans_select(),
         "conv_pii_redact": w + _pii_redact_select(),
         # exact neighborhood-Jaccard over the co-occurrence graph (the
@@ -2841,6 +2862,34 @@ tri AS MATERIALIZED (
   FROM co x JOIN co y ON y.a = x.b JOIN co z ON z.a = x.a AND z.b = y.b)
 SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
 FROM (SELECT unnest([a, b, c]) AS entity FROM tri) GROUP BY 1""",
+        "kg_assortativity": w + """
+, co AS MATERIALIZED (
+  SELECT a.entity_uri AS a, b.entity_uri AS b
+  FROM (SELECT DISTINCT conv_id, entity_uri FROM linked) a
+  JOIN (SELECT DISTINCT conv_id, entity_uri FROM linked) b
+    ON a.conv_id = b.conv_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2),
+adg AS (SELECT entity, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS entity FROM co UNION ALL SELECT b FROM co)
+        GROUP BY 1),
+aed AS (SELECT a AS x, b AS y FROM co UNION ALL SELECT b, a FROM co),
+aej AS (SELECT da.deg AS dx, db.deg AS dy
+        FROM aed JOIN adg da ON da.entity = aed.x
+        JOIN adg db ON db.entity = aed.y),
+amo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sx2,
+         CAST(sum(dy * dy) AS BIGINT) AS sy2
+        FROM aej)
+SELECT n AS n_dir_edges, sx AS sum_deg, sxy AS sum_prod, sx2 AS sum_sq,
+ round(CASE WHEN CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy > 0
+       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+       ELSE 0 END, 6) AS assortativity
+FROM amo""",
         "kg_clustering_coef": w + """
 , co AS MATERIALIZED (
   SELECT a.entity_uri AS a, b.entity_uri AS b

@@ -1860,6 +1860,124 @@ def kg_clustering_coef_ds(sf_dir: str, concurrency: int = 8):
             .map_groups(combine, batch_format="pandas"))
 
 
+def kg_assortativity_ds(sf_dir: str, concurrency: int = 8):
+    """Degree assortativity of the co-occurrence graph — the Pearson
+    correlation of endpoint degrees over all directed edge orientations
+    (Newman 2002): positive ⇒ hubs attach to hubs (community cores),
+    negative ⇒ hub-and-spoke. One summary row with the EXACT integer
+    moments (n, Σx, Σxy, Σx²; the symmetric orientation makes y-moments
+    equal x-moments) plus r evaluated once in a fixed double expression
+    with libm sqrt, rounded to 6 — the single scalar op, so the value is
+    bit-reproducible.
+
+    Scale shape: degrees via per-batch partial counts → groupby-sum; each
+    directed edge picks up its endpoint degrees through two entity-hash
+    tagged co-groups (the kg_pagerank outdeg discipline — a bucket holds
+    every edge of its keyed endpoint); moments are per-batch integer
+    partials into one constant-key sum."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    edges = cooccurrence_ds(sf_dir, concurrency).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["e1"].combine_chunks(),
+                                 t["e2"].combine_chunks()])
+        g = pd.DataFrame({"entity": both.to_pandas()}).groupby(
+            "entity", as_index=False).size()
+        return pa.table({"entity": pa.array(g["entity"], pa.string()),
+                         "deg": pa.array(g["size"].to_numpy("int64"))})
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("entity").aggregate(Sum("deg", alias_name="deg"))
+               .materialize())
+
+    def e_sym(t: pa.Table) -> pa.Table:
+        x = pa.concat_arrays([t["e1"].combine_chunks(),
+                              t["e2"].combine_chunks()])
+        y = pa.concat_arrays([t["e2"].combine_chunks(),
+                              t["e1"].combine_chunks()])
+        n = len(x)
+        return pa.table({"kbucket": hash_bucket(x, nb),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": x, "other": y,
+                         "deg": pa.array(np.zeros(n, np.int64))})
+
+    def d_tag(t: pa.Table) -> pa.Table:
+        ent = pc.cast(t["entity"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": ent, "other": pa.nulls(n, pa.string()),
+                         "deg": pc.cast(t["deg"], pa.int64())})
+
+    def attach_x(df: pd.DataFrame) -> pa.Table:
+        e = df[df["tag"] == 0][["key", "other"]]
+        d = df[df["tag"] == 1][["key", "deg"]]
+        m = e.merge(d, on="key", how="left")
+        other = pa.array(m["other"], pa.string())
+        return pa.table({"kbucket": hash_bucket(other, nb),
+                         "tag": pa.array(np.zeros(len(m), np.int8)),
+                         "key": other,
+                         "other": pa.array(m["key"], pa.string()),
+                         "deg": pa.array(m["deg"].fillna(0)
+                                         .astype("int64").to_numpy())})
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        e = df[df["tag"] == 0][["key", "deg"]].rename(
+            columns={"deg": "dx"})
+        d = df[df["tag"] == 1][["key", "deg"]].rename(
+            columns={"deg": "dy"})
+        m = e.merge(d, on="key", how="left")
+        dx = m["dx"].to_numpy("int64")
+        dy = m["dy"].fillna(0).astype("int64").to_numpy()
+        return pa.table({
+            "k": pa.array([0], pa.int32()),
+            "n": pa.array([len(m)], pa.int64()),
+            "sx": pa.array([int(dx.sum())], pa.int64()),
+            "sy": pa.array([int(dy.sum())], pa.int64()),
+            "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+            "sx2": pa.array([int((dx * dx).sum())], pa.int64()),
+            "sy2": pa.array([int((dy * dy).sum())], pa.int64())})
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        n = int(df["n"].sum()); sx = int(df["sx"].sum())
+        sy = int(df["sy"].sum()); sxy = int(df["sxy"].sum())
+        sx2 = int(df["sx2"].sum()); sy2 = int(df["sy2"].sum())
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        vx = float(n) * float(sx2) - float(sx) * float(sx)
+        vy = float(n) * float(sy2) - float(sy) * float(sy)
+        r = num / math.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+        from ..functions.arrowutils import round_half_away
+
+        return pa.table({
+            "n_dir_edges": pa.array([n], pa.int64()),
+            "sum_deg": pa.array([sx], pa.int64()),
+            "sum_prod": pa.array([sxy], pa.int64()),
+            "sum_sq": pa.array([sx2], pa.int64()),
+            "assortativity": pa.array(round_half_away(np.array([r])))})
+
+    # x-degrees attach on the first-endpoint bucket, then the stream
+    # rebuckets on the second endpoint to pick up y-degrees
+    with_x = (edges.map_batches(e_sym, batch_format="pyarrow")
+              .union(degrees.map_batches(d_tag, batch_format="pyarrow"))
+              .groupby("kbucket")
+              .map_groups(attach_x, batch_format="pandas"))
+    return (with_x
+            .union(degrees.map_batches(d_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(moments, batch_format="pandas")
+            .groupby("k")
+            .map_groups(finish, batch_format="pandas"))
+
+
 def kg_adamic_adar_ds(sf_dir: str, concurrency: int = 8, edges=None):
     """Adamic–Adar link strength for every co-occurrence edge:
     AA(a,b) = Σ over common neighbors z of 1/ln(deg z) — the classic
@@ -3544,6 +3662,75 @@ def conv_role_transitions_ds(sf_dir: str):
             "n_transitions": pc.cast(t["n_transitions"], pa.int64()),
             "n_convs": pc.cast(t["n_convs"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def conv_speaker_stats_ds(sf_dir: str):
+    """Per-role speaker profile over the whole corpus: turn count,
+    distinct conversations, token count (same [a-z]+ grammar as the docs
+    ops), total characters, and mean turn length in integer ppm — the
+    one-glance who-talks-how-much table a conversation-data report leads
+    with.
+
+    Scale shape: pure per-batch partials — (role, conv) distinct pairs and
+    per-role sums both combined in-batch — then one role-keyed groupby
+    over rows bounded by roles × blocks (+ roles × convs for the distinct
+    leg, shipped as 24-byte rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        role = pc.fill_null(pc.cast(t["role"].combine_chunks(),
+                                    pa.string()), "")
+        text = pc.fill_null(pc.cast(t["text"].combine_chunks(),
+                                    pa.string()), "")
+        ntok = np.asarray(pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(text), "[a-z]+"), pa.int64()))
+        nchr = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()))
+        df = pd.DataFrame({"role": role.to_pandas(),
+                           "conv_id": t["conv_id"].to_pandas(),
+                           "ntok": ntok, "nchr": nchr})
+        g = df.groupby("role", as_index=False).agg(
+            n_turns=("ntok", "size"), n_tokens=("ntok", "sum"),
+            n_chars=("nchr", "sum"))
+        d = df[["role", "conv_id"]].drop_duplicates()
+        return pa.table({
+            "role": pa.array(pd.concat([g["role"], d["role"]]), pa.string()),
+            "conv_id": pa.array(
+                [""] * len(g) + d["conv_id"].tolist(), pa.string()),
+            "n_turns": pa.array(np.concatenate(
+                [g["n_turns"].to_numpy("int64"),
+                 np.zeros(len(d), np.int64)])),
+            "n_tokens": pa.array(np.concatenate(
+                [g["n_tokens"].to_numpy("int64"),
+                 np.zeros(len(d), np.int64)])),
+            "n_chars": pa.array(np.concatenate(
+                [g["n_chars"].to_numpy("int64"),
+                 np.zeros(len(d), np.int64)]))})
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        role = df["role"].iloc[0]
+        sums = df[df["conv_id"] == ""]
+        nconvs = df.loc[df["conv_id"] != "", "conv_id"].nunique()
+        nt = int(sums["n_turns"].sum())
+        tok = int(sums["n_tokens"].sum())
+        ch = int(sums["n_chars"].sum())
+        return pa.table({
+            "role": pa.array([role], pa.string()),
+            "n_turns": pa.array([nt], pa.int64()),
+            "n_convs": pa.array([int(nconvs)], pa.int64()),
+            "n_tokens": pa.array([tok], pa.int64()),
+            "n_chars": pa.array([ch], pa.int64()),
+            "mean_tokens_ppm": pa.array(
+                [tok * 1_000_000 // max(nt, 1)], pa.int64())})
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("role")
+            .map_groups(finalize, batch_format="pandas"))
 
 
 DPO_BUCKETS = 64   # fixed (the SQL twin inlines it): rejected-sampling

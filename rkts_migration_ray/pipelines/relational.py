@@ -1122,6 +1122,64 @@ def events_lead_lag_ds(sf_dir: str, n_tiles: int = 4,
             .map_groups(windows, batch_format="pandas"))
 
 
+SCD_SENTINEL_US = 253402300800000000   # 9999-01-01 in epoch micros
+
+
+def events_intervals_ds(sf_dir: str, n_buckets: int | None = None):
+    """SCD-type-2-style validity intervals per (user, event_type): each
+    event's value is "current" from its timestamp until the user's NEXT
+    event of the same type — (valid_from_us, valid_to_us, is_current) —
+    the point-in-time reconstruction table a CDC consumer materializes
+    from an append-only event stream. Open intervals close at the
+    SCD_SENTINEL_US far-future stamp so the column stays non-null int64.
+
+    Scale shape: hash-bucket on user_id (the window PARTITION key — no
+    global sort), one vectorized pandas pass per bucket (stable sort +
+    boundary-masked shift), value in exact integer cents."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(
+        floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        v = np.asarray(t["value"], dtype=np.float64)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        same_next = (df["user_id"].eq(df["user_id"].shift(-1))
+                     & df["event_type"].eq(df["event_type"].shift(-1))
+                     ).to_numpy()
+        ts = df["ts_us"].to_numpy()
+        valid_to = np.full(len(df), SCD_SENTINEL_US, dtype=np.int64)
+        if len(df) > 1:
+            valid_to[:-1] = np.where(same_next[:-1], ts[1:],
+                                     SCD_SENTINEL_US)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "event_type": df["event_type"],
+            "value_c": df["value_c"],
+            "valid_from_us": ts,
+            "valid_to_us": valid_to,
+            "is_current": valid_to == SCD_SENTINEL_US,
+        })
+
+    return (_table(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(intervals, batch_format="pandas"))
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 

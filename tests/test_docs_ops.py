@@ -313,7 +313,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "embed_label_prop",
                                   "dedup_containment_pairs",
                                   "dedup_minhash_eval", "sample_bootstrap",
-                                  "docs_source_divergence"])
+                                  "docs_source_divergence",
+                                  "rel_events_intervals"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
