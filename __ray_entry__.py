@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment_pairs": docs.dedup_containment_pairs_ds,
         "sample_bootstrap": docs.sample_bootstrap_ds,
         "docs_source_divergence": docs.docs_source_divergence_ds,
+        "docs_k_anonymity": docs.docs_k_anonymity_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_cube": relational.revenue_cube_ds,
         "rel_events_lead_lag": relational.events_lead_lag_ds,
         "rel_events_intervals": relational.events_intervals_ds,
+        "rel_bloom_semi_join": relational.bloom_semi_join_ds,
         "rel_orders_above_avg": relational.orders_above_avg_ds,
         "rel_events_sliding": relational.events_sliding_ds,
         "rel_events_funnel": relational.events_funnel_ds,

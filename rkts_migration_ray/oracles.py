@@ -935,6 +935,10 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
  CAST(count(*) AS BIGINT) AS n_shared
 FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "docs_k_anonymity": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+ (count(*) >= 10) AS k_anonymous
+FROM documents GROUP BY 1, 2""",
         "docs_source_divergence": """
 WITH jt AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
             AS w FROM documents),
@@ -1243,6 +1247,13 @@ FROM events GROUP BY 1, 2""",
 SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1""",
+        "rel_bloom_semi_join": """
+SELECT l.l_partkey AS p_partkey,
+ CAST(count(*) AS BIGINT) AS n_items,
+ CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+   AS sum_qty_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size < 10 GROUP BY 1""",
         "rel_events_intervals": """
 SELECT event_id, user_id, event_type,
  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,

@@ -1094,6 +1094,40 @@ def embed_outliers_ds(sf_dir: str):
                            concurrency=(1, 4))
 
 
+K_ANONYMITY_K = 10
+
+
+def docs_k_anonymity_ds(sf_dir: str, k: int = K_ANONYMITY_K):
+    """k-anonymity audit over the quasi-identifier (lang, source): group
+    sizes plus the k-anonymous flag — the privacy screen (next to the
+    conv_pii_* scrubbers) a release pipeline runs so no published slice
+    isolates fewer than k documents behind its visible attributes.
+
+    Scale shape: per-batch partial counts → one tiny groupby-sum (rows
+    bounded by the quasi-identifier vocabulary), flag via integer
+    compare."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby(["lang", "source"], as_index=False)
+             .size())
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "source": pa.array(g["source"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy("int64"))})
+
+    return (_docs(sf_dir, ["lang", "source"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n_docs"))
+            .map_batches(lambda t: pa.table({
+                "lang": t["lang"], "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "k_anonymous": pc.greater_equal(
+                    pc.cast(t["n_docs"], pa.int64()), k)}),
+                batch_format="pyarrow"))
+
+
 def docs_source_divergence_ds(sf_dir: str):
     """Pairwise Jensen–Shannon divergence between the unigram
     distributions of every source pair — the domain-similarity matrix a

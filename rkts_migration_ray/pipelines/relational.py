@@ -1122,6 +1122,120 @@ def events_lead_lag_ds(sf_dir: str, n_tiles: int = 4,
             .map_groups(windows, batch_format="pandas"))
 
 
+BLOOM_JOIN_BITS = 1 << 16
+BLOOM_JOIN_K = 3
+BLOOM_JOIN_MAX_SIZE = 10   # the selective part predicate: p_size < 10
+
+
+def bloom_semi_join_ds(sf_dir: str, n_bits: int = BLOOM_JOIN_BITS,
+                       k: int = BLOOM_JOIN_K,
+                       n_buckets: int | None = None):
+    """Bloom-pruned join: lineitem rows joining the selective part subset
+    (p_size < 10), pre-filtered by a FIXED-size Bloom bitmap over the
+    part keys before any shuffle — the runtime-filter push-down every
+    distributed engine applies when the build side is too big to
+    broadcast exactly but a few KiB of bitmap kills most probe-side rows
+    at the map stage. Result is EXACT: survivors are verified (and Bloom
+    false positives dropped) in the key-hash co-group that also completes
+    the aggregation — output is per-part (n_items, sum_qty_c).
+
+    Scale shape: probe-side rows are cut by the bitmap BEFORE the partial
+    (partkey, n, qty) combiner, so the shuffle ships only survivors (plus
+    deterministic-FP noise); the bitmap is md5-addressed like
+    text_bloom_contamination (ray.put once, size independent of the build
+    side)."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(
+        floor=16, per_cpu=2)
+
+    part = _table(sf_dir, "part", ["p_partkey", "p_size"]).filter(
+        expr=f"p_size < {BLOOM_JOIN_MAX_SIZE}")
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        bits = set()
+        for key in t["p_partkey"].to_pylist():
+            for j in range(k):
+                bits.add(int(hashlib.md5(f"{j}|{key}".encode())
+                             .hexdigest()[:15], 16) % n_bits)
+        return pa.table({"bit": pa.array(sorted(bits), pa.int64())})
+
+    bit_rows = (part.map_batches(build_bits, batch_format="pyarrow")
+                .take_all())  # bounded by n_bits, NOT by build-side size
+    bitmap = np.zeros(n_bits, dtype=bool)
+    bitmap[[r["bit"] for r in bit_rows]] = True
+    bm_ref = ray.put(bitmap)
+
+    class Probe:
+        def __init__(self, ref=None):
+            self.bm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = np.asarray(t["l_partkey"], dtype=np.int64)
+            qty = np.asarray(t["l_quantity"], dtype=np.float64)
+            ok = np.ones(len(keys), dtype=bool)
+            for j in range(k):
+                idx = np.fromiter(
+                    (int(hashlib.md5(f"{j}|{x}".encode())
+                         .hexdigest()[:15], 16) % n_bits for x in keys),
+                    dtype=np.int64, count=len(keys))
+                ok &= self.bm[idx]
+            df = pd.DataFrame({
+                "p_partkey": keys[ok],
+                "qc": np.floor(qty[ok] * 100 + 0.5).astype(np.int64)})
+            g = df.groupby("p_partkey", as_index=False).agg(
+                n=("qc", "size"), s=("qc", "sum"))
+            return pa.table({
+                "p_partkey": pa.array(g["p_partkey"].to_numpy("int64")),
+                "n": pa.array(g["n"].to_numpy("int64")),
+                "s": pa.array(g["s"].to_numpy("int64"))})
+
+    survivors = (_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+                 .map_batches(Probe, batch_format="pyarrow",
+                              fn_constructor_kwargs={"ref": bm_ref},
+                              concurrency=(1, 4))
+                 .groupby("p_partkey")
+                 .aggregate(Sum("n", alias_name="n"),
+                            Sum("s", alias_name="s")))
+
+    def s_tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["p_partkey"], dtype=np.int64)
+        m = len(key)
+        return pa.table({"kbucket": pa.array((key % nb).astype(np.int32)),
+                         "tag": pa.array(np.zeros(m, np.int8)),
+                         "key": pa.array(key),
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "s": pc.cast(t["s"], pa.int64())})
+
+    def p_tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["p_partkey"], dtype=np.int64)
+        m = len(key)
+        return pa.table({"kbucket": pa.array((key % nb).astype(np.int32)),
+                         "tag": pa.array(np.ones(m, np.int8)),
+                         "key": pa.array(key),
+                         "n": pa.array(np.zeros(m, np.int64)),
+                         "s": pa.array(np.zeros(m, np.int64))})
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        sv = df[df["tag"] == 0][["key", "n", "s"]]
+        pk = df[df["tag"] == 1][["key"]]
+        m = sv.merge(pk, on="key", how="inner")  # drops Bloom FPs exactly
+        return pa.table({
+            "p_partkey": pa.array(m["key"].to_numpy("int64")),
+            "n_items": pa.array(m["n"].to_numpy("int64")),
+            "sum_qty_c": pa.array(m["s"].to_numpy("int64"))})
+
+    return (survivors.map_batches(s_tag, batch_format="pyarrow")
+            .union(part.map_batches(p_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(verify, batch_format="pandas"))
+
+
 SCD_SENTINEL_US = 253402300800000000   # 9999-01-01 in epoch micros
 
 

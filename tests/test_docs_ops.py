@@ -314,7 +314,9 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "dedup_containment_pairs",
                                   "dedup_minhash_eval", "sample_bootstrap",
                                   "docs_source_divergence",
-                                  "rel_events_intervals"])
+                                  "rel_events_intervals",
+                                  "rel_bloom_semi_join",
+                                  "docs_k_anonymity"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
