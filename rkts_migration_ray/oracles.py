@@ -2830,6 +2830,23 @@ SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
 FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
         "sft_dpo_pairs": w + _dpo_pairs_select(),
+        "conv_topic_shift": w + """
+, tsx AS MATERIALIZED (SELECT DISTINCT conv_id, turn_idx, entity_uri
+                       FROM linked),
+tsn AS (SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n
+        FROM tsx GROUP BY 1, 2),
+tso AS (SELECT a.conv_id, a.turn_idx, CAST(count(*) AS BIGINT) AS o
+        FROM tsx a JOIN tsx b ON b.conv_id = a.conv_id
+         AND b.turn_idx = a.turn_idx + 1
+         AND b.entity_uri = a.entity_uri
+        GROUP BY 1, 2)
+SELECT na.conv_id, CAST(na.turn_idx AS BIGINT) AS turn_idx,
+ na.n AS n_a, nb.n AS n_b, COALESCE(o.o, 0) AS n_overlap,
+ round(CAST(COALESCE(o.o, 0) AS DOUBLE)
+       / greatest(na.n + nb.n - COALESCE(o.o, 0), 1), 6) AS jaccard
+FROM tsn na JOIN tsn nb ON nb.conv_id = na.conv_id
+ AND nb.turn_idx = na.turn_idx + 1
+LEFT JOIN tso o ON o.conv_id = na.conv_id AND o.turn_idx = na.turn_idx""",
         "conv_speaker_stats": w + """
 SELECT COALESCE(role, '') AS role,
  CAST(count(*) AS BIGINT) AS n_turns,

@@ -3664,6 +3664,71 @@ def conv_role_transitions_ds(sf_dir: str):
         batch_format="pyarrow")
 
 
+def conv_topic_shift_ds(sf_dir: str, concurrency: int = 8):
+    """Dialogue-coherence profile: for every pair of consecutive turns
+    that BOTH mention entities, the Jaccard overlap of their distinct
+    entity sets — low values mark topic shifts, the segmentation signal a
+    long-conversation chunker uses to cut context windows at natural
+    boundaries (the conversational reading of kg_neighbor_jaccard).
+
+    Scale shape: the linked (conv, turn, entity) stream — deduped per
+    batch — shuffles ONCE on the conv hash (a conversation's turns
+    co-locate); per-bucket vectorized pandas computes per-turn set sizes
+    and consecutive-turn intersections; jaccard is the round-6 double of
+    exact integer counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (hash_bucket, round_half_away,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()[["conv_id", "turn_idx", "entity_uri"]]
+              .drop_duplicates())
+        conv = pa.array(df["conv_id"], pa.string())
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "turn_idx": pa.array(
+                             df["turn_idx"].to_numpy("int64")),
+                         "entity_uri": pa.array(df["entity_uri"],
+                                                pa.string())})
+
+    def shifts(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["conv_id", "turn_idx", "entity_uri"])
+        out = {"conv_id": [], "turn_idx": [], "n_a": [], "n_b": [],
+               "n_overlap": []}
+        for conv, g in df.groupby("conv_id", sort=False):
+            sets = {i: set(s["entity_uri"])
+                    for i, s in g.groupby("turn_idx")}
+            for i in sorted(sets):
+                if i + 1 not in sets:
+                    continue
+                a, b = sets[i], sets[i + 1]
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(i)
+                out["n_a"].append(len(a))
+                out["n_b"].append(len(b))
+                out["n_overlap"].append(len(a & b))
+        na = np.asarray(out["n_a"], np.int64)
+        nb_ = np.asarray(out["n_b"], np.int64)
+        ov = np.asarray(out["n_overlap"], np.int64)
+        union = np.maximum(na + nb_ - ov, 1)
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(np.asarray(out["turn_idx"], np.int64)),
+            "n_a": pa.array(na), "n_b": pa.array(nb_),
+            "n_overlap": pa.array(ov),
+            "jaccard": pa.array(round_half_away(ov / union))})
+
+    return (linked_mentions_ds(sf_dir, concurrency)
+            .select_columns(["conv_id", "turn_idx", "entity_uri"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("cb")
+            .map_groups(shifts, batch_format="pandas"))
+
+
 def conv_speaker_stats_ds(sf_dir: str):
     """Per-role speaker profile over the whole corpus: turn count,
     distinct conversations, token count (same [a-z]+ grammar as the docs
