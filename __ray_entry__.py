@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bootstrap": docs.sample_bootstrap_ds,
         "docs_source_divergence": docs.docs_source_divergence_ds,
         "docs_k_anonymity": docs.docs_k_anonymity_ds,
+        "docs_dp_counts": docs.docs_dp_counts_ds,
         "text_unigram_logprob": docs.unigram_logprob_ds,
         "text_dup_spans": docs.dup_spans_ds,
         "text_contamination": docs.contamination_ds,

@@ -935,6 +935,25 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
  CAST(count(*) AS BIGINT) AS n_shared
 FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "docs_dp_counts": """
+WITH dpc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1),
+dpu AS (SELECT *,
+         (CAST(CAST(('0x' || substr(md5(lang), 1, 15)) AS UBIGINT)
+               % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+        FROM dpc),
+dpn AS (SELECT lang, n,
+         CASE WHEN u > 0.5 THEN -ln(1 - 2 * (u - 0.5))
+              WHEN u < 0.5 THEN ln(1 - 2 * (0.5 - u))
+              ELSE 0 END AS x
+        FROM dpu),
+dpm AS (SELECT lang, n,
+         CAST(CASE WHEN x < 0 THEN -floor(-x * 1000000 + 0.5)
+              ELSE floor(x * 1000000 + 0.5) END AS BIGINT) AS noise_micro
+        FROM dpn)
+SELECT lang, n AS n_docs, noise_micro,
+ CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_micro
+FROM dpm""",
         "docs_k_anonymity": """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
  (count(*) >= 10) AS k_anonymous

@@ -1094,6 +1094,53 @@ def embed_outliers_ds(sf_dir: str):
                            concurrency=(1, 4))
 
 
+def docs_dp_counts_ds(sf_dir: str):
+    """Differential-privacy-mechanism plumbing: per-language counts with
+    Laplace(1/ε, ε=1) noise drawn by INVERSE CDF over the md5 uniform of
+    the group key — u = (md5(lang) % 1e6 + 0.5)/1e6, noise =
+    −sign(u−½)·ln(1−2|u−½|) — so the whole release is reproducible and
+    SQL-checkable (a production DP release swaps the content-addressed
+    uniform for a secret-seeded one; the mechanism, sensitivity-1 count
+    shape and micro-unit quantization are what this op proves). Completes
+    the privacy set next to conv_pii_* and docs_k_anonymity.
+
+    Scale shape: per-batch partial counts → tiny groupby-sum → scalar
+    noise map over n_langs rows."""
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("lang", as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy("int64"))})
+
+    def noise(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        n = np.asarray(pc.cast(t["n"], pa.int64()))
+        nm = []
+        for lg in langs:
+            h = int(hashlib.md5(lg.encode()).hexdigest()[:15], 16)
+            u = (h % 1_000_000 + 0.5) / 1_000_000.0
+            d = u - 0.5
+            x = (-math.log(1.0 - 2.0 * abs(d)) if d > 0
+                 else math.log(1.0 - 2.0 * abs(d)) if d < 0 else 0.0)
+            nm.append(int(math.copysign(
+                math.floor(abs(x) * 1e6 + 0.5), x)))
+        nm = np.asarray(nm, np.int64)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "n_docs": pa.array(n),
+                         "noise_micro": pa.array(nm),
+                         "noisy_micro": pa.array(n * 1_000_000 + nm)})
+
+    return (_docs(sf_dir, ["lang"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("lang").aggregate(Sum("n", alias_name="n"))
+            .map_batches(noise, batch_format="pyarrow"))
+
+
 K_ANONYMITY_K = 10
 
 
