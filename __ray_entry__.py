@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": docs.split_assign_ds,
         "split_leakage": docs.split_leakage_ds,
         "text_langid": docs.langid_ds,
+        "text_langid_eval": docs.langid_eval_ds,
+        "text_gram_novelty": docs.text_gram_novelty_ds,
         "text_guess_lt": docs.guess_lt_ds,
         "doc_fingerprint": lambda sf: docs.fingerprint_ds(sf).drop_columns(["sketch"]),
         # --- training-data ops: corpus curation -----------------------------

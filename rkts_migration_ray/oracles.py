@@ -1223,6 +1223,42 @@ SELECT doc_id, en_hits, de_hits, fr_hits,
       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
       WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess
 FROM h""",
+        "text_langid_eval": f"""
+WITH lex AS (SELECT lang,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess
+ FROM (SELECT lang,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_DE_SQL}, x))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_FR_SQL}, x))) AS BIGINT) AS fr_hits
+   FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+         FROM documents))),
+lcm AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        FROM lex GROUP BY 1, 2),
+ltt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM lcm GROUP BY 1)
+SELECT c.lang, c.lang_guess, c.n,
+ CAST(c.n * 1000000 // greatest(t.tot, 1) AS BIGINT) AS row_share_ppm
+FROM lcm c JOIN ltt t USING (lang)""",
+        "text_gram_novelty": """
+WITH gtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+             AS toks FROM documents),
+gsh AS (SELECT DISTINCT doc_id,
+        CAST(('0x' || substr(md5(array_to_string(
+          toks[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ')), 1, 15))
+          AS UBIGINT) AS h
+       FROM gtk, unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) r(i)
+       WHERE len(toks) >= 3),
+gwin AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS winner
+         FROM gsh GROUP BY 1),
+gnov AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         FROM gwin GROUP BY 1),
+gtot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         FROM gsh GROUP BY 1)
+SELECT t.doc_id, t.n_grams, COALESCE(v.n_novel, 0) AS n_novel,
+ CAST(COALESCE(v.n_novel, 0) * 1000000 // greatest(t.n_grams, 1)
+      AS BIGINT) AS novelty_ppm
+FROM gtot t LEFT JOIN gnov v USING (doc_id)""",
         "doc_fingerprint": r"""
 SELECT doc_id, substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
 FROM documents""",

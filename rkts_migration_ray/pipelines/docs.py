@@ -2476,6 +2476,149 @@ def langid_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(lid, batch_format="pyarrow")
 
 
+def langid_eval_ds(sf_dir: str):
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic against the table's ground-truth lang column: one row per
+    (lang, lang_guess) with count and the per-cell recall share of its
+    true-label row in integer ppm — the eval table any heuristic-upgrade
+    PR attaches.
+
+    Scale shape: rides langid_ds's per-batch map; the text never moves —
+    per-batch (lang, guess) partial counts → one tiny groupby-sum over the
+    label-vocabulary² stream, then an in-group share compute (labels are
+    vocabulary-bounded)."""
+    from ray.data.aggregate import Sum
+
+    sets = {"en": set(T.STOP_EN), "de": set(T.STOP_DE),
+            "fr": set(T.STOP_FR)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = [T.tokens_lower(x) for x in df["text"]]
+        hits = {k: np.array([sum(1 for w in tk if w in s) for tk in toks],
+                            dtype="int64") for k, s in sets.items()}
+        en, de, fr = hits["en"], hits["de"], hits["fr"]
+        guess = np.select(
+            [(en >= de) & (en >= fr) & (en > 0), (de >= fr) & (de > 0),
+             fr > 0],
+            ["en", "de", "fr"], default="unknown")
+        g = (pd.DataFrame({"lang": df["lang"], "lang_guess": guess})
+             .groupby(["lang", "lang_guess"], as_index=False).size())
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "lang_guess": pa.array(g["lang_guess"],
+                                                pa.string()),
+                         "n": pa.array(g["size"].to_numpy("int64"))})
+
+    def share(df: pd.DataFrame) -> pa.Table:
+        tot = int(df["n"].sum())
+        n = df["n"].to_numpy("int64")
+        return pa.table({
+            "lang": pa.array(df["lang"], pa.string()),
+            "lang_guess": pa.array(df["lang_guess"], pa.string()),
+            "n": pa.array(n),
+            "row_share_ppm": pa.array(n * 1_000_000 // max(tot, 1))})
+
+    return (_docs(sf_dir, ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["lang", "lang_guess"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("lang")
+            .map_groups(share, batch_format="pandas"))
+
+
+def text_gram_novelty_ds(sf_dir: str):
+    """First-occurrence attribution: per document, how many of its
+    DISTINCT 3-word shingles the corpus sees for the FIRST time in this
+    doc (ownership = lowest doc_id) — the redundancy-growth curve that
+    tells a curation pass when additional data stops contributing new
+    n-grams, plus novelty_ppm per doc.
+
+    Scale shape: per-doc distinct shingle hashes (map-side dedup) →
+    groupby(hash).Min(doc_id) — one 16-byte row per distinct gram — then
+    per-winner counts rejoin the per-doc totals in one doc-hash tagged
+    co-group; text never shuffles."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def doc_shingles(t: pa.Table) -> pa.Table:
+        dids, hs = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = T.tokens_lower(x)
+            seen = {int(hashlib.md5(" ".join(ws[i:i + 3]).encode())
+                        .hexdigest()[:15], 16)
+                    for i in range(len(ws) - 2)}
+            dids.extend([did] * len(seen))
+            hs.extend(seen)
+        return pa.table({"h": pa.array(np.asarray(hs, np.int64)),
+                         "doc_id": pa.array(np.asarray(dids, np.int64))})
+
+    shingles = (_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(doc_shingles, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .materialize())
+
+    winners = (shingles.groupby("h")
+               .aggregate(Min("doc_id", alias_name="winner")))
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("winner", as_index=False).size())
+        return pa.table({"doc_id": pa.array(g["winner"].to_numpy("int64")),
+                         "n_novel": pa.array(g["size"].to_numpy("int64"))})
+
+    novel = (winners.map_batches(win_partial, batch_format="pyarrow")
+             .groupby("doc_id").aggregate(Sum("n_novel",
+                                              alias_name="n_novel")))
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("doc_id", as_index=False).size()
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy("int64")),
+                         "n_grams": pa.array(g["size"].to_numpy("int64"))})
+
+    totals = (shingles.map_batches(tot_partial, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("n_grams",
+                                               alias_name="n_grams")))
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        n = len(d)
+        return pa.table({"kbucket": pa.array((d % nb).astype(np.int32)),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "doc_id": pa.array(d),
+                         "v": pc.cast(t["n_grams"], pa.int64())})
+
+    def n_tag(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        n = len(d)
+        return pa.table({"kbucket": pa.array((d % nb).astype(np.int32)),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "doc_id": pa.array(d),
+                         "v": pc.cast(t["n_novel"], pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        tot = df[df["tag"] == 0][["doc_id", "v"]].rename(
+            columns={"v": "n_grams"})
+        nov = df[df["tag"] == 1][["doc_id", "v"]].rename(
+            columns={"v": "n_novel"})
+        m = tot.merge(nov, on="doc_id", how="left")
+        ng = m["n_grams"].to_numpy("int64")
+        nn = m["n_novel"].fillna(0).astype("int64").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(m["doc_id"].to_numpy("int64")),
+            "n_grams": pa.array(ng), "n_novel": pa.array(nn),
+            "novelty_ppm": pa.array(nn * 1_000_000 // np.maximum(ng, 1))})
+
+    return (totals.map_batches(t_tag, batch_format="pyarrow")
+            .union(novel.map_batches(n_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(combine, batch_format="pandas"))
+
+
 def guess_lt_ds(sf_dir: str):
     """Reference language guesser (M17 full semantics — migrate-bvm.py:18-53
     Unicode-range + diacritic + trailing-shad heuristics) per document; the
