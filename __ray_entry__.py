@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": docs.minhash_pairs_ds,      # oracle (md5 MinHash)
         "dedup_prefix_pairs": docs.prefix_pairs_ds,
         "dedup_minhash_eval": docs.dedup_minhash_eval_ds,  # recall audit
+        "dedup_cluster_stats": docs.dedup_cluster_stats_ds,
         "minhash_signatures": docs.minhash_signatures_ds,  # oracle (md5 MinHash)
         "dedup_simhash": docs.simhash_ds,                  # oracle (md5 SimHash)
         "dedup_simhash_pairs": docs.simhash_pairs_ds,      # banded Hamming ≤ 3

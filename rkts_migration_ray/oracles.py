@@ -664,6 +664,16 @@ SELECT i.doc_a, i.doc_b
 FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
              JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2"""
+    # cluster-size histogram over the connected components (nested WITH
+    # RECURSIVE inside a CTE body, the docs_curated_corpus trick)
+    sqls["dedup_cluster_stats"] = ("WITH cl AS ("
+                                   + sqls["dedup_clusters"] + """),
+csz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+        FROM cl GROUP BY 1)
+SELECT size AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+ CAST(size * count(*) AS BIGINT) AS n_docs,
+ CAST((size - 1) * count(*) AS BIGINT) AS n_droppable
+FROM csz GROUP BY 1""")
     sqls["dedup_minhash_eval"] = (
         "WITH mhp AS (" + sqls["dedup_minhash_pairs"] + """),
 tru AS (""" + truth_02 + """),

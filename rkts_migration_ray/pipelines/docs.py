@@ -1356,6 +1356,37 @@ def sample_bootstrap_ds(sf_dir: str, replicates: int = BOOTSTRAP_REPLICATES):
                 batch_format="pyarrow"))
 
 
+def dedup_cluster_stats_ds(sf_dir: str):
+    """Cluster-size histogram over the near-dup components — (cluster
+    size → number of clusters, docs covered, docs droppable) — the
+    one-glance dedup-impact report (how much of the corpus collapses, and
+    whether one mega-cluster dominates, the classic symptom of boilerplate
+    leaking through the shingle filters).
+
+    Scale shape: rides dedup_clusters_ds; component sizes are one
+    groupby-count over (doc, component) rows, the histogram a second
+    size-vocabulary-bounded groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    sizes = (dedup_clusters_ds(sf_dir)
+             .groupby("component").count()
+             .map_batches(lambda t: pa.table({
+                 "size": pc.cast(t["count()"], pa.int64()),
+                 "n": pa.array(np.ones(t.num_rows, np.int64))}),
+                 batch_format="pyarrow"))
+    return (sizes.groupby("size")
+            .aggregate(Sum("n", alias_name="n_clusters"))
+            .map_batches(lambda t: pa.table({
+                "cluster_size": pc.cast(t["size"], pa.int64()),
+                "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+                "n_docs": pc.multiply(pc.cast(t["size"], pa.int64()),
+                                      pc.cast(t["n_clusters"], pa.int64())),
+                "n_droppable": pc.multiply(
+                    pc.subtract(pc.cast(t["size"], pa.int64()), 1),
+                    pc.cast(t["n_clusters"], pa.int64()))}),
+                batch_format="pyarrow"))
+
+
 def dedup_minhash_eval_ds(sf_dir: str, threshold: float = 0.2):
     """Pipeline-quality metric: recall/precision of the production MinHash
     path against the EXACT prefix-filter join at the same Jaccard
