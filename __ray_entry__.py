@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_group_topk": docs.sample_group_topk_ds,
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
+        "docs_curriculum_order": docs.docs_curriculum_order_ds,
         "text_para_dedup": docs.para_dedup_ds,
         "text_heavy_hitters": docs.heavy_hitters_ds,
         "docs_profile": docs.docs_profile_ds,

@@ -1124,6 +1124,21 @@ th AS (SELECT g.k, min(r.q_micro) AS t
 SELECT q.doc_id, q.q_micro,
        CAST(COALESCE(sum(CASE WHEN q.q_micro > th.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS decile
 FROM q CROSS JOIN th GROUP BY q.doc_id, q.q_micro""",
+        "docs_curriculum_order": f"""
+WITH s AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents),
+s2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS n_stop
+       FROM s),
+q AS (SELECT doc_id,
+       CAST(round(round((1.0 - CASE WHEN n_tokens > 0
+                    THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END)
+             * least(1.0, n_tokens / 200.0), 6) * 1000000) AS BIGINT) AS q_micro
+      FROM s2)
+SELECT doc_id, q_micro,
+ CAST(row_number() OVER (ORDER BY q_micro DESC, doc_id) AS BIGINT) AS rank
+FROM q""",
         "text_gopher_quality": _gopher_select(),
         "text_repetition": """
 WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks

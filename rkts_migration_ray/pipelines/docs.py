@@ -912,6 +912,70 @@ def quality_bins_ds(sf_dir: str, n_bins: int = 10):
     return qm.map_batches(binize, batch_format="pyarrow")
 
 
+def docs_curriculum_order_ds(sf_dir: str):
+    """GLOBAL curriculum rank per document — easiest (highest quality)
+    first, ties by doc_id — WITHOUT a global sort: rank = (docs with
+    higher q_micro) + (same-q docs with smaller id) + 1, computed as a
+    distributed histogram prefix (the pack_sequences prefix-sum
+    discipline). This is the deterministic ordering a curriculum loader
+    consumes; at 10^12 docs an actual Dataset.sort is an all-to-all the
+    histogram+offset trick avoids entirely.
+
+    Scale shape: the (q_micro, n) histogram is bounded by distinct rounded
+    quality values (≤ 1e6 rows, whatever the corpus size) → driver prefix
+    walk → broadcast offsets; per-key tie-breaking is an in-bucket
+    cumcount after ONE q-hash shuffle of 16-byte rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def micro(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["quality"], dtype=np.float64)
+        qm = np.rint(q * 1e6).astype(np.int64)
+        return pa.table({"kbucket": pa.array((qm % nb).astype(np.int32)),
+                         "doc_id": t["doc_id"],
+                         "q_micro": pa.array(qm)})
+
+    qm = (text_stats_ds(sf_dir).select_columns(["doc_id", "quality"])
+          .map_batches(micro, batch_format="pyarrow").materialize())
+
+    def hpart(t: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(t["q_micro"], dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"q_micro": pa.array(v),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = (qm.map_batches(hpart, batch_format="pyarrow")
+            .groupby("q_micro").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("q_micro", ascending=False))
+    vals = hist["q_micro"].to_numpy("int64")
+    counts = hist["n"].to_numpy("int64")
+    before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(dict(zip(vals.tolist(), before.tolist())))
+
+    class Rank:
+        def __init__(self, ref=None):
+            self.off = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["q_micro", "doc_id"],
+                                kind="stable").reset_index(drop=True)
+            cum = df.groupby("q_micro", sort=False).cumcount().to_numpy()
+            base = df["q_micro"].map(self.off).to_numpy("int64")
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "q_micro": df["q_micro"].to_numpy("int64"),
+                "rank": base + cum + 1})
+
+    return (qm.groupby("kbucket")
+            .map_groups(Rank, batch_format="pandas",
+                        fn_constructor_kwargs={"ref": off_ref},
+                        concurrency=(1, 4)))
+
+
 def text_repetition_ds(sf_dir: str,
                        max_dup_2gram: float = 0.05,
                        min_distinct_ratio: float = 0.3):
