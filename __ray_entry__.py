@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": docs.pack_sequences_ds,
         "text_quality_bins": docs.quality_bins_ds,
         "docs_curriculum_order": docs.docs_curriculum_order_ds,
+        "docs_datasheet": docs.docs_datasheet_ds,
         "text_para_dedup": docs.para_dedup_ds,
         "text_heavy_hitters": docs.heavy_hitters_ds,
         "docs_profile": docs.docs_profile_ds,

@@ -674,6 +674,25 @@ SELECT size AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
  CAST(size * count(*) AS BIGINT) AS n_docs,
  CAST((size - 1) * count(*) AS BIGINT) AS n_droppable
 FROM csz GROUP BY 1""")
+    # corpus datasheet: one row composing the audit signals (nested-CTE
+    # wrappers of the component oracles, so the datasheet can never drift
+    # from the per-doc queries)
+    sqls["docs_datasheet"] = (
+        "WITH dst AS (" + sqls["text_stats"] + "),\n"
+        "ddu AS (" + sqls["dedup_exact"] + "),\n"
+        "dco AS (" + sqls["text_contamination"] + "),\n"
+        "dre AS (" + sqls["text_repetition"] + """)
+SELECT
+ (SELECT CAST(count(*) AS BIGINT) FROM dst) AS n_docs,
+ (SELECT CAST(sum(n_tokens) AS BIGINT) FROM dst) AS n_tokens,
+ (SELECT CAST(sum(n_dups) - count(*) AS BIGINT) FROM ddu) AS n_dup_docs,
+ (SELECT CAST(count(*) FILTER (contaminated) AS BIGINT) FROM dco)
+   AS n_contaminated,
+ (SELECT CAST(count(*) FILTER (keep) AS BIGINT) FROM dre)
+   AS n_keep_repetition,
+ (SELECT CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
+         // greatest(count(*), 1) AS BIGINT) FROM dst)
+   AS mean_quality_ppm""")
     sqls["dedup_minhash_eval"] = (
         "WITH mhp AS (" + sqls["dedup_minhash_pairs"] + """),
 tru AS (""" + truth_02 + """),

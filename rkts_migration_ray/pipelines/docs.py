@@ -912,6 +912,88 @@ def quality_bins_ds(sf_dir: str, n_bins: int = 10):
     return qm.map_batches(binize, batch_format="pyarrow")
 
 
+def docs_datasheet_ds(sf_dir: str):
+    """Corpus datasheet — ONE summary row composing the suite's audit
+    signals (the 'datasheets for datasets' header block): doc/token
+    totals, exact-duplicate docs, benchmark-contaminated docs,
+    repetition-filter keeps, and mean quality in integer ppm. The number a
+    release note quotes; every column re-derives from the same exact
+    pipelines the per-doc queries expose.
+
+    Scale shape: each component is already a reduction (tiny outputs);
+    they meet as tagged 1-row partials in one constant-key sum."""
+    def stats_partial(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["quality"], dtype=np.float64)
+        return pa.table({
+            "k": pa.array([0], pa.int32()),
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array(
+                [int(np.asarray(t["n_tokens"]).sum())], pa.int64()),
+            "sum_q_micro": pa.array(
+                [int(np.rint(q * 1e6).astype(np.int64).sum())], pa.int64()),
+            "n_dup_docs": pa.array([0], pa.int64()),
+            "n_contaminated": pa.array([0], pa.int64()),
+            "n_keep_repetition": pa.array([0], pa.int64())})
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        extra = int(np.asarray(pc.cast(t["n_dups"], pa.int64())).sum()
+                    - t.num_rows)
+        return pa.table({
+            "k": pa.array([0], pa.int32()),
+            "n_docs": pa.array([0], pa.int64()),
+            "n_tokens": pa.array([0], pa.int64()),
+            "sum_q_micro": pa.array([0], pa.int64()),
+            "n_dup_docs": pa.array([extra], pa.int64()),
+            "n_contaminated": pa.array([0], pa.int64()),
+            "n_keep_repetition": pa.array([0], pa.int64())})
+
+    def contam_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array([0], pa.int32()),
+            "n_docs": pa.array([0], pa.int64()),
+            "n_tokens": pa.array([0], pa.int64()),
+            "sum_q_micro": pa.array([0], pa.int64()),
+            "n_dup_docs": pa.array([0], pa.int64()),
+            "n_contaminated": pa.array(
+                [int(np.asarray(t["contaminated"]).sum())], pa.int64()),
+            "n_keep_repetition": pa.array([0], pa.int64())})
+
+    def keep_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array([0], pa.int32()),
+            "n_docs": pa.array([0], pa.int64()),
+            "n_tokens": pa.array([0], pa.int64()),
+            "sum_q_micro": pa.array([0], pa.int64()),
+            "n_dup_docs": pa.array([0], pa.int64()),
+            "n_contaminated": pa.array([0], pa.int64()),
+            "n_keep_repetition": pa.array(
+                [int(np.asarray(t["keep"]).sum())], pa.int64())})
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        nd = int(df["n_docs"].sum())
+        sq = int(df["sum_q_micro"].sum())
+        return pa.table({
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_tokens": pa.array([int(df["n_tokens"].sum())], pa.int64()),
+            "n_dup_docs": pa.array([int(df["n_dup_docs"].sum())],
+                                   pa.int64()),
+            "n_contaminated": pa.array(
+                [int(df["n_contaminated"].sum())], pa.int64()),
+            "n_keep_repetition": pa.array(
+                [int(df["n_keep_repetition"].sum())], pa.int64()),
+            "mean_quality_ppm": pa.array([sq // max(nd, 1)], pa.int64())})
+
+    parts = (text_stats_ds(sf_dir)
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .union(dedup_exact_ds(sf_dir)
+                    .map_batches(dup_partial, batch_format="pyarrow"))
+             .union(contamination_ds(sf_dir)
+                    .map_batches(contam_partial, batch_format="pyarrow"))
+             .union(text_repetition_ds(sf_dir)
+                    .map_batches(keep_partial, batch_format="pyarrow")))
+    return parts.groupby("k").map_groups(finish, batch_format="pandas")
+
+
 def docs_curriculum_order_ds(sf_dir: str):
     """GLOBAL curriculum rank per document — easiest (highest quality)
     first, ties by doc_id — WITHOUT a global sort: rank = (docs with

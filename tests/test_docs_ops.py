@@ -319,7 +319,7 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_k_anonymity", "docs_dp_counts",
                                   "text_langid_eval", "text_gram_novelty",
                                   "dedup_cluster_stats",
-                                  "docs_curriculum_order"])
+                                  "docs_curriculum_order", "docs_datasheet"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
