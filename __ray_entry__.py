@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ancestors": kg.kg_ancestors_ds,
         "kg_negative_samples": kg.kg_negative_samples_ds,
         "kg_entity_lifespan": kg.kg_entity_lifespan_ds,
+        "kg_entity_cards": kg.kg_entity_cards_ds,
         "kg_entity_growth": kg.kg_entity_growth_ds,
         "kg_components": kg.kg_components_ds,
         "kg_pmi": kg.kg_pmi_ds,

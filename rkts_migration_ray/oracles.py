@@ -2696,7 +2696,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
     full_union = "\nUNION ALL ".join(
         [SEL_STRUCTURAL, SEL_CONV, SEL_MENTIONS, SEL_ENTITIES, SEL_QUARANTINE,
          SEL_LOCNODES])
-    return {
+    sqls = {
         "kg_ntriples": w + _ntriples_select(full_union),
         "kg_nquads": w + _ntriples_select(full_union, with_graph=True),
         "kg_turtle": w + _turtle_select(full_union),
@@ -3064,3 +3064,21 @@ SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
         "kg_incremental": w + full_union,
         "kg_reproductions": w + _repro_select(),
     }
+    # per-entity serving card: nested-CTE composition of the lifespan /
+    # co-occurrence / top-neighbor oracles, so the card cannot drift from
+    # the per-facet queries
+    sqls["kg_entity_cards"] = (
+        "WITH ecl AS (" + sqls["kg_entity_lifespan"] + "),\n"
+        "ecn AS (" + sqls["kg_neighbors_topk"] + "),\n"
+        "eco AS (" + sqls["kg_cooccurrence"] + """),
+ecd AS (SELECT entity, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT e1 AS entity FROM eco UNION ALL SELECT e2 FROM eco)
+        GROUP BY 1),
+ect AS (SELECT entity_uri, neighbor_uri, n_convs FROM ecn WHERE rank = 1)
+SELECT l.entity_uri, l.n_convs, l.n_turns, l.first_ts_us, l.last_ts_us,
+ CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+ COALESCE(t.neighbor_uri, '') AS top_neighbor,
+ CAST(COALESCE(t.n_convs, 0) AS BIGINT) AS top_neighbor_convs
+FROM ecl l LEFT JOIN ecd d ON d.entity = l.entity_uri
+LEFT JOIN ect t ON t.entity_uri = l.entity_uri""")
+    return sqls

@@ -1860,6 +1860,107 @@ def kg_clustering_coef_ds(sf_dir: str, concurrency: int = 8):
             .map_groups(combine, batch_format="pandas"))
 
 
+def kg_entity_cards_ds(sf_dir: str, concurrency: int = 8):
+    """Per-entity serving card — the denormalized profile row a KG lookup
+    service materializes: temporal footprint (first/last mention,
+    conv/turn counts from kg_entity_lifespan), co-occurrence degree, and
+    the strongest neighbor (kg_neighbors_topk rank 1) — one table, ready
+    to serve, derived from the same exact pipelines the per-facet queries
+    expose.
+
+    Scale shape: lifespan / degree-partials / top-1-neighbor are three
+    entity-keyed streams meeting in ONE entity-hash tagged co-group;
+    entities with no co-occurrence edge get degree 0 and an empty
+    neighbor (spec'd identically in the twin)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    edges = cooccurrence_ds(sf_dir, concurrency).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["e1"].combine_chunks(),
+                                 t["e2"].combine_chunks()])
+        g = pd.DataFrame({"entity": both.to_pandas()}).groupby(
+            "entity", as_index=False).size()
+        return pa.table({"entity": pa.array(g["entity"], pa.string()),
+                         "deg": pa.array(g["size"].to_numpy("int64"))})
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("entity").aggregate(Sum("deg", alias_name="deg")))
+
+    def l_tag(t: pa.Table) -> pa.Table:
+        ent = pc.cast(t["entity_uri"].combine_chunks(), pa.string())
+        n = t.num_rows
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "entity_uri": ent,
+                         "n_convs": pc.cast(t["n_convs"], pa.int64()),
+                         "n_turns": pc.cast(t["n_turns"], pa.int64()),
+                         "first_ts_us": pc.cast(t["first_ts_us"],
+                                                pa.int64()),
+                         "last_ts_us": pc.cast(t["last_ts_us"],
+                                               pa.int64()),
+                         "deg": pa.array(np.zeros(n, np.int64)),
+                         "nbr": pa.nulls(n, pa.string()),
+                         "nbr_n": pa.array(np.zeros(n, np.int64))})
+
+    def d_tag(t: pa.Table) -> pa.Table:
+        ent = pc.cast(t["entity"].combine_chunks(), pa.string())
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "entity_uri": ent, "n_convs": z, "n_turns": z,
+                         "first_ts_us": z, "last_ts_us": z,
+                         "deg": pc.cast(t["deg"], pa.int64()),
+                         "nbr": pa.nulls(n, pa.string()),
+                         "nbr_n": z})
+
+    def t_tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rank"], 1))
+        ent = pc.cast(t["entity_uri"].combine_chunks(), pa.string())
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({"kbucket": hash_bucket(ent, nb),
+                         "tag": pa.array(np.full(n, 2, np.int8)),
+                         "entity_uri": ent, "n_convs": z, "n_turns": z,
+                         "first_ts_us": z, "last_ts_us": z, "deg": z,
+                         "nbr": pc.cast(t["neighbor_uri"], pa.string()),
+                         "nbr_n": pc.cast(t["n_convs"], pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        base = df[df["tag"] == 0][["entity_uri", "n_convs", "n_turns",
+                                   "first_ts_us", "last_ts_us"]]
+        dd = df[df["tag"] == 1][["entity_uri", "deg"]]
+        tt = df[df["tag"] == 2][["entity_uri", "nbr", "nbr_n"]]
+        m = base.merge(dd, on="entity_uri", how="left").merge(
+            tt, on="entity_uri", how="left")
+        return pa.table({
+            "entity_uri": pa.array(m["entity_uri"], pa.string()),
+            "n_convs": pa.array(m["n_convs"].to_numpy("int64")),
+            "n_turns": pa.array(m["n_turns"].to_numpy("int64")),
+            "first_ts_us": pa.array(m["first_ts_us"].to_numpy("int64")),
+            "last_ts_us": pa.array(m["last_ts_us"].to_numpy("int64")),
+            "degree": pa.array(m["deg"].fillna(0).astype("int64")
+                               .to_numpy()),
+            "top_neighbor": pa.array(m["nbr"].fillna(""), pa.string()),
+            "top_neighbor_convs": pa.array(
+                m["nbr_n"].fillna(0).astype("int64").to_numpy())})
+
+    return (kg_entity_lifespan_ds(sf_dir, concurrency)
+            .map_batches(l_tag, batch_format="pyarrow")
+            .union(degrees.map_batches(d_tag, batch_format="pyarrow"))
+            .union(kg_neighbors_topk_ds(sf_dir, concurrency=concurrency)
+                   .map_batches(t_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(combine, batch_format="pandas"))
+
+
 def kg_assortativity_ds(sf_dir: str, concurrency: int = 8):
     """Degree assortativity of the co-occurrence graph — the Pearson
     correlation of endpoint degrees over all directed edge orientations

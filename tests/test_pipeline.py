@@ -42,7 +42,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "conv_pii_redact", "kg_hits", "sft_dpo_pairs",
                                   "kg_neighbor_sample", "kg_pred_paths",
                                   "kg_clustering_coef", "conv_speaker_stats",
-                                  "kg_assortativity", "conv_topic_shift"])
+                                  "kg_assortativity", "conv_topic_shift",
+                                  "kg_entity_cards"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
