@@ -2535,6 +2535,24 @@ SELECT doc_id, n_words, n_lines,
 FROM m"""
 
 
+def _context_budget_select() -> str:
+    """conv_context_budget oracle: per-conv token totals, fit flag, excess
+    and ceil-division window count — all integer."""
+    from .pipelines.kg import CONTEXT_BUDGET_TOKENS as B
+
+    return f""",
+ccb AS (SELECT conv_id,
+         CAST(sum(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z]+'))) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_turns
+        FROM t GROUP BY 1)
+SELECT conv_id, n_turns, n_tokens,
+ (n_tokens <= {B}) AS fits,
+ CAST(greatest(n_tokens - {B}, 0) AS BIGINT) AS excess_tokens,
+ CAST((n_tokens + {B} - 1) // {B} AS BIGINT) AS n_windows
+FROM ccb"""
+
+
 def _dpo_pairs_select() -> str:
     """sft_dpo_pairs oracle: lag() pairs each assistant turn with its
     directly-preceding user turn; the rejected partner is lead(chosen)
@@ -2929,6 +2947,7 @@ SELECT e.e1, e.e2, CAST(coalesce(aasc.s, 0) AS BIGINT) AS aa_micro
 FROM aaed e LEFT JOIN aasc ON aasc.x = e.e1 AND aasc.y = e.e2""",
         "conv_clean_text": w + _clean_text_select(),
         "sft_dpo_pairs": w + _dpo_pairs_select(),
+        "conv_context_budget": w + _context_budget_select(),
         "conv_topic_shift": w + """
 , tsx AS MATERIALIZED (SELECT DISTINCT conv_id, turn_idx, entity_uri
                        FROM linked),

@@ -3765,6 +3765,56 @@ def conv_role_transitions_ds(sf_dir: str):
         batch_format="pyarrow")
 
 
+CONTEXT_BUDGET_TOKENS = 256
+
+
+def conv_context_budget_ds(sf_dir: str, budget: int = CONTEXT_BUDGET_TOKENS):
+    """Context-window planning table: per conversation, total tokens
+    (same [a-z]+ grammar as the docs ops), turns, whether the whole
+    conversation fits the ``budget``, the excess beyond it, and how many
+    budget-sized windows a naive packer needs (ceil division) — the
+    capacity report that sizes an SFT packing run before it starts.
+
+    Scale shape: per-batch (conv, tokens, turns) partials → one conv-keyed
+    groupby-sum; all comparisons integer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"].combine_chunks(),
+                                    pa.string()), "")
+        ntok = np.asarray(pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(text), "[a-z]+"), pa.int64()))
+        df = pd.DataFrame({"conv_id": t["conv_id"].to_pandas(),
+                           "ntok": ntok})
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_tokens=("ntok", "sum"), n_turns=("ntok", "size"))
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy("int64")),
+            "n_turns": pa.array(g["n_turns"].to_numpy("int64"))})
+
+    def flags(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(t["n_tokens"], pa.int64()))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "n_turns": pc.cast(t["n_turns"], pa.int64()),
+            "n_tokens": pa.array(n),
+            "fits": pa.array(n <= budget),
+            "excess_tokens": pa.array(np.maximum(n - budget, 0)),
+            "n_windows": pa.array(-(-n // budget))})
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("conv_id")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_turns", alias_name="n_turns"))
+            .map_batches(flags, batch_format="pyarrow"))
+
+
 def conv_topic_shift_ds(sf_dir: str, concurrency: int = 8):
     """Dialogue-coherence profile: for every pair of consecutive turns
     that BOTH mention entities, the Jaccard overlap of their distinct
