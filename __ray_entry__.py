@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_rollup": relational.revenue_rollup_ds,
         "rel_revenue_cube": relational.revenue_cube_ds,
         "rel_events_lead_lag": relational.events_lead_lag_ds,
+        "rel_events_gap_quantiles": relational.events_gap_quantiles_ds,
         "rel_events_intervals": relational.events_intervals_ds,
         "rel_bloom_semi_join": relational.bloom_semi_join_ds,
         "rel_orders_above_avg": relational.orders_above_avg_ds,

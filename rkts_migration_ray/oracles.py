@@ -1413,6 +1413,22 @@ SELECT event_id, user_id,
  CAST(ntile(4) OVER w AS BIGINT) AS quartile
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # exact global gap quantiles; rank k = ceil(q*n) pinned in INTEGER
+        # math on both sides — the engine twin is events_gap_quantiles_ds
+        # (two-phase coarse-histogram refine, no global sort)
+        "rel_events_gap_quantiles": """
+WITH g AS (SELECT date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+           AS gap_us FROM events),
+gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gg),
+r AS (SELECT gap_us, row_number() OVER (ORDER BY gap_us) AS rn FROM gg),
+qs AS (SELECT CAST(v.q_ppm AS BIGINT) AS q_ppm
+       FROM (VALUES (500000), (900000), (990000)) v(q_ppm))
+SELECT q.q_ppm, nn.n AS n_gaps,
+ (SELECT r.gap_us FROM r
+  WHERE r.rn = (q.q_ppm * nn.n + 999999) // 1000000) AS gap_us
+FROM qs q, nn""",
         # exact top-20 tokens + corpus share; the engine reaches the same
         # answer via Misra-Gries candidates + exact recount
         # (pipelines/docs.py heavy_hitters_ds) — this is the spec

@@ -1610,3 +1610,110 @@ def events_wau_ds(sf_dir: str, window_days: int = WAU_WINDOW_DAYS,
             .groupby("day")
             .aggregate(Sum("wau", alias_name="wau"))
             .sort("day"))
+
+
+GAPQ_PPMS = (500000, 900000, 990000)   # p50 / p90 / p99
+GAPQ_COARSE_US = 60_000_000            # phase-1 histogram bin: one minute
+
+
+def events_gap_quantiles_ds(sf_dir: str, q_ppms=GAPQ_PPMS,
+                            coarse_us: int = GAPQ_COARSE_US,
+                            n_buckets: int | None = None) -> pd.DataFrame:
+    """EXACT global quantiles (p50/p90/p99) of inter-event gaps — the
+    two-phase histogram-refine quantile every monitoring pipeline needs,
+    computed WITHOUT a global sort (the reference's ordering validations,
+    exportlocations.php:48-62, are the per-list analog; this is the
+    corpus-global one).
+
+    Rank semantics are pinned on both sides: over the ascending multiset of
+    gaps, quantile q picks the value at 1-based rank k = ceil(q·n) computed
+    in INTEGER math ((q_ppm·n + 999999) // 1e6) — no float boundary, and
+    ties are irrelevant because rank selects a VALUE.
+
+    Scale shape: gaps come from the events_lead_lag user-hash-bucket window
+    pass (prev-gap only, partition edges dropped); the 8-byte gap stream is
+    materialized ONCE (it is consumed by both phases; at 10^12 events this
+    is ~2% of the corpus bytes). Phase 1 groupby-sums a COARSE histogram
+    (gap // 1min — driver sees one row per distinct minute, bounded by the
+    corpus time span). The driver's prefix walk locates the ≤3 bins holding
+    the target ranks; phase 2 filters the stream to those bins and
+    groupby-counts EXACT values only there (a point-mass bin collapses to
+    one row, so adversarial skew cannot blow up the driver)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16,
+                                                               per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["user_id"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def gaps_of(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        same_prev = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        ts = df["ts_us"].to_numpy()
+        if len(df) < 2:
+            return pa.table({"gap_us": pa.array([], pa.int64())})
+        d = ts[1:] - ts[:-1]
+        return pa.table({"gap_us": pa.array(d[same_prev[1:]], pa.int64())})
+
+    gaps = (_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(gaps_of, batch_format="pandas")
+            .materialize())
+
+    def coarse_partial(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["gap_us"], dtype=np.int64)
+        u, c = np.unique(g // coarse_us, return_counts=True)
+        return pa.table({"bin": pa.array(u), "n": pa.array(c.astype("int64"))})
+
+    hist = (gaps.map_batches(coarse_partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("bin").reset_index(drop=True))
+    n_gaps = int(hist["n"].sum()) if len(hist) else 0
+    if n_gaps == 0:
+        return pd.DataFrame({"q_ppm": pd.Series(dtype="int64"),
+                             "n_gaps": pd.Series(dtype="int64"),
+                             "gap_us": pd.Series(dtype="int64")})
+    ks = {int(q): (int(q) * n_gaps + 999_999) // 1_000_000 for q in q_ppms}
+    cum = np.cumsum(hist["n"].to_numpy("int64"))
+    bins = hist["bin"].to_numpy("int64")
+    # bin index holding rank k = first i with cum[i] >= k; rank offset
+    # within the bin = k - cum_before
+    need: dict[int, tuple[int, int]] = {}   # q_ppm -> (bin, in_bin_rank)
+    for q, k in ks.items():
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        need[q] = (int(bins[i]), k - before)
+    hot = sorted({b for b, _ in need.values()})
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["gap_us"], dtype=np.int64)
+        keep = np.isin(g // coarse_us, hot)
+        sub = g[keep]
+        u, c = np.unique(sub, return_counts=True)
+        return pa.table({"gap_us": pa.array(u),
+                         "n": pa.array(c.astype("int64"))})
+
+    fine = (gaps.map_batches(in_hot, batch_format="pyarrow")
+            .groupby("gap_us").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("gap_us").reset_index(drop=True))
+    fv = fine["gap_us"].to_numpy("int64")
+    fb = fv // coarse_us
+    fc = fine["n"].to_numpy("int64")
+    rows = []
+    for q in sorted(ks):
+        b, r = need[q]
+        m = fb == b
+        vals, cnts = fv[m], fc[m]
+        j = int(np.searchsorted(np.cumsum(cnts), r))
+        rows.append({"q_ppm": q, "n_gaps": n_gaps, "gap_us": int(vals[j])})
+    return pd.DataFrame(rows).astype("int64")

@@ -319,7 +319,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_k_anonymity", "docs_dp_counts",
                                   "text_langid_eval", "text_gram_novelty",
                                   "dedup_cluster_stats",
-                                  "docs_curriculum_order", "docs_datasheet"])
+                                  "docs_curriculum_order", "docs_datasheet",
+                                  "rel_events_gap_quantiles"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1814,3 +1815,31 @@ def test_winnowing_density_guarantee(sf_tag):
         assert int(got[(got.doc_id == did) & (got.pos == p)]["fp"].iloc[0]) == h
         checked += 1
     assert checked > 0
+
+
+def test_events_gap_quantiles_brute_force(sf_tag):
+    """events_gap_quantiles_ds == single-process numpy sort + ceil-rank
+    pick over the same per-user prev-gap stream (the two-phase histogram
+    refine must reproduce the trivial global-sort answer exactly)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs, relational
+
+    ev = (pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/events.parquet",
+                        columns=["event_id", "user_id", "ts"])
+          .to_pandas())
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"],
+                        kind="stable").reset_index(drop=True)
+    same = ev["user_id"].eq(ev["user_id"].shift()).to_numpy()
+    gaps = np.sort((ev["ts_us"] - ev["ts_us"].shift())
+                   .to_numpy()[same].astype("int64"))
+    n = len(gaps)
+    got = (relational.events_gap_quantiles_ds(sf_tag)
+           .sort_values("q_ppm").reset_index(drop=True))
+    assert list(got["q_ppm"]) == [500000, 900000, 990000]
+    for _, r in got.iterrows():
+        k = (int(r["q_ppm"]) * n + 999_999) // 1_000_000
+        assert int(r["n_gaps"]) == n
+        assert int(r["gap_us"]) == int(gaps[k - 1]), r["q_ppm"]
