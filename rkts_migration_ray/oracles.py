@@ -693,6 +693,17 @@ SELECT
  (SELECT CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
          // greatest(count(*), 1) AS BIGINT) FROM dst)
    AS mean_quality_ppm""")
+    # cross-source near-dup matrix: the verified minhash pair list joined to
+    # each endpoint's source, order-collapsed with least/greatest (binary
+    # collation == the engine's python str compare on these ASCII labels)
+    sqls["dedup_source_matrix"] = (
+        "WITH mh AS (" + sqls["dedup_minhash_pairs"] + """)
+SELECT least(da.source, db.source) AS source_a,
+ greatest(da.source, db.source) AS source_b,
+ CAST(count(*) AS BIGINT) AS n_pairs
+FROM mh JOIN documents da ON mh.doc_a = da.doc_id
+        JOIN documents db ON mh.doc_b = db.doc_id
+GROUP BY 1, 2""")
     sqls["dedup_minhash_eval"] = (
         "WITH mhp AS (" + sqls["dedup_minhash_pairs"] + """),
 tru AS (""" + truth_02 + """),

@@ -5172,3 +5172,100 @@ def jsonl_roundtrip_ds(sf_dir: str):
             .map_batches(lambda t: t.select(["doc_id", "lang", "source",
                                              "n_chars"]),
                          batch_format="pyarrow"))
+
+
+def dedup_source_matrix_ds(sf_dir: str, threshold: float = 0.2):
+    """Cross-source near-duplicate matrix: the exact-Jaccard-verified
+    MinHash pair list (minhash_pairs_ds) rolled up by the SOURCE pair of
+    its endpoints — the syndication/mirror detector that tells a curation
+    run which feeds are republishing each other (and how much mass
+    source-level dedup would remove) before any doc-level drop decision.
+
+    Scale shape: inherits the banding + one-verify-per-pair shape; sources
+    attach through two doc-hash tagged co-groups against the (doc_id,
+    source) projection of the corpus — the projection is corpus-sized and
+    NEVER broadcast (same discipline as dedup_containment_pairs' totals).
+    The matrix itself is |sources|²-bounded, collapsed by map-side partial
+    counts before one tiny groupby-sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    pairs = minhash_pairs_ds(sf_dir, threshold=threshold)
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                                 "source_b": pd.Series(dtype="object"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        pairs = rd.from_pandas(pairs[["doc_a", "doc_b"]])
+
+    srcs = _docs(sf_dir, ["doc_id", "source"])
+
+    def p_tag(key_col: str):
+        other_col = "doc_b" if key_col == "doc_a" else "doc_a"
+
+        def f(t: pa.Table) -> pa.Table:
+            key = np.asarray(t[key_col], dtype=np.int64)
+            n = len(key)
+            return pa.table({
+                "kbucket": pa.array((key % nb).astype(np.int32)),
+                "tag": pa.array(np.zeros(n, np.int8)),
+                "key": pa.array(key),
+                "other": pc.cast(t[other_col], pa.int64()),
+                "src": (pc.cast(t["src"], pa.string()) if "src" in t.column_names
+                        else pa.nulls(n, pa.string()))})
+        return f
+
+    def c_tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["doc_id"], dtype=np.int64)
+        n = len(key)
+        return pa.table({"kbucket": pa.array((key % nb).astype(np.int32)),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": pa.array(key),
+                         "other": pa.array(np.zeros(n, np.int64)),
+                         "src": pc.cast(t["source"], pa.string())})
+
+    def attach(out_first: bool):
+        def f(df: pd.DataFrame) -> pa.Table:
+            p = df[df["tag"] == 0]
+            c = (df[df["tag"] == 1][["key", "src"]]
+                 .rename(columns={"src": "src_key"}))
+            m = p.merge(c, on="key", how="inner")
+            if out_first:
+                # first hop: key was doc_a; carry its source, re-key on doc_b
+                return pa.table({
+                    "doc_a": pa.array(m["key"].to_numpy("int64")),
+                    "doc_b": pa.array(m["other"].to_numpy("int64")),
+                    "src": pa.array(m["src_key"], pa.string())})
+            g = (pd.DataFrame({
+                "source_a": np.minimum(m["src"], m["src_key"]),
+                "source_b": np.maximum(m["src"], m["src_key"])})
+                .groupby(["source_a", "source_b"], as_index=False).size())
+            return pa.table({
+                "source_a": pa.array(g["source_a"], pa.string()),
+                "source_b": pa.array(g["source_b"], pa.string()),
+                "n": pa.array(g["size"].to_numpy("int64"))})
+        return f
+
+    step1 = (pairs.map_batches(p_tag("doc_a"), batch_format="pyarrow")
+             .union(srcs.map_batches(c_tag, batch_format="pyarrow"))
+             .groupby("kbucket")
+             .map_groups(attach(True), batch_format="pandas"))
+
+    def retag_b(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["doc_b"], dtype=np.int64)
+        n = len(key)
+        return pa.table({"kbucket": pa.array((key % nb).astype(np.int32)),
+                         "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": pa.array(key),
+                         "other": pc.cast(t["doc_a"], pa.int64()),
+                         "src": pc.cast(t["src"], pa.string())})
+
+    return (step1.map_batches(retag_b, batch_format="pyarrow")
+            .union(srcs.map_batches(c_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(attach(False), batch_format="pandas")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n", alias_name="n_pairs")))

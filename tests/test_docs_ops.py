@@ -320,7 +320,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "text_langid_eval", "text_gram_novelty",
                                   "dedup_cluster_stats",
                                   "docs_curriculum_order", "docs_datasheet",
-                                  "rel_events_gap_quantiles"])
+                                  "rel_events_gap_quantiles",
+                                  "dedup_source_matrix"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
