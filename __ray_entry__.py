@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": docs.embed_quantize_ds,
         "embed_kmeans": docs.embed_kmeans_ds,
         "embed_pca_scatter": docs.embed_pca_scatter_ds,
+        "embed_centroid_sim": docs.embed_centroid_sim_ds,
         "embed_pca_project": docs.embed_pca_project_ds,  # rows-only (eigh)
         "knn_brute": docs.knn_brute_ds,
         "knn_graph": docs.knn_graph_ds,

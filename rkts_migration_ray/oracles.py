@@ -1507,6 +1507,27 @@ SELECT a.d AS dim_i, b.d AS dim_j,
  CAST(count(*) AS BIGINT) AS n_rows
 FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
 GROUP BY 1, 2""",
+        # label-centroid cosine matrix: cosine is scale-invariant, so the
+        # fixed-point per-label SUM vectors stand in for the means; HUGEINT
+        # sums are exact, one float expression at the end (engine twin
+        # embed_centroid_sim_ds reduces the same sums in Python ints)
+        "embed_centroid_sim": """
+WITH e AS (SELECT vec_id, label, CAST(i.range AS BIGINT) AS d,
+            CAST(FLOOR(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)
+                       * 1000000 + 0.5) AS BIGINT) AS v
+           FROM embeddings, range(1, 65) i),
+s AS (SELECT label, d, SUM(v) AS sv FROM e GROUP BY 1, 2),
+cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+dt AS (SELECT a.label AS la, b.label AS lb, SUM(a.sv * b.sv) AS dp
+       FROM s a JOIN s b ON a.d = b.d AND a.label < b.label GROUP BY 1, 2),
+nr AS (SELECT label, SUM(sv * sv) AS s2 FROM s GROUP BY 1)
+SELECT CAST(d.la AS BIGINT) AS label_a, CAST(d.lb AS BIGINT) AS label_b,
+ na.n AS n_a, nb.n AS n_b,
+ CAST(FLOOR(CAST(d.dp AS DOUBLE)
+      / (sqrt(CAST(x.s2 AS DOUBLE)) * sqrt(CAST(y.s2 AS DOUBLE)))
+      * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+FROM dt d JOIN nr x ON x.label = d.la JOIN nr y ON y.label = d.lb
+JOIN cn na ON na.label = d.la JOIN cn nb ON nb.label = d.lb""",
         "sample_group_topk": """
 WITH r AS (SELECT lang, doc_id,
   row_number() OVER (PARTITION BY lang

@@ -5269,3 +5269,78 @@ def dedup_source_matrix_ds(sf_dir: str, threshold: float = 0.2):
             .map_groups(attach(False), batch_format="pandas")
             .groupby(["source_a", "source_b"])
             .aggregate(Sum("n", alias_name="n_pairs")))
+
+
+def embed_centroid_sim_ds(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-LABEL embedding centroids —
+    the semantic twin of docs_source_divergence's lexical JS matrix: how
+    close two strata of the corpus sit in embedding space (domain overlap /
+    mixture redundancy before weighting decisions).
+
+    Exactness trick: cosine is SCALE-INVARIANT, so the centroid (mean)
+    never needs a float division — the cosine between the per-label
+    fixed-point SUM vectors (floor(v*1e6+0.5), the embed_pca_scatter
+    discipline) equals the centroid cosine, and integer sums are
+    order-independent. The dot/norm products can exceed int64, so the
+    k×dim sum matrix (tiny, label-count-bounded) is reduced on the driver
+    in arbitrary-precision Python ints; the ONE float expression
+    (dp / (sqrt·sqrt) · 1e6 + 0.5, floored) is mirrored verbatim by the
+    twin, whose HUGEINT sums are likewise exact.
+
+    Scale shape: one streaming pass; per-batch partials are (label, dim,
+    sum, n) rows — labels×dim per batch — collapsed by one tiny groupby."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = t.num_rows
+        dim = len(flat) // max(n, 1)
+        if n == 0 or dim == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        assert len(flat) == n * dim, "ragged embedding column"
+        V = np.floor(flat * EMBED_FIX + 0.5).astype(np.int64).reshape(n, dim)
+        labs = np.asarray(t["label"], dtype=np.int64)
+        ul, inv = np.unique(labs, return_inverse=True)
+        S = np.zeros((len(ul), dim), np.int64)
+        np.add.at(S, inv, V)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        li = np.repeat(ul, dim)
+        dd = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ul))
+        return pa.table({"label": pa.array(li), "d": pa.array(dd),
+                         "s": pa.array(S.reshape(-1)),
+                         "n": pa.array(np.repeat(cnt, dim))})
+
+    sums = (_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "d"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["label", "d"]).reset_index(drop=True))
+    if len(sums) == 0:
+        return pd.DataFrame({"label_a": pd.Series(dtype="int64"),
+                             "label_b": pd.Series(dtype="int64"),
+                             "n_a": pd.Series(dtype="int64"),
+                             "n_b": pd.Series(dtype="int64"),
+                             "cos_ppm": pd.Series(dtype="int64")})
+    vecs: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for lab, g in sums.groupby("label"):
+        vecs[int(lab)] = [int(x) for x in g["s"]]       # exact Python ints
+        counts[int(lab)] = int(g["n"].iloc[0])          # same across dims
+    norms2 = {lab: sum(x * x for x in v) for lab, v in vecs.items()}
+    rows = []
+    labels = sorted(vecs)
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dp = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            cos = float(dp) / (math.sqrt(float(norms2[a]))
+                               * math.sqrt(float(norms2[b])))
+            rows.append({"label_a": a, "label_b": b,
+                         "n_a": counts[a], "n_b": counts[b],
+                         "cos_ppm": int(math.floor(cos * 1_000_000 + 0.5))})
+    return pd.DataFrame(rows).astype("int64")

@@ -321,7 +321,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "dedup_cluster_stats",
                                   "docs_curriculum_order", "docs_datasheet",
                                   "rel_events_gap_quantiles",
-                                  "dedup_source_matrix"])
+                                  "dedup_source_matrix",
+                                  "embed_centroid_sim"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
@@ -1844,3 +1845,27 @@ def test_events_gap_quantiles_brute_force(sf_tag):
         k = (int(r["q_ppm"]) * n + 999_999) // 1_000_000
         assert int(r["n_gaps"]) == n
         assert int(r["gap_us"]) == int(gaps[k - 1]), r["q_ppm"]
+
+
+def test_embed_centroid_sim_brute_force(sf_tag):
+    """embed_centroid_sim_ds cos_ppm ≈ numpy float64 centroid cosine (the
+    fixed-point path must stay within quantization distance of the plain
+    mean-vector cosine) and carries exact per-label counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    t = pq.read_table(f"{docs.resolve_sf_dir(sf_tag)}/embeddings.parquet")
+    labs = np.asarray(t["label"], dtype=np.int64)
+    V = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   np.float64).reshape(len(labs), -1)
+    got = docs.embed_centroid_sim_ds(sf_tag)
+    for _, r in got.iterrows():
+        a, b = int(r["label_a"]), int(r["label_b"])
+        assert a < b
+        assert int(r["n_a"]) == int((labs == a).sum())
+        assert int(r["n_b"]) == int((labs == b).sum())
+        ca, cb = V[labs == a].mean(0), V[labs == b].mean(0)
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(int(r["cos_ppm"]) - cos * 1e6) < 50, (a, b)
