@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_stats": kg.conv_tool_stats_ds,
         "conv_turn_gaps": kg.conv_turn_gaps_ds,
         "conv_role_transitions": kg.conv_role_transitions_ds,
+        "conv_tool_retries": kg.conv_tool_retries_ds,
+        "conv_marker_profile": kg.conv_marker_profile_ds,
         "kg_neighbors_topk": kg.kg_neighbors_topk_ds,
         "kg_neighbor_jaccard": kg.kg_neighbor_jaccard_ds,
         "kg_pred_cardinality": kg.kg_pred_cardinality_ds,

@@ -2863,6 +2863,34 @@ FROM (SELECT tool, conv_id, count(*) AS n,
              min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
       FROM t WHERE tool IS NOT NULL AND tool <> '' GROUP BY 1, 2)
 GROUP BY 1""",
+        # gaps-and-islands twin: the two-row_number difference is constant
+        # exactly within a maximal same-tool run of the filtered call
+        # sequence (non-tool turns between calls do NOT break a run)
+        "conv_tool_retries": w + """
+, ctr AS (SELECT conv_id, turn_idx, tool,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - row_number() OVER (PARTITION BY conv_id, tool
+                                ORDER BY turn_idx) AS isl
+          FROM t WHERE tool IS NOT NULL AND tool <> '')
+SELECT conv_id, tool, CAST(min(turn_idx) AS BIGINT) AS start_turn,
+ CAST(max(turn_idx) AS BIGINT) AS end_turn,
+ CAST(count(*) AS BIGINT) AS n_calls
+FROM ctr GROUP BY conv_id, tool, isl HAVING count(*) >= 2""",
+        # marker densities by substring arithmetic — literals are mutually
+        # non-overlapping so replace() counting matches pc.count_substring
+        "conv_marker_profile": w + """
+, mk AS (SELECT conv_id, COALESCE(text, '') AS x FROM t)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+ CAST(SUM((length(x) - length(replace(x, 'sec{', ''))) // 4) AS BIGINT) AS n_sec,
+ CAST(SUM((length(x) - length(replace(x, 'ttl[', ''))) // 4) AS BIGINT) AS n_ttl,
+ CAST(SUM((length(x) - length(replace(x, 'loc{', ''))) // 4) AS BIGINT) AS n_loc,
+ CAST(SUM((length(x) - length(replace(x, 'locs{', ''))) // 5) AS BIGINT) AS n_locs,
+ CAST(SUM((length(x) - length(replace(x, 'chap{', ''))) // 5) AS BIGINT) AS n_chap,
+ CAST(SUM((length(x) - length(replace(x, 'chl{', ''))) // 4) AS BIGINT) AS n_chl,
+ CAST(SUM((length(x) - length(replace(x, 'chls{', ''))) // 5) AS BIGINT) AS n_chls,
+ CAST(SUM((length(x) - length(replace(x, 'cr[', ''))) // 3) AS BIGINT) AS n_cr,
+ CAST(SUM((length(x) - length(replace(x, '@[', ''))) // 2) AS BIGINT) AS n_mention
+FROM mk GROUP BY conv_id""",
         "kg_pair_formation": w + """
 , pfm AS MATERIALIZED (
   SELECT d.entity_uri, d.conv_id, min(epoch_us(t.ts)) AS f

@@ -4361,3 +4361,117 @@ def kg_dangling_refs_ds(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                     "n_refs": pc.cast(t["n_refs"],
                                                       pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def conv_tool_retries_ds(sf_dir: str, min_run: int = 2):
+    """Agent retry-loop detector (gaps-and-islands): within each
+    conversation's ordered TOOL-CALL subsequence, maximal runs of
+    consecutive calls to the SAME tool, kept when the run has ≥ ``min_run``
+    calls — the "agent stuck re-invoking search" audit a transcript
+    pipeline runs before training on agentic traces (reference analog: the
+    consecutive-duplicate image-name scan migrate-bvm.py:131-150, with
+    tools as the repeated-value axis). Non-tool turns between two calls do
+    NOT break a run: the island is over the filtered call sequence,
+    mirrored exactly by the SQL twin's two-row_number difference.
+
+    Scale shape: runs are conv-local → ONE conv-hash-bucket shuffle of the
+    pruned (conv, turn, tool) rows WHERE tool ≠ '' (the filter happens
+    map-side, before the shuffle); in-bucket vectorized island ids
+    (change-flag cumsum), no Python loop over conversations."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        tool = pc.fill_null(pc.cast(t["tool"].combine_chunks(),
+                                    pa.string()), "")
+        keep = pc.not_equal(tool, "")
+        sub = pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                        "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                        "tool": tool}).filter(keep)
+        return sub
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        tool = df["tool"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        if len(df):
+            new[1:] = (conv[1:] != conv[:-1]) | (tool[1:] != tool[:-1])
+        isl = np.cumsum(new)
+        g = (pd.DataFrame({"conv_id": conv, "tool": tool, "isl": isl,
+                           "turn_idx": df["turn_idx"].to_numpy("int64")})
+             .groupby(["conv_id", "tool", "isl"], sort=False)
+             .agg(start_turn=("turn_idx", "min"),
+                  end_turn=("turn_idx", "max"),
+                  n_calls=("turn_idx", "size"))
+             .reset_index())
+        g = g[g["n_calls"] >= min_run]
+        return from_pandas_clean(pd.DataFrame({
+            "conv_id": g["conv_id"], "tool": g["tool"],
+            "start_turn": g["start_turn"].astype("int64"),
+            "end_turn": g["end_turn"].astype("int64"),
+            "n_calls": g["n_calls"].astype("int64")}))
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "tool"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cb").map_groups(per_bucket, batch_format="pandas"))
+
+
+# marker literal → output column; counts are NON-OVERLAPPING substring
+# occurrences ('loc{' and 'locs{' are disjoint literals, likewise
+# 'chl{'/'chls{'), so both engines can count by plain substring arithmetic
+MARKER_COLUMNS = (("sec{", "n_sec"), ("ttl[", "n_ttl"), ("loc{", "n_loc"),
+                  ("locs{", "n_locs"), ("chap{", "n_chap"),
+                  ("chl{", "n_chl"), ("chls{", "n_chls"),
+                  ("cr[", "n_cr"), ("@[", "n_mention"))
+
+
+def conv_marker_profile_ds(sf_dir: str):
+    """Per-conversation markup-density profile: how many of each structured
+    marker (section starts, titles, locations in both dialects, chapters,
+    chapter locations, creators, entity mentions) a conversation carries,
+    plus its turn count — the corpus census that predicts extractor load
+    per conversation before the full KG pass runs (reference analog: the
+    per-record marker walks editionxmltottl.php:21-289 do implicitly; here
+    the census is its own cheap pass).
+
+    Scale shape: pure map-side work — pc.count_substring per literal
+    (vectorized Arrow kernel, zero-copy) pre-aggregated per conv WITHIN the
+    batch, then one conv-keyed groupby-sum over rows bounded by
+    (convs-per-batch × batches), never the turn count."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import from_pandas_clean
+
+    def partial(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        txt = pc.fill_null(pc.cast(t["text"].combine_chunks(),
+                                   pa.string()), "")
+        d = {"conv_id": conv.to_pandas()}
+        d["n_turns"] = 1
+        for lit, col in MARKER_COLUMNS:
+            d[col] = pc.count_substring(txt, lit).to_numpy(
+                zero_copy_only=False).astype("int64")
+        df = pd.DataFrame(d)
+        g = df.groupby("conv_id", sort=False, as_index=False).sum()
+        return from_pandas_clean(g)
+
+    cols = ["n_turns"] + [c for _, c in MARKER_COLUMNS]
+    agg = (readers.read_transcripts(sf_dir, columns=["conv_id", "text"])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("conv_id")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    return agg.map_batches(
+        lambda t: pa.table({"conv_id": t["conv_id"],
+                            **{c: pc.cast(t[c], pa.int64()) for c in cols}}),
+        batch_format="pyarrow")

@@ -43,7 +43,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "kg_neighbor_sample", "kg_pred_paths",
                                   "kg_clustering_coef", "conv_speaker_stats",
                                   "kg_assortativity", "conv_topic_shift",
-                                  "kg_entity_cards", "conv_context_budget"])
+                                  "kg_entity_cards", "conv_context_budget",
+                                  "conv_tool_retries",
+                                  "conv_marker_profile"])
 def test_oracle_parity(sf_tag, name):
     import __ray_entry__ as e
 
