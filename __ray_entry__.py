@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lineitem_supplier": relational.lineitem_supplier_ds,
         "rel_customers_no_orders": relational.customers_no_orders_ds,
         "rel_order_ranks": relational.order_ranks_ds,
+        "rel_order_percentiles": relational.order_percentiles_ds,
         "rel_quantity_median": relational.quantity_median_ds,
         "rel_quantity_quartiles": relational.quantity_quartiles_ds,
         "rel_quantity_mode": relational.quantity_mode_ds,

@@ -1739,6 +1739,27 @@ w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
       FROM r)
 SELECT o_custkey, o_orderkey, price_c, CAST(rnk AS BIGINT) AS rnk
 FROM w WHERE rnk <= 3""",
+        # the ranked-window quartet; default RANGE frame of the running
+        # count(*) is peers-inclusive = cnt(price <= mine); ppm ratios in
+        # integer floor division exactly as the engine computes them
+        "rel_order_percentiles": """
+WITH r AS (SELECT o_custkey, o_orderkey,
+            CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+           FROM orders),
+w AS (SELECT *,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY price_c) AS BIGINT) AS rnk,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+                           ORDER BY price_c) AS BIGINT) AS cle,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY price_c, o_orderkey) AS BIGINT) AS q4
+      FROM r)
+SELECT o_custkey, o_orderkey, price_c, rnk, q4,
+ CASE WHEN n = 1 THEN 0
+      ELSE ((rnk - 1) * 1000000) // (n - 1) END AS pct_rank_ppm,
+ (cle * 1000000) // n AS cume_ppm
+FROM w""",
         "rel_quantity_median": """
 SELECT l_returnflag,
  median(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS median_qty_c,

@@ -1717,3 +1717,59 @@ def events_gap_quantiles_ds(sf_dir: str, q_ppms=GAPQ_PPMS,
         j = int(np.searchsorted(np.cumsum(cnts), r))
         rows.append({"q_ppm": q, "n_gaps": n_gaps, "gap_us": int(vals[j])})
     return pd.DataFrame(rows).astype("int64")
+
+
+def order_percentiles_ds(sf_dir: str, n_buckets: int | None = None):
+    """The ranked-window family in one pass: per customer, each order's
+    RANK (ties by price share), NTILE(4) quartile bucket (total order by
+    (price, orderkey)), PERCENT_RANK and CUME_DIST — the classic analytic
+    quartet, with both ratios held in integer ppm so the SQL twin
+    hash-matches bit-for-bit (ppm = int-floor division, (rank-1)·1e6 //
+    (n-1) and cnt_le·1e6 // n; single-order customers pin pct to 0).
+
+    Scale shape: ONE custkey-hash shuffle (the order_ranks partitioning key
+    reused); per-bucket all-vectorized pandas (sort + groupby rank
+    min/max + cumcount) — no global sort, no per-row Python. NTILE is
+    re-derived from the 0-based position with the standard
+    first-(n mod k)-buckets-get-one-extra rule, matching ntile(4) under
+    the same total order."""
+    from ..functions.arrowutils import scale_buckets
+
+    nb = n_buckets if n_buckets is not None else scale_buckets(floor=16, per_cpu=2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["o_custkey"]) % np.int64(nb)).astype(np.int32)
+        return pa.table({
+            "kbucket": pa.array(b, pa.int32()),
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "price_c": _cents(t["o_totalprice"]),
+        })
+
+    def pct_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "price_c", "o_orderkey"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("o_custkey", sort=False)
+        n = g["price_c"].transform("size").to_numpy("int64")
+        rnk = g["price_c"].rank(method="min").to_numpy("int64")
+        cle = g["price_c"].rank(method="max").to_numpy("int64")
+        pos = g.cumcount().to_numpy("int64")
+        base, rem = n // 4, n % 4
+        cut = rem * (base + 1)
+        q4 = np.where(pos < cut, pos // (base + 1) + 1,
+                      rem + (pos - cut) // np.maximum(base, 1) + 1)
+        pct = np.where(n == 1, 0,
+                       (rnk - 1) * 1_000_000 // np.maximum(n - 1, 1))
+        cume = cle * 1_000_000 // n
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "price_c": df["price_c"].astype("int64"),
+            "rnk": rnk, "q4": q4.astype("int64"),
+            "pct_rank_ppm": pct.astype("int64"),
+            "cume_ppm": cume.astype("int64")})
+
+    return (_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kbucket")
+            .map_groups(pct_bucket, batch_format="pandas"))

@@ -322,7 +322,8 @@ def test_minhash_pairs_match_reference_banding(sf_tag):
                                   "docs_curriculum_order", "docs_datasheet",
                                   "rel_events_gap_quantiles",
                                   "dedup_source_matrix",
-                                  "embed_centroid_sim"])
+                                  "embed_centroid_sim",
+                                  "rel_order_percentiles"])
 def test_docs_rel_oracle_parity(sf_tag, name):
     import duckdb
     import pandas as pd
