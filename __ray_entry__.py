@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnowing": docs.text_winnowing_ds,
         "text_winnow_pairs": docs.text_winnow_pairs_ds,
         "dedup_containment_pairs": docs.dedup_containment_pairs_ds,
+        "dedup_edit_pairs": docs.dedup_edit_pairs_ds,      # PassJoin + banded DP
         "sample_bootstrap": docs.sample_bootstrap_ds,
         "docs_source_divergence": docs.docs_source_divergence_ds,
         "docs_k_anonymity": docs.docs_k_anonymity_ds,

@@ -1053,6 +1053,27 @@ SELECT CAST(r AS BIGINT) AS r, source,
  CAST(SUM(w) AS BIGINT) AS n_docs,
  CAST(SUM(w * ntok) AS BIGINT) AS n_tokens
 FROM bw GROUP BY 1, 2""",
+        # token-level edit-distance pairs: encode one [a-z]+ token as ONE
+        # ASCII byte (this DuckDB's levenshtein is byte-level, so the code
+        # must be single-byte; exact while vocab ≤ 94 types — fixture has
+        # 31 at every sf) and run native levenshtein over the encodings.
+        # |Δlen| ≤ d prefilter is implied by edit distance (pure pruning).
+        "dedup_edit_pairs": """
+WITH etk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+             FROM documents),
+evw AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS r
+        FROM (SELECT DISTINCT unnest(t) AS w FROM etk)),
+efl AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        FROM etk),
+een AS (SELECT f.doc_id, string_agg(chr(32 + v.r), '' ORDER BY f.i) AS e
+        FROM efl f JOIN evw v USING (w) GROUP BY 1),
+eal AS (SELECT d.doc_id, coalesce(e.e, '') AS e
+        FROM etk d LEFT JOIN een e USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+ CAST(levenshtein(a.e, b.e) AS BIGINT) AS edit_dist
+FROM eal a JOIN eal b
+  ON a.doc_id < b.doc_id AND abs(length(a.e) - length(b.e)) <= 4
+WHERE levenshtein(a.e, b.e) <= 4""",
         "dedup_containment_pairs": """
 WITH ctk2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
               AS toks FROM documents),

@@ -5344,3 +5344,252 @@ def embed_centroid_sim_ds(sf_dir: str) -> pd.DataFrame:
                          "n_a": counts[a], "n_b": counts[b],
                          "cos_ppm": int(math.floor(cos * 1_000_000 + 0.5))})
     return pd.DataFrame(rows).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# token-level edit-distance near-dup pairs (PassJoin chunk blocking)
+# ---------------------------------------------------------------------------
+
+EDIT_D = 4           # token-edit-distance threshold (planted dups ≤ 2, bg ≥ 9)
+EDIT_SMALL_N = 2 * EDIT_D    # docs this short take the all-pairs side bucket
+
+
+def _edit_chunks(n: int, k: int) -> list[tuple[int, int]]:
+    """Deterministic PassJoin partition of an n-token doc into k chunks:
+    the first k - (n % k) chunks hold floor(n/k) tokens, the rest one more.
+    Returns [(start, length)] indexed by chunk number."""
+    base, rem = divmod(n, k)
+    out, pos = [], 0
+    for i in range(k):
+        ln = base + (1 if i >= k - rem else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def _banded_token_ed(a: list[str], b: list[str], d: int) -> int:
+    """Ukkonen-banded token Levenshtein; returns d + 1 as soon as the true
+    distance exceeds d (O(len·d) cells, never the full DP matrix)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return d + 1
+    big = d + 1
+    prev = [j if j <= d else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        if i <= d:
+            cur[0] = i
+        ca = a[i - 1]
+        lo, hi = max(1, i - d), min(lb, i + d)
+        row_min = big
+        for j in range(lo, hi + 1):
+            v = prev[j - 1] + (ca != b[j - 1])
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            if v <= d:
+                cur[j] = v
+                if v < row_min:
+                    row_min = v
+        if i <= d and cur[0] < row_min:
+            row_min = cur[0]
+        if row_min > d:
+            return big          # whole band saturated: distance > d
+        prev = cur
+    return prev[lb]
+
+
+def dedup_edit_pairs_ds(sf_dir: str, d: int = EDIT_D):
+    """ALL unordered doc pairs whose [a-z]+ token sequences are within
+    token-level Levenshtein distance ``d`` — the paraphrase/typo-edit
+    detector. Jaccard-family ops treat a doc as a shingle SET, so a
+    handful of in-place word substitutions can leave Jaccard high or low
+    depending on shingle overlap; edit distance is the metric SFT-data
+    dedup policies actually quote for near-verbatim rewrites.
+
+    Candidate generation is PassJoin chunk blocking (Li/Deng/Feng,
+    VLDB'12, public): split the SHORTER doc of a true pair into d+1
+    chunks — pigeonhole says at least one chunk survives UNEDITED and
+    appears verbatim in the partner within an alignment shift of ±d. So
+    every doc emits (a) its d+1 chunk keys (index side) and (b) every
+    substring a ≤ d-tokens-shorter partner's chunk could align to (probe
+    side) — O(d²) short keys per doc, INDEPENDENT of corpus size; no
+    all-pairs anywhere. Keys hash-join on md5 buckets (one task per
+    BUCKET, not per key); candidates pair-dedup in one groupby; ONE
+    banded-DP verify runs per candidate, token payloads attached via two
+    doc-hash tagged co-groups (corpus-sized token table — never
+    broadcast). Docs with ≤ EDIT_SMALL_N tokens take a single all-pairs
+    side bucket (a chunk goes empty below d+1 tokens): any partner of a
+    sub-(d+1)-token doc is itself ≤ 2d tokens, so the side bucket is
+    complete and stays O(tiny²). Known hazard (documented, not guarded):
+    a verbatim boilerplate span ≥ n/(d+1) tokens shared corpus-wide makes
+    its chunk key hot; a df guard would break exactness, so the verify
+    fan-out is bounded instead by the candidate pair dedup.
+
+    Reference analog: the seen-set duplicate detection family
+    (kernelxmltottl.php:88-89, migrate-bvm.py:243-260) generalized to
+    near-verbatim matching. Oracle: DuckDB levenshtein over docs encoded
+    one token → one ASCII byte (exact while the corpus vocabulary stays
+    ≤ 94 types; the fixture's is 31 at every sf — levenshtein in this
+    DuckDB build is byte-level, so single-byte codes are required)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from ..functions.arrowutils import scale_buckets
+
+    k = d + 1
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        hs, dids, ns, sides = [], [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = T.tokens_lower(x)
+            n = len(toks)
+            if n <= EDIT_SMALL_N:
+                hs.append(-1)               # the all-pairs side bucket
+                dids.append(did); ns.append(n); sides.append(2)
+            if n < k:
+                continue
+            for i, (st, ln) in enumerate(_edit_chunks(n, k)):
+                key = f"{i}|" + " ".join(toks[st:st + ln])
+                hs.append(int(hashlib.md5(key.encode()).hexdigest()[:15], 16))
+                dids.append(did); ns.append(n); sides.append(0)
+            seen: set[tuple[int, int, int]] = set()
+            for ls in range(max(k, n - d), n + 1):
+                for i, (st, ln) in enumerate(_edit_chunks(ls, k)):
+                    for start in range(max(0, st - d),
+                                       min(n - ln, st + d) + 1):
+                        if (i, start, ln) in seen:
+                            continue
+                        seen.add((i, start, ln))
+                        key = f"{i}|" + " ".join(toks[start:start + ln])
+                        hs.append(int(hashlib.md5(key.encode())
+                                      .hexdigest()[:15], 16))
+                        dids.append(did); ns.append(n); sides.append(1)
+        return pa.table({"h": pa.array(np.asarray(hs, np.int64)),
+                         "doc_id": pa.array(np.asarray(dids, np.int64)),
+                         "n": pa.array(np.asarray(ns, np.int64)),
+                         "side": pa.array(np.asarray(sides, np.int8))})
+
+    def add_hbucket(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["h"], dtype=np.int64)
+        return t.append_column("hb", pa.array(((h % nb + nb) % nb)
+                                              .astype(np.int32)))
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        outs_a, outs_b = [], []
+        for _, g in df.groupby("h", sort=False):
+            sides = g["side"].to_numpy()
+            if sides[0] == 2:               # the small-doc all-pairs bucket
+                sm = g.drop_duplicates("doc_id")
+                ids = sm["doc_id"].to_numpy("int64")
+                ns = sm["n"].to_numpy("int64")
+                ai, bi = np.triu_indices(len(ids), k=1)
+                keep = np.abs(ns[ai] - ns[bi]) <= d
+                ai, bi = ai[keep], bi[keep]
+                lo = np.minimum(ids[ai], ids[bi])
+                hi = np.maximum(ids[ai], ids[bi])
+                outs_a.append(lo); outs_b.append(hi)
+                continue
+            idx = g[sides == 0].drop_duplicates("doc_id")
+            prb = g[sides == 1].drop_duplicates("doc_id")
+            if not len(idx) or not len(prb):
+                continue
+            ii, pi = np.meshgrid(np.arange(len(idx)), np.arange(len(prb)),
+                                 indexing="ij")
+            ii, pi = ii.ravel(), pi.ravel()
+            n_i = idx["n"].to_numpy("int64")[ii]
+            n_p = prb["n"].to_numpy("int64")[pi]
+            d_i = idx["doc_id"].to_numpy("int64")[ii]
+            d_p = prb["doc_id"].to_numpy("int64")[pi]
+            keep = (d_i != d_p) & (n_p - n_i >= 0) & (n_p - n_i <= d)
+            lo = np.minimum(d_i[keep], d_p[keep])
+            hi = np.maximum(d_i[keep], d_p[keep])
+            outs_a.append(lo); outs_b.append(hi)
+        a = np.concatenate(outs_a) if outs_a else np.array([], np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.array([], np.int64)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+
+    cands = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(emit_keys, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(add_hbucket, batch_format="pyarrow")
+             .groupby("hb")
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Count()))
+
+    def tok_table(t: pa.Table) -> pa.Table:
+        dids, strs = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            dids.append(did)
+            strs.append(" ".join(T.tokens_lower(x)))
+        return pa.table({"doc_id": pa.array(np.asarray(dids, np.int64)),
+                         "tokstr": pa.array(strs, pa.string())})
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok_table, batch_format="pyarrow", zero_copy_batch=True)
+
+    def p_tag(key_col: str, carry: str | None):
+        other = "doc_b" if key_col == "doc_a" else "doc_a"
+
+        def f(t: pa.Table) -> pa.Table:
+            key = np.asarray(t[key_col], dtype=np.int64)
+            n = len(key)
+            return pa.table({
+                "kbucket": pa.array((key % nb).astype(np.int32)),
+                "tag": pa.array(np.zeros(n, np.int8)),
+                "key": pa.array(key),
+                "other": pc.cast(t[other], pa.int64()),
+                "tok_carry": (t[carry] if carry
+                              else pa.array([""] * n, pa.string()))})
+        return f
+
+    def c_tag(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["doc_id"], dtype=np.int64)
+        n = len(key)
+        return pa.table({"kbucket": pa.array((key % nb).astype(np.int32)),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": pa.array(key),
+                         "other": pa.array(np.zeros(n, np.int64)),
+                         "tok_carry": t["tokstr"]})
+
+    def attach_a(df: pd.DataFrame) -> pa.Table:
+        p = df[df["tag"] == 0][["key", "other"]]
+        c = df[df["tag"] == 1][["key", "tok_carry"]]
+        m = p.merge(c, on="key", how="left")
+        return pa.table({
+            "doc_a": pa.array(m["key"].to_numpy("int64")),
+            "doc_b": pa.array(m["other"].to_numpy("int64")),
+            "tok_a": pa.array(m["tok_carry"].fillna("").tolist(),
+                              pa.string())})
+
+    def attach_b_verify(df: pd.DataFrame) -> pa.Table:
+        p = df[df["tag"] == 0][["key", "other", "tok_carry"]]
+        c = (df[df["tag"] == 1][["key", "tok_carry"]]
+             .rename(columns={"tok_carry": "tok_b"}))
+        m = p.merge(c, on="key", how="left")
+        outs_a, outs_b, outs_d = [], [], []
+        for da, db, sa, sb in zip(m["other"], m["key"],
+                                  m["tok_carry"], m["tok_b"]):
+            e = _banded_token_ed((sa or "").split(), (sb or "").split(), d)
+            if e <= d:
+                outs_a.append(int(da)); outs_b.append(int(db))
+                outs_d.append(e)
+        return pa.table({
+            "doc_a": pa.array(np.asarray(outs_a, np.int64)),
+            "doc_b": pa.array(np.asarray(outs_b, np.int64)),
+            "edit_dist": pa.array(np.asarray(outs_d, np.int64))})
+
+    step1 = (cands.map_batches(p_tag("doc_a", None), batch_format="pyarrow")
+             .union(toks.map_batches(c_tag, batch_format="pyarrow"))
+             .groupby("kbucket")
+             .map_groups(attach_a, batch_format="pandas"))
+
+    return (step1.map_batches(p_tag("doc_b", "tok_a"),
+                              batch_format="pyarrow")
+            .union(toks.map_batches(c_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(attach_b_verify, batch_format="pandas"))

@@ -1870,3 +1870,96 @@ def test_embed_centroid_sim_brute_force(sf_tag):
         ca, cb = V[labs == a].mean(0), V[labs == b].mean(0)
         cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
         assert abs(int(r["cos_ppm"]) - cos * 1e6) < 50, (a, b)
+
+
+def test_banded_token_ed_matches_full_dp():
+    """The Ukkonen band must agree with the full DP wherever the true
+    distance is ≤ d, and report d+1 (never an underestimate) beyond."""
+    import random
+
+    from rkts_migration_ray.pipelines.docs import _banded_token_ed
+
+    def full_ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    for _ in range(300):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        b = list(a)
+        for _ in range(rng.randint(0, 6)):
+            op = rng.randint(0, 2)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] = rng.choice(vocab)
+            elif op == 1:
+                b.insert(rng.randint(0, len(b)), rng.choice(vocab))
+            elif b:
+                del b[rng.randrange(len(b))]
+        t = full_ed(a, b)
+        for d in (0, 1, 2, 4, 7):
+            got = _banded_token_ed(a, b, d)
+            assert got == (t if t <= d else d + 1), (a, b, d, t, got)
+
+
+def test_edit_pairs_match_brute_force(tmp_path):
+    """dedup_edit_pairs_ds == brute-force token Levenshtein ≤ d over an
+    adversarial corpus: edits at chunk boundaries, prefix/suffix inserts
+    (maximum alignment shift), tiny docs routed through the all-pairs side
+    bucket, empty docs, and background docs just past the threshold."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfed"
+    d.mkdir()
+    rng = np.random.default_rng(23)
+    words = [f"tok{i}" for i in range(40)]
+    texts = []
+    for i in range(25):
+        base = list(rng.choice(words, size=int(rng.integers(12, 60))))
+        texts.append(" ".join(base))
+        kind = i % 5
+        tw = list(base)
+        if kind == 0:        # substitutions spread across chunk boundaries
+            for p in (0, len(tw) // 2, len(tw) - 1):
+                tw[p] = "zzz"
+        elif kind == 1:      # prefix insertions: max left shift
+            tw = ["aaa", "bbb", "ccc", "ddd"] + tw
+        elif kind == 2:      # suffix deletions
+            tw = tw[:-4]
+        elif kind == 3:      # one edit only
+            tw[len(tw) // 3] = "yyy"
+        else:                # 5 edits: just past d=4, must NOT pair
+            for p in range(5):
+                tw[p * (len(tw) // 6)] = f"xx{p}"
+        texts.append(" ".join(tw))
+    # tiny docs (side bucket) + empties (distance 0 pair) — both must work
+    texts += ["a b c", "a b d", "a b c d e f", "", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), str(d / "documents.parquet"))
+
+    got = docs.dedup_edit_pairs_ds(str(d)).to_pandas()
+    got = sorted(map(tuple, got[["doc_a", "doc_b", "edit_dist"]]
+                     .astype("int64").to_numpy()))
+
+    toksets = [T.tokens_lower(x) for x in texts]
+    want = []
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        e = docs._banded_token_ed(toksets[i], toksets[j], docs.EDIT_D)
+        if e <= docs.EDIT_D:
+            want.append((i, j, e))
+    assert got == sorted(want)
+    assert (len(texts) - 2, len(texts) - 1, 0) in got  # the empty-doc pair
+    kinds = {w[2] for w in want}
+    assert kinds & {1, 3, 4}  # planted edits of several distances found
