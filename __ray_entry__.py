@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_pairs": docs.text_winnow_pairs_ds,
         "dedup_containment_pairs": docs.dedup_containment_pairs_ds,
         "dedup_edit_pairs": docs.dedup_edit_pairs_ds,      # PassJoin + banded DP
+        "dedup_edit_clusters": lambda sf: docs.dedup_clusters_ds(
+            sf, pair_source="edit"),
         "sample_bootstrap": docs.sample_bootstrap_ds,
         "docs_source_divergence": docs.docs_source_divergence_ds,
         "docs_k_anonymity": docs.docs_k_anonymity_ds,

@@ -746,6 +746,31 @@ shx AS (SELECT t.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) AS v
         FROM tk t LEFT JOIN sh64 s USING (doc_id))"""
 
 
+def _edit_pair_ctes() -> str:
+    """Shared CTEs for the token-edit-distance family: encode one [a-z]+
+    token as ONE ASCII byte (this DuckDB's levenshtein is byte-level, so
+    token codes must be single-byte; exact while the corpus vocabulary
+    stays ≤ 94 types — the fixture's is 31 at every sf) and keep pairs at
+    byte-levenshtein ≤ 4 over the encodings. The |Δlen| ≤ 4 join filter
+    is implied by the distance bound (pure pruning, result-neutral)."""
+    return """
+WITH etk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+             FROM documents),
+evw AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS r
+        FROM (SELECT DISTINCT unnest(t) AS w FROM etk)),
+efl AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        FROM etk),
+een AS (SELECT f.doc_id, string_agg(chr(32 + v.r), '' ORDER BY f.i) AS e
+        FROM efl f JOIN evw v USING (w) GROUP BY 1),
+eal AS (SELECT d.doc_id, coalesce(e.e, '') AS e
+        FROM etk d LEFT JOIN een e USING (doc_id)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.e, b.e) AS BIGINT) AS edit_dist
+      FROM eal a JOIN eal b
+        ON a.doc_id < b.doc_id AND abs(length(a.e) - length(b.e)) <= 4
+      WHERE levenshtein(a.e, b.e) <= 4)"""
+
+
 def _simhash_pair_ctes() -> str:
     """_simhash_fp_ctes + the Hamming ≤ 3 pair edge list
     `p(doc_a, doc_b, hamming)` — the exact edge list of simhash_pairs_ds,
@@ -1053,27 +1078,19 @@ SELECT CAST(r AS BIGINT) AS r, source,
  CAST(SUM(w) AS BIGINT) AS n_docs,
  CAST(SUM(w * ntok) AS BIGINT) AS n_tokens
 FROM bw GROUP BY 1, 2""",
-        # token-level edit-distance pairs: encode one [a-z]+ token as ONE
-        # ASCII byte (this DuckDB's levenshtein is byte-level, so the code
-        # must be single-byte; exact while vocab ≤ 94 types — fixture has
-        # 31 at every sf) and run native levenshtein over the encodings.
-        # |Δlen| ≤ d prefilter is implied by edit distance (pure pruning).
-        "dedup_edit_pairs": """
-WITH etk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
-             FROM documents),
-evw AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS r
-        FROM (SELECT DISTINCT unnest(t) AS w FROM etk)),
-efl AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
-        FROM etk),
-een AS (SELECT f.doc_id, string_agg(chr(32 + v.r), '' ORDER BY f.i) AS e
-        FROM efl f JOIN evw v USING (w) GROUP BY 1),
-eal AS (SELECT d.doc_id, coalesce(e.e, '') AS e
-        FROM etk d LEFT JOIN een e USING (doc_id))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
- CAST(levenshtein(a.e, b.e) AS BIGINT) AS edit_dist
-FROM eal a JOIN eal b
-  ON a.doc_id < b.doc_id AND abs(length(a.e) - length(b.e)) <= 4
-WHERE levenshtein(a.e, b.e) <= 4""",
+        "dedup_edit_pairs": _edit_pair_ctes() + """
+SELECT doc_a, doc_b, edit_dist FROM p""",
+        "dedup_edit_clusters": _edit_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node""",
         "dedup_containment_pairs": """
 WITH ctk2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
               AS toks FROM documents),

@@ -3744,6 +3744,11 @@ def dedup_clusters_ds(sf_dir: str, max_iters: int = 16,
         # pair generator next to minhash)
         pairs = simhash_pairs_ds(sf_dir).map_batches(
             lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    elif pair_source == "edit":
+        # PassJoin token-edit-distance pair graph (near-verbatim rewrites;
+        # O(d²) keys/doc candidate generation — scale-complete like minhash)
+        pairs = dedup_edit_pairs_ds(sf_dir).map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
     else:
         raise ValueError(f"unknown pair_source {pair_source!r}")
     if isinstance(pairs, pd.DataFrame):

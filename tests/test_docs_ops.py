@@ -1963,3 +1963,35 @@ def test_edit_pairs_match_brute_force(tmp_path):
     assert (len(texts) - 2, len(texts) - 1, 0) in got  # the empty-doc pair
     kinds = {w[2] for w in want}
     assert kinds & {1, 3, 4}  # planted edits of several distances found
+
+
+def test_edit_clusters_transitive(tmp_path):
+    """A→B→C chain of ≤ d edits (A and C are 8 edits apart — never a direct
+    pair) must still collapse into ONE component via the edit pair graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    d = tmp_path / "sfec"
+    d.mkdir()
+    base = [f"tok{i}" for i in range(30)]
+    mid = list(base)
+    for p in range(4):
+        mid[p * 7] = f"mm{p}"          # ed(base, mid) = 4
+    far = list(mid)
+    for p in range(4):
+        far[p * 7 + 3] = f"ff{p}"      # ed(mid, far) = 4, ed(base, far) = 8
+    lone = ["unrelated"] * 25
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([" ".join(x) for x in (base, mid, far, lone)])}),
+        str(d / "documents.parquet"))
+
+    pairs = docs.dedup_edit_pairs_ds(str(d)).to_pandas()
+    got_pairs = sorted(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert got_pairs == [(0, 1), (1, 2)]   # no direct 0-2 pair at d=4
+
+    comp = docs.dedup_clusters_ds(str(d), pair_source="edit").to_pandas()
+    comp = dict(zip(comp["doc_id"].astype(int), comp["component"].astype(int)))
+    assert comp == {0: 0, 1: 0, 2: 0}      # one component; lone doc absent
