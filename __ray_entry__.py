@@ -79,6 +79,11 @@ def _mm_phash_dups(sf_dir: str) -> Any:
     return multimodal.phash_dups_ds(path)
 
 
+def _mm_scene_cuts(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.scene_cuts_ds(path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (the reference's capability surface) ---------
@@ -281,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_embed": _mm_embed,                             # oracle (md5-of-hex)
         "mm_phash": _mm_phash,                             # oracle (byte math)
         "mm_phash_dups": _mm_phash_dups,                   # oracle (byte math)
+        "mm_scene_cuts": _mm_scene_cuts,                   # oracle (byte math)
     }
 
 

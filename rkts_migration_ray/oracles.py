@@ -557,7 +557,39 @@ f AS (SELECT media_id, len,
 SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
  CAST(12 + fi * 256 AS BIGINT) AS "offset",
  CAST(least(256, len - (12 + fi * 256)) AS BIGINT) AS n_bytes
-FROM f"""}
+FROM f""",
+            # per-frame 63-bit hash (no MAGIC branch — frame slices carry no
+            # header) → lag over frame_idx → hamming + cut flag at ≥ 16
+            "mm_scene_cuts": f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx,
+                  CAST(octet_length(payload) AS BIGINT) AS len
+           FROM read_parquet('{media_path}') WHERE kind = 'video'),
+f AS (SELECT media_id, hx, len,
+       unnest(generate_series(0, greatest(len - 12, 0) // 256, 4)) AS fi
+      FROM m),
+g AS (SELECT media_id, hx, CAST(fi AS BIGINT) AS fi,
+       CAST(12 + fi * 256 AS BIGINT) AS off,
+       CAST(least(256, len - (12 + fi * 256)) AS BIGINT) AS blen
+      FROM f),
+pb AS (SELECT media_id, fi, k,
+        CASE WHEN blen <= 0 THEN 0
+             WHEN CAST(('0x' || substr(hx,
+                    CAST(1 + 2 * (off + ((k * 7) % blen)) AS BIGINT), 2))
+                  AS UBIGINT) >= 128 THEN 1 ELSE 0 END AS b
+       FROM g, range(63) r(k)),
+fp AS (SELECT media_id, fi,
+        CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT)
+          AS ph
+       FROM pb GROUP BY 1, 2),
+pr AS (SELECT media_id, fi, ph,
+        lag(fi) OVER (PARTITION BY media_id ORDER BY fi) AS pfi,
+        lag(ph) OVER (PARTITION BY media_id ORDER BY fi) AS pph
+       FROM fp)
+SELECT media_id, pfi AS prev_frame_idx, fi AS frame_idx,
+ CAST(bit_count(xor(ph, pph)) AS BIGINT) AS hamming,
+ CAST(CASE WHEN bit_count(xor(ph, pph)) >= 16 THEN 1 ELSE 0 END AS BIGINT)
+   AS is_cut
+FROM pr WHERE pfi IS NOT NULL"""}
 
 
 def _shingle_ctes() -> str:

@@ -30,7 +30,7 @@ MAGIC = b"GRFT"
 KINDS = ("image", "audio", "video")
 
 
-_MEDIA_FIXTURE_VERSION = 2  # v2: near-dup tail rows for the phash ops
+_MEDIA_FIXTURE_VERSION = 3  # v3: scene-structured video bodies (+ v2 dups)
 
 
 def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
@@ -40,6 +40,11 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     v2: when n_rows ≥ 40 the last 20 rows are NEAR-DUPS of earlier rows —
     10 exact payload copies and 10 one-byte body flips — so the perceptual
     dedup ops (phash_media_ds / phash_dups_ds) have true positives to find.
+    v3: video bodies are SCENE-structured — 2-5 scenes of 2-8 identical
+    256-byte frames each, with a partial tail frame — so consecutive
+    sampled frames within a scene hash identically (hamming 0) and frames
+    across a scene boundary differ (hamming ≈ 31 of 63), giving the
+    scene-cut detector (scene_cuts_ds) true boundaries to find.
     A version marker file triggers regeneration when the layout changes
     (the fixture lives in /tmp and may survive across engine versions)."""
     path = os.path.join(root_dir, "media.parquet")
@@ -57,10 +62,20 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n_rows):
         w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
-        body = rng.integers(0, 256, size=int(rng.integers(64, 2048)),
-                            dtype=np.uint8).tobytes()
+        kind = KINDS[i % len(KINDS)]
+        if kind == "video":
+            frames: list[bytes] = []
+            for _ in range(int(rng.integers(2, 6))):
+                scene = rng.integers(0, 256, size=FRAME_BYTES,
+                                     dtype=np.uint8).tobytes()
+                frames.extend([scene] * int(rng.integers(2, 9)))
+            # partial tail frame keeps len(body) % FRAME_BYTES != 0
+            body = b"".join(frames)[:-57]
+        else:
+            body = rng.integers(0, 256, size=int(rng.integers(64, 2048)),
+                                dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
-        rows["kind"].append(KINDS[i % len(KINDS)])
+        rows["kind"].append(kind)
         rows["payload"].append(MAGIC + struct.pack(">II", w, h) + body)
         rows["meta"].append('{"codec":"stub"}')
     if n_rows >= 40:
@@ -324,13 +339,10 @@ PHASH_MAX_HAMMING = 3    # < n_bands, so banding has ZERO recall loss
 _PHASH_BANDS = ((0, 16), (16, 16), (32, 16), (48, 15))  # 4 slices of 63 bits
 
 
-def _phash_value(payload: bytes) -> int:
-    """63-bit perceptual hash of a payload: bit k = (body byte at position
-    (k·7) mod len(body)) ≥ 128. With a real codec this is where the
-    grayscale-DCT pHash goes; the sampling stub keeps the value exactly
-    reproducible in SQL byte math (the oracle twin)."""
-    boff = 12 if (len(payload) >= 12 and payload[:4] == MAGIC) else 0
-    body = payload[boff:]
+def _phash_body(body: bytes) -> int:
+    """63-bit hash of raw body bytes: bit k = (byte at (k·7) mod len) ≥ 128.
+    No header sniffing — callers strip any header first (frame slices have
+    none, so the SQL twin needs no MAGIC branch per frame)."""
     if not body:
         return 0
     v = 0
@@ -338,6 +350,15 @@ def _phash_value(payload: bytes) -> int:
         if body[(k * PHASH_STRIDE) % len(body)] >= 128:
             v |= 1 << k
     return v
+
+
+def _phash_value(payload: bytes) -> int:
+    """63-bit perceptual hash of a payload: bit k = (body byte at position
+    (k·7) mod len(body)) ≥ 128. With a real codec this is where the
+    grayscale-DCT pHash goes; the sampling stub keeps the value exactly
+    reproducible in SQL byte math (the oracle twin)."""
+    boff = 12 if (len(payload) >= 12 and payload[:4] == MAGIC) else 0
+    return _phash_body(payload[boff:])
 
 
 class PhashStub:
@@ -417,3 +438,62 @@ def phash_dups_ds(media_path: str, max_hamming: int = PHASH_MAX_HAMMING,
                 "media_b": pc.cast(t["media_b"], pa.int64()),
                 "hamming": pc.cast(t["hamming"], pa.int64())}),
                 batch_format="pyarrow"))
+
+
+SCENE_CUT_MIN_HAMMING = 16   # random frames sit at ~31 of 63, same-scene at 0
+
+
+class SceneCutStub:
+    """Scene-cut detector over video payloads: per-FRAME perceptual hash at
+    the sampling stride, Hamming distance between CONSECUTIVE sampled
+    frames, cut flag at ≥ SCENE_CUT_MIN_HAMMING. The whole window lives
+    inside one payload row, so the stage is a pure flat-map — per-video
+    parallel, ZERO shuffle at any corpus size (the realistic shape: real
+    scene detection is sequential within a video, independent across
+    videos). With a real codec the per-frame hash becomes a grayscale-DCT
+    pHash of the decoded frame; the byte-math stub keeps every value
+    reproducible in SQL (the oracle twin)."""
+
+    def __init__(self, stride: int = FRAME_STRIDE,
+                 min_hamming: int = SCENE_CUT_MIN_HAMMING):
+        self.stride = stride
+        self.min_hamming = min_hamming
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = {"media_id": [], "prev_frame_idx": [], "frame_idx": [],
+               "hamming": [], "is_cut": []}
+        for mid, kind, p in zip(df["media_id"], df["kind"], df["payload"]):
+            if kind != "video":
+                continue
+            body = len(p) - 12
+            n_frames = max(body, 0) // FRAME_BYTES + 1
+            prev_fi, prev_ph = None, 0
+            for fi in range(0, n_frames, self.stride):
+                off = 12 + fi * FRAME_BYTES
+                ph = _phash_body(p[off:off + FRAME_BYTES])
+                if prev_fi is not None:
+                    ham = (ph ^ prev_ph).bit_count()
+                    out["media_id"].append(int(mid))
+                    out["prev_frame_idx"].append(prev_fi)
+                    out["frame_idx"].append(fi)
+                    out["hamming"].append(ham)
+                    out["is_cut"].append(int(ham >= self.min_hamming))
+                prev_fi, prev_ph = fi, ph
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "prev_frame_idx": pa.array(out["prev_frame_idx"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "hamming": pa.array(out["hamming"], pa.int64()),
+            "is_cut": pa.array(out["is_cut"], pa.int64()),
+        })
+
+
+def scene_cuts_ds(media_path: str, concurrency: int = 2,
+                  batch_size: int = 32):
+    """Consecutive sampled-frame hash deltas per video + cut flags."""
+    import ray.data as rd
+
+    return (rd.read_parquet(media_path)
+            .map_batches(SceneCutStub, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=(1, concurrency)))

@@ -158,3 +158,39 @@ def test_phash_dups_match_brute_force_and_find_planted(media_path):
     # the 10 planted exact copies (media 40+j copies j*3 at n_rows=60)
     for j in range(10):
         assert (min(j * 3, 40 + j), max(j * 3, 40 + j), 0) in got_set
+
+
+def test_scene_cuts_brute_force_and_planted(media_path):
+    """scene_cuts_ds == per-payload brute force, and the v3 scene-structured
+    videos must yield BOTH same-scene pairs (hamming 0, no cut) and
+    boundary pairs (hamming near half the bits, cut)."""
+    import pyarrow.parquet as pq
+
+    got = multimodal.scene_cuts_ds(media_path).to_pandas().sort_values(
+        ["media_id", "frame_idx"]).reset_index(drop=True)
+
+    t = pq.read_table(media_path, columns=["media_id", "kind", "payload"])
+    want = []
+    for mid, kind, p in zip(t["media_id"].to_pylist(),
+                            t["kind"].to_pylist(), t["payload"].to_pylist()):
+        if kind != "video":
+            continue
+        n_frames = max(len(p) - 12, 0) // multimodal.FRAME_BYTES + 1
+        prev = None
+        for fi in range(0, n_frames, multimodal.FRAME_STRIDE):
+            off = 12 + fi * multimodal.FRAME_BYTES
+            ph = multimodal._phash_body(p[off:off + multimodal.FRAME_BYTES])
+            if prev is not None:
+                ham = (ph ^ prev[1]).bit_count()
+                want.append((mid, prev[0], fi, ham,
+                             int(ham >= multimodal.SCENE_CUT_MIN_HAMMING)))
+            prev = (fi, ph)
+    want.sort()
+    got_rows = list(map(tuple, got[["media_id", "prev_frame_idx",
+                                    "frame_idx", "hamming", "is_cut"]]
+                        .astype("int64").to_numpy()))
+    assert got_rows == want
+    cuts = got["is_cut"].to_numpy()
+    assert cuts.sum() > 0 and (cuts == 0).sum() > 0   # both classes present
+    # same-scene sampled pairs hash identically in the v3 fixture
+    assert (got.loc[got["is_cut"] == 0, "hamming"] == 0).any()
