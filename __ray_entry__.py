@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,
         "rel_events_window": relational.events_window_ds,
+        "rel_events_late": relational.events_late_ds,      # watermark panes
         "rel_events_window_users": relational.events_window_users_ds,
         "rel_events_rolling": relational.events_rolling_ds,
         "rel_revenue_rollup": relational.revenue_rollup_ds,

@@ -1423,6 +1423,27 @@ SELECT event_type,
  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
  CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2""",
+        # watermark lateness: arrival = event_id + md5 % 16 (deterministic
+        # bounded ingest displacement — the fixture's events are ts-sorted,
+        # so unjittered lateness would be identically zero); watermark =
+        # running max(ts) over arrival order − 10 min; an event is late when
+        # its 1-hour window closed before it arrived
+        "rel_events_late": """
+WITH le0 AS (SELECT event_id, epoch_us(ts) AS us,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val_c,
+        CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT)
+          AS wdw,
+        event_id + CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+              1, 8)) AS UBIGINT) % 16 AS BIGINT) AS arr
+       FROM events),
+le1 AS (SELECT *, max(us) OVER (ORDER BY arr, event_id) AS wm_us FROM le0),
+le2 AS (SELECT *, CASE WHEN (wdw + 1) * 3600000000 <= wm_us - 600000000
+                       THEN 1 ELSE 0 END AS late FROM le1)
+SELECT wdw AS "window", CAST(count(*) AS BIGINT) AS n_events,
+ CAST(sum(late) AS BIGINT) AS n_late,
+ CAST(sum(CASE WHEN late = 0 THEN val_c ELSE 0 END) AS BIGINT)
+   AS sum_on_time_c
+FROM le2 GROUP BY 1""",
         "rel_events_window_users": """
 SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window,
  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -1995,3 +1995,21 @@ def test_edit_clusters_transitive(tmp_path):
     comp = docs.dedup_clusters_ds(str(d), pair_source="edit").to_pandas()
     comp = dict(zip(comp["doc_id"].astype(int), comp["component"].astype(int)))
     assert comp == {0: 0, 1: 0, 2: 0}      # one component; lone doc absent
+
+
+def test_events_late_bucket_invariant():
+    """The watermark prefix-max must be exact across bucket boundaries:
+    panes computed with 1 range bucket (single sequential scan — the
+    trivially-correct case) must equal panes from 7 buckets (carry-ins
+    exercised), and both lateness classes must be present."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import relational
+
+    one = (relational.events_late_ds("sf0.001", n_buckets=1).to_pandas()
+           .sort_values("window").reset_index(drop=True))
+    many = (relational.events_late_ds("sf0.001", n_buckets=7).to_pandas()
+            .sort_values("window").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    assert one["n_late"].sum() > 0
+    assert one["n_late"].sum() < one["n_events"].sum()
