@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_distinct_sketch": docs.distinct_sketch_ds,
         # --- similarity search ----------------------------------------------
         "embed_quantize": docs.embed_quantize_ds,
+        "embed_quantize_eval": docs.embed_quantize_eval_ds,  # recall@k audit
         "embed_kmeans": docs.embed_kmeans_ds,
         "embed_pca_scatter": docs.embed_pca_scatter_ds,
         "embed_centroid_sim": docs.embed_centroid_sim_ds,

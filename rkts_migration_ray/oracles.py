@@ -1990,6 +1990,45 @@ SELECT vec_id, round(norm, 6) AS norm, round(scale, 6) AS scale,
  array_to_string(list_transform(emb, x -> CAST(round(x * scale) AS BIGINT)), ',')
    AS q_csv
 FROM m""",
+        # quantization recall audit: exact float top-k vs int8-quantized
+        # top-k; quantized dots/norms are exact integers so the float ranks
+        # match the engine bit-for-bit (see embed_quantize_eval_ds)
+        "embed_quantize_eval": """
+WITH qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+qm AS (SELECT vec_id, emb,
+        CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 0.0
+             ELSE 127.0 / list_max(list_transform(emb, x -> abs(x))) END
+          AS scale
+       FROM qe),
+qq AS (SELECT vec_id,
+        list_transform(emb, x -> CAST(round(x * scale) AS DOUBLE)) AS q
+       FROM qm),
+qn AS (SELECT vec_id, q,
+        sqrt(list_sum(list_transform(q, x -> x * x))) AS nrm FROM qq),
+xs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) AS s
+       FROM embeddings q, embeddings e
+       WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id),
+xr AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, neighbor_id) AS rk FROM xs),
+xt AS (SELECT query_id, neighbor_id FROM xr WHERE rk <= 10),
+qs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+             ELSE list_inner_product(a.q, b.q) / (b.nrm * a.nrm) END AS s
+       FROM qn a, qn b WHERE a.vec_id < 4 AND b.vec_id <> a.vec_id),
+qr AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, neighbor_id) AS rk FROM qs),
+qt AS (SELECT query_id, neighbor_id FROM qr WHERE rk <= 10)
+SELECT x.query_id, CAST(10 AS BIGINT) AS k,
+ CAST(count(q.neighbor_id) AS BIGINT) AS n_overlap,
+ CAST(FLOOR(count(q.neighbor_id) * 1000000.0 / 10 + 0.5) AS BIGINT)
+   AS recall_ppm
+FROM xt x LEFT JOIN qt q USING (query_id, neighbor_id)
+GROUP BY x.query_id""",
         "dedup_embed_clusters": """
 WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                       FROM embeddings WHERE vec_id % 5 = 0),

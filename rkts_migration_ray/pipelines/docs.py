@@ -5598,3 +5598,95 @@ def dedup_edit_pairs_ds(sf_dir: str, d: int = EDIT_D):
             .union(toks.map_batches(c_tag, batch_format="pyarrow"))
             .groupby("kbucket")
             .map_groups(attach_b_verify, batch_format="pandas"))
+
+
+def _int8_quant_rows(M: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 quantization, float64 carrier: scale =
+    127/max|x| (0 for all-zero rows), values rounded half away from zero —
+    the embed_quantize_ds math, shared by the quantization recall audit."""
+    if M.size == 0:
+        return M
+    maxabs = np.max(np.abs(M), axis=1)
+    scale = np.where(maxabs > 0, 127.0 / np.maximum(maxabs, 1e-300), 0.0)
+    V = M * scale[:, None]
+    return np.sign(V) * np.floor(np.abs(V) + 0.5)
+
+
+class _QuantKnnPartial:
+    """Per-batch quantized-cosine partial top-k under the TOTAL order
+    (cos DESC, neighbor_id ASC) — with a total order, per-partition top-k
+    then merge-top-k equals global top-k even under score ties (ties are
+    LIKELY here: quantized dots are coarse integers)."""
+
+    def __init__(self, q_ref=None, k: int = KNN_K):
+        import ray
+
+        self.qids, self.Qq, self.qn = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(batch)
+        out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        if len(ids):
+            Eq = _int8_quant_rows(E)
+            nn = np.sqrt(np.sum(Eq * Eq, axis=1))
+            dots = Eq @ self.Qq.T                      # exact integer dots
+            denom = nn[:, None] * self.qn[None, :]
+            sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0),
+                            0.0)
+            for qi, qid in enumerate(self.qids):
+                s = sims[:, qi]
+                cand = np.nonzero(ids != qid)[0]
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:self.k]]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["cos_sim"].extend(s[top])
+        return from_pandas_clean(pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+            "cos_sim": pd.Series(out["cos_sim"], dtype="float64")}))
+
+
+def embed_quantize_eval_ds(sf_dir: str, k: int = KNN_K):
+    """Recall@k audit of int8 symmetric quantization — the acceptance gate
+    a vector-store migration runs before switching serving to quantized
+    vectors: per query, how many of the EXACT float-cosine top-k survive in
+    the quantized top-k. Output one row per query: (query_id, k, n_overlap,
+    recall_ppm), all exact integers.
+
+    Float-compare safety: quantized values are integer-valued float64s, so
+    dots and squared norms are EXACT integers; engine and SQL both compute
+    cos = dot / (sqrt(n_a)·sqrt(n_b)) from identical integer inputs with
+    identical IEEE ops — ranks match bit-for-bit, and the per-batch partial
+    top-k uses the total order (cos DESC, id ASC) so ties cannot leak
+    different candidates past the k boundary on either side.
+
+    Scale shape: both rankings are broadcast-queries + per-batch partial
+    top-k + tiny merge (the knn_brute shape); the eval join touches only
+    n_queries·k rows."""
+    import ray
+
+    qids, Q = _load_queries(sf_dir)
+    Qq = _int8_quant_rows(Q)
+    qn = np.sqrt(np.sum(Qq * Qq, axis=1))
+    q_ref = ray.put((qids, Qq, qn))
+
+    quant_topk = (_embeddings(sf_dir)
+                  .map_batches(_QuantKnnPartial, batch_format="pyarrow",
+                               fn_constructor_kwargs={"q_ref": q_ref},
+                               concurrency=(1, 4))
+                  .groupby("query_id")
+                  .map_groups(_final_topk, batch_format="pandas")
+                  .to_pandas())
+    exact_topk = knn_brute_ds(sf_dir).to_pandas()
+
+    ex = {int(q): set(g["neighbor_id"].astype(int))
+          for q, g in exact_topk.groupby("query_id")}
+    qz = {int(q): set(g["neighbor_id"].astype(int))
+          for q, g in quant_topk.groupby("query_id")}
+    rows = []
+    for q in sorted(ex):
+        overlap = len(ex[q] & qz.get(q, set()))
+        rows.append({"query_id": q, "k": k, "n_overlap": overlap,
+                     "recall_ppm": int(overlap * 1_000_000 / k + 0.5)})
+    return pd.DataFrame(rows).astype("int64")

@@ -2013,3 +2013,41 @@ def test_events_late_bucket_invariant():
     pd.testing.assert_frame_equal(one, many)
     assert one["n_late"].sum() > 0
     assert one["n_late"].sum() < one["n_events"].sum()
+
+
+def test_quantize_eval_single_process_cross_check():
+    """The distributed quantized top-k must equal a single-process numpy
+    recomputation (quantize → cosine → total-order top-k → overlap), and
+    int8 recall on the 8-dim fixture must be high but is allowed < 1."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.embed_quantize_eval_ds("sf0.001")
+    got = got.sort_values("query_id").reset_index(drop=True)
+
+    t = pq.read_table(docs.resolve_sf_dir("sf0.001") + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"])
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Eq = docs._int8_quant_rows(E)
+    nrm = np.sqrt(np.sum(Eq * Eq, axis=1))
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    for row in got.itertuples():
+        q = int(row.query_id)
+        qi = int(np.nonzero(ids == q)[0][0])
+        mask = ids != q
+        s_exact = En @ En[qi]
+        s_quant = np.where((nrm > 0) & (nrm[qi] > 0),
+                           (Eq @ Eq[qi]) / np.where(nrm * nrm[qi] > 0,
+                                                    nrm * nrm[qi], 1.0), 0.0)
+
+        def topk(s):
+            cand = np.nonzero(mask)[0]
+            return set(ids[cand[np.lexsort((ids[cand], -s[cand]))[:10]]]
+                       .tolist())
+        want = len(topk(s_exact) & topk(s_quant))
+        assert int(row.n_overlap) == want
+        assert int(row.recall_ppm) == int(want * 100_000)
+    assert got["n_overlap"].min() >= 5   # int8 on 8 dims keeps most of top-k
