@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_centroid_sim": docs.embed_centroid_sim_ds,
         "embed_pca_project": docs.embed_pca_project_ds,  # rows-only (eigh)
         "knn_brute": docs.knn_brute_ds,
+        "knn_filtered": docs.knn_filtered_ds,              # label pre-filter
         "knn_graph": docs.knn_graph_ds,
         "embed_outliers": docs.embed_outliers_ds,
         "embed_label_prop": docs.embed_label_prop_ds,

@@ -1391,6 +1391,20 @@ FROM documents""",
 SELECT doc_a, doc_b, rank_ab, rank_ba, round(s, 6) AS cos_sim
 FROM kgm WHERE c = 2""",
         "embed_label_prop": _label_prop_sql(_KNN_GRAPH_K),
+        "knn_filtered": """
+WITH fs AS (
+ SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) AS s
+ FROM embeddings q, embeddings e
+ WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id AND e.label = q.label),
+fr AS (SELECT query_id, neighbor_id, s,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, neighbor_id) AS rank
+       FROM fs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+ round(s, 6) AS cos_sim
+FROM fr WHERE rank <= 10""",
         "knn_brute": """
 WITH sims AS (
  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

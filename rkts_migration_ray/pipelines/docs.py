@@ -5690,3 +5690,73 @@ def embed_quantize_eval_ds(sf_dir: str, k: int = KNN_K):
         rows.append({"query_id": q, "k": k, "n_overlap": overlap,
                      "recall_ppm": int(overlap * 1_000_000 / k + 0.5)})
     return pd.DataFrame(rows).astype("int64")
+
+
+def _load_queries_labeled(sf_dir: str, n: int = KNN_N_QUERIES):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n)])
+    ids = np.asarray(t["vec_id"])
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"], dtype=np.int64)
+    return ids, Q, labels
+
+
+class _FilteredKnnPartial:
+    """KnnPartial with a per-query label predicate PUSHED INTO the candidate
+    mask — the pre-filter shape of filtered vector search (post-filtering a
+    plain top-k would UNDERFILL when the filter is selective; pushing the
+    predicate before the partial top-k keeps exactly k true candidates)."""
+
+    def __init__(self, q_ref=None, k: int = KNN_K):
+        import ray
+
+        self.qids, self.Q, self.qlabels = ray.get(q_ref)
+        self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(batch)
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        if len(ids):
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = self.Qn @ En.T
+            for qi, qid in enumerate(self.qids):
+                s = sims[qi]
+                cand = np.nonzero((ids != qid)
+                                  & (labels == self.qlabels[qi]))[0]
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:self.k]]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["cos_sim"].extend(s[top])
+        return from_pandas_clean(pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+            "cos_sim": pd.Series(out["cos_sim"], dtype="float64")}))
+
+
+def knn_filtered_ds(sf_dir: str):
+    """Filtered vector search: exact cosine top-k restricted to neighbors
+    sharing the query's label ("search within my class" — the
+    metadata-predicate ANN shape every serving stack needs). The predicate
+    is applied BEFORE the per-batch partial top-k (pre-filter), so every
+    partial contributes k true candidates — post-filtering a plain top-k
+    would silently return < k rows whenever the filter is selective.
+
+    Scale shape: identical to knn_brute (broadcast labeled query matrix →
+    per-batch masked partial top-k → tiny merge); the label column rides
+    the same zero-copy batch, and at production scale the same predicate
+    doubles as a partition-pruning key (label-partitioned index)."""
+    import ray
+
+    q_ref = ray.put(_load_queries_labeled(sf_dir))
+    return (_embeddings(sf_dir)
+            .map_batches(_FilteredKnnPartial, batch_format="pyarrow",
+                         fn_constructor_kwargs={"q_ref": q_ref},
+                         concurrency=(1, 4))
+            .groupby("query_id")
+            .map_groups(_final_topk, batch_format="pandas"))

@@ -2051,3 +2051,22 @@ def test_quantize_eval_single_process_cross_check():
         assert int(row.n_overlap) == want
         assert int(row.recall_ppm) == int(want * 100_000)
     assert got["n_overlap"].min() >= 5   # int8 on 8 dims keeps most of top-k
+
+
+def test_knn_filtered_respects_predicate_and_fills_k():
+    """Every returned neighbor must share the query's label (pre-filter
+    correctness), ranks must be dense 1..k, and the result must contain k
+    rows per query (post-filtering would underfill)."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.knn_filtered_ds("sf0.001").to_pandas()
+    t = pq.read_table(docs.resolve_sf_dir("sf0.001") + "/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    lab = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    for q, g in got.groupby("query_id"):
+        assert len(g) == docs.KNN_K
+        assert sorted(g["rank"]) == list(range(1, docs.KNN_K + 1))
+        assert all(lab[int(n)] == lab[int(q)] for n in g["neighbor_id"])
+        assert int(q) not in set(g["neighbor_id"].astype(int))
