@@ -3000,6 +3000,15 @@ SELECT prev AS role_from, role AS role_to,
  CAST(count(*) AS BIGINT) AS n_transitions,
  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "conv_tool_chains": w + """
+, tt AS (SELECT conv_id, turn_idx, tool FROM t
+         WHERE tool IS NOT NULL AND tool <> ''),
+tb AS (SELECT conv_id, tool AS t1,
+        lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2
+       FROM tt)
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pairs,
+ CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM tb WHERE t2 IS NOT NULL GROUP BY 1, 2""",
         "conv_turn_gaps": w + """
 , o AS (SELECT conv_id, epoch_us(ts) AS ts_us,
          lag(epoch_us(ts)) OVER (PARTITION BY conv_id

@@ -4475,3 +4475,71 @@ def conv_marker_profile_ds(sf_dir: str):
         lambda t: pa.table({"conv_id": t["conv_id"],
                             **{c: pc.cast(t[c], pa.int64()) for c in cols}}),
         batch_format="pyarrow")
+
+
+def conv_tool_chains_ds(sf_dir: str):
+    """Tool-invocation bigram mining: for every conversation, the ordered
+    sequence of TOOL calls (non-tool turns skipped, order = turn_idx), and
+    for each successive pair (t1 → t2) the corpus-wide count plus
+    distinct-conversation count — the agent-behavior transition profile
+    (retry loops, browse→python funnels) a trajectory pipeline reports
+    before imitation training. Differs from conv_role_transitions in that
+    the chain skips intervening non-tool turns: t1 → t2 means "next tool
+    used", not "next turn".
+
+    Scale shape: rows are PRUNED to tool turns before the one conv-hash
+    bucket shuffle (tool turns are a minority of the stream — the shuffle
+    ships only what the op needs); in-bucket vectorized sort + shift builds
+    the successive-pair list, partials collapse per (pair, conv) in-bucket,
+    and the final sum ships one row per (pair, conv), bounded by
+    |tools|² × conversations."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        tool = pc.fill_null(pc.cast(t["tool"].combine_chunks(),
+                                    pa.string()), "")
+        keep = pc.not_equal(tool, "")
+        sub = pa.table({"conv_id": conv, "tool": tool,
+                        "turn_idx": pc.cast(t["turn_idx"], pa.int64())}
+                       ).filter(keep)
+        return sub.append_column(
+            "cb", hash_bucket(sub["conv_id"].combine_chunks(), nb))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        tool = df["tool"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = conv[1:] == conv[:-1]
+        prev = np.roll(tool, 1)
+        g = (pd.DataFrame({"conv_id": conv[same], "t1": prev[same],
+                           "t2": tool[same]})
+             .groupby(["t1", "t2", "conv_id"], sort=False)
+             .size().reset_index(name="n"))
+        out = (g.groupby(["t1", "t2"], sort=False)
+               .agg(n_pairs=("n", "sum"), n_convs=("conv_id", "nunique"))
+               .reset_index())
+        return from_pandas_clean(pd.DataFrame({
+            "t1": out["t1"], "t2": out["t2"],
+            "n_pairs": out["n_pairs"].astype("int64"),
+            "n_convs": out["n_convs"].astype("int64")}))
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "tool"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cb")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby(["t1", "t2"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("n_convs", alias_name="n_convs")))

@@ -2070,3 +2070,35 @@ def test_knn_filtered_respects_predicate_and_fills_k():
         assert sorted(g["rank"]) == list(range(1, docs.KNN_K + 1))
         assert all(lab[int(n)] == lab[int(q)] for n in g["neighbor_id"])
         assert int(q) not in set(g["neighbor_id"].astype(int))
+
+
+def test_conv_tool_chains_skip_semantics():
+    """The chain must link SUCCESSIVE TOOL turns (skipping non-tool turns),
+    not adjacent turns: verified against a single-process recomputation
+    from the raw fixture."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs as d
+    from rkts_migration_ray.pipelines import kg
+    from rkts_migration_ray.sources import readers
+
+    got = kg.conv_tool_chains_ds("sf0.001").to_pandas()
+    got_map = {(r.t1, r.t2): (int(r.n_pairs), int(r.n_convs))
+               for r in got.itertuples()}
+
+    t = readers.read_transcripts(
+        "sf0.001", columns=["conv_id", "turn_idx", "tool"]).to_pandas()
+    t = t[t["tool"].notna() & (t["tool"] != "")].sort_values(
+        ["conv_id", "turn_idx"])
+    pairs = collections.Counter()
+    convs = collections.defaultdict(set)
+    for cid, g in t.groupby("conv_id", sort=False):
+        seq = g["tool"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+            convs[(a, b)].add(cid)
+    want = {k: (v, len(convs[k])) for k, v in pairs.items()}
+    assert got_map == want
+    assert len(want) > 5
