@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_retention": relational.events_retention_ds,
         "rel_events_zscore": relational.events_zscore_ds,
         "rel_basket_pairs": relational.basket_pairs_ds,
+        "rel_basket_triples": relational.basket_triples_ds,  # A-Priori rd 2
         "rel_events_wau": relational.events_wau_ds,
         "text_compress_ratio": docs.compress_ratio_ds,  # rows-only: no SQL DEFLATE; exact pytest
         "docs_jsonl_roundtrip": docs.jsonl_roundtrip_ds,

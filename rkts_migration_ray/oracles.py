@@ -1677,6 +1677,16 @@ days AS (SELECT DISTINCT day FROM du)
 SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
 FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
 GROUP BY 1 ORDER BY 1""",
+        # the unpruned 3-way self-join spec of the A-Priori second round —
+        # downward-closure pruning in the engine provably changes nothing
+        "rel_basket_triples": """
+WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+ CAST(count(*) AS BIGINT) AS n_orders
+FROM bk a
+JOIN bk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN bk c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING count(*) >= 2""",
         "rel_basket_pairs": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sup AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -2102,3 +2102,50 @@ def test_conv_tool_chains_skip_semantics():
     want = {k: (v, len(convs[k])) for k, v in pairs.items()}
     assert got_map == want
     assert len(want) > 5
+
+
+def test_basket_triples_apriori_completeness(tmp_path):
+    """Downward-closure pruning must change nothing: engine == unpruned
+    brute force on baskets engineered with (a) a frequent triple, (b) a
+    triple whose sub-pairs are all frequent but the triple is not (survives
+    pruning, dies at final support), (c) a triple with an infrequent
+    sub-pair (pruned in round two)."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import relational
+
+    d = tmp_path / "sfbt"
+    d.mkdir()
+    baskets = [
+        [1, 2, 3], [1, 2, 3],          # (a) frequent triple (support 2)
+        [4, 5], [4, 6], [5, 6],        # (c) all pairs frequent? no —
+        [4, 5], [4, 6], [5, 6],        #     pairs frequent, triple NEVER
+                                       #     co-occurs → zero support
+        [7, 8, 9],                     # (b) one-off triple: pairs support 1
+        [1, 2], [10],
+    ]
+    rows_o, rows_p = [], []
+    for i, b in enumerate(baskets):
+        for p in b:
+            rows_o.append(i)
+            rows_p.append(p)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_o, pa.int64()),
+        "l_partkey": pa.array(rows_p, pa.int64()),
+        "l_quantity": pa.array([1.0] * len(rows_o), pa.float64())}),
+        str(d / "lineitem.parquet"))
+
+    got = relational.basket_triples_ds(str(d))
+    got_rows = sorted(map(tuple, got[["part_a", "part_b", "part_c",
+                                      "n_orders"]].to_numpy()))
+
+    want = {}
+    for b in baskets:
+        for tri in itertools.combinations(sorted(set(b)), 3):
+            want[tri] = want.get(tri, 0) + 1
+    want_rows = sorted((a, b, c, n) for (a, b, c), n in want.items()
+                       if n >= relational.BASKET_MIN_SUPPORT)
+    assert got_rows == want_rows == [(1, 2, 3, 2)]
