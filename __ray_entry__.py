@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nquads": kg.nquads_lines_ds,
         "kg_turtle": kg.turtle_lines_ds,
         "kg_incremental": kg.kg_incremental_ds,
+        "kg_forget": kg.kg_forget_ds,                      # GDPR retraction
         "kg_adjacency": kg.kg_adjacency_ds,
         "kg_degrees": kg.kg_degrees_ds,
         "kg_degree_histogram": kg.kg_degree_histogram_ds,

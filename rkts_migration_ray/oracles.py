@@ -3339,6 +3339,39 @@ SELECT conv_id, n_turns, CAST(length(doc) AS BIGINT) AS n_chars, doc FROM (
   FROM t GROUP BY conv_id)""",
         "kg_validate": w + SEL_VALIDATE,
         "kg_triples": w + full_union,
+        # right-to-be-forgotten retraction census: forgotten convs by
+        # md5(conv_id)[:15hex] % 10 == 0; entity cascade only on ORPHANED
+        # entities (no surviving tr:mentions edge), facet nodes follow
+        "kg_forget": w + ", tri AS (" + full_union + """),
+fg0 AS (SELECT *,
+  CASE WHEN graph LIKE 'G:conv%' THEN 'conv'
+       WHEN graph = 'G:quarantine' THEN 'quarantine'
+       ELSE 'entities' END AS graph_class,
+  CASE WHEN graph LIKE 'G:conv%' THEN substr(graph, 3)
+       WHEN graph = 'G:quarantine' AND strpos(subj, '/') > 0
+         THEN substr(subj, 3, strpos(subj, '/') - 3)
+       ELSE '' END AS conv
+  FROM tri),
+fg AS (SELECT *, conv <> '' AND
+        CAST(('0x' || substr(md5(conv), 1, 15)) AS UBIGINT) % 10 = 0 AS fgt
+       FROM fg0),
+fme AS (SELECT obj AS ent,
+         CAST(SUM(CASE WHEN fgt THEN 0 ELSE 1 END) AS BIGINT) AS surv
+        FROM fg WHERE graph_class = 'conv' AND pred = 'tr:mentions'
+        GROUP BY 1),
+orp AS (SELECT ent FROM fme WHERE surv = 0),
+r12 AS (SELECT graph_class, pred FROM fg
+        WHERE fgt AND graph_class <> 'entities'),
+r3 AS (SELECT f.graph_class, f.pred, f.obj FROM fg f JOIN orp o
+       ON f.subj = o.ent WHERE f.graph_class = 'entities'),
+fco AS (SELECT DISTINCT obj FROM r3 WHERE obj LIKE 'N:%'),
+r4 AS (SELECT f.graph_class, f.pred FROM fg f JOIN fco c ON f.subj = c.obj
+       WHERE f.graph_class = 'entities'),
+alr AS (SELECT graph_class, pred FROM r12
+        UNION ALL SELECT graph_class, pred FROM r3
+        UNION ALL SELECT graph_class, pred FROM r4)
+SELECT graph_class, pred, CAST(count(*) AS BIGINT) AS n_retract
+FROM alr GROUP BY 1, 2""",
         # idempotent re-migration: base + tombstoned delta == from-scratch
         "kg_incremental": w + full_union,
         "kg_reproductions": w + _repro_select(),

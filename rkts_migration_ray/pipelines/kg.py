@@ -4543,3 +4543,185 @@ def conv_tool_chains_ds(sf_dir: str):
             .groupby(["t1", "t2"])
             .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                        Sum("n_convs", alias_name="n_convs")))
+
+
+FORGET_MOD = 10   # forget convs where md5(conv_id) % FORGET_MOD == 0 (~10%)
+
+
+def kg_forget_ds(sf_dir: str, mod: int = FORGET_MOD):
+    """Right-to-be-forgotten retraction census — given a forget-set of
+    conversations (deterministic md5(conv_id) % mod == 0 selector standing
+    in for a deletion request list), compute per (graph_class, pred) how
+    many triples must be RETRACTED from the published graph:
+
+      1. every triple in a forgotten conversation's named graph;
+      2. every quarantine row whose subject turn belongs to a forgotten
+         conversation (error side-channels hold user data too);
+      3. the ENTITY CASCADE: shared-graph entity triples retract only when
+         the entity becomes ORPHANED — every `tr:mentions` edge pointing at
+         it came from forgotten conversations (a gazetteer entity mentioned
+         by any surviving conversation must stay); facet nodes hanging off
+         an orphaned entity (N:… objects of its triples) retract with it.
+
+    Dangling obj-side references to orphaned entities are the incremental
+    pipeline's compaction concern (kg_incremental tombstones), not this
+    census — documented, not silently skipped.
+
+    Scale shape: the forget flag is DERIVED per row from provenance (the
+    graph / subject URI carries conv_id — no forget-list broadcast or
+    join); direct retractions are map-side count partials; orphan
+    detection is one groupby over mention edges (entity-vocabulary sized);
+    the cascade resolves through two subject-hash tagged co-groups against
+    the entity-graph rows (corpus-sized sides, never broadcast). The
+    classified triple stream is materialized ONCE and fans out to all
+    three consumers."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def classify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        graph = df["graph"].astype(str)
+        is_conv = graph.str.startswith("G:conv")
+        is_q = graph == "G:quarantine"
+        subjs = df["subj"].astype(str)
+        # quarantine rows with a turn subject (U:conv-…/NNNNN) belong to a
+        # conversation; entity-level quarantine (e.g. q:prop_self_loop on
+        # an ENT: subject) is not conversation user data — never forgotten
+        qconv = np.where(subjs.str.contains("/", regex=False),
+                         subjs.str.slice(2).str.split("/").str[0], "")
+        conv = pd.Series(np.where(is_conv, graph.str.slice(2),
+                                  np.where(is_q, qconv, "")),
+                         index=df.index)
+        memo: dict[str, bool] = {}
+
+        def fget(c: str) -> bool:
+            if not c:
+                return False
+            v = memo.get(c)
+            if v is None:
+                v = int(hashlib.md5(c.encode()).hexdigest()[:15],
+                        16) % mod == 0
+                memo[c] = v
+            return v
+
+        return from_pandas_clean(pd.DataFrame({
+            "graph_class": np.where(is_conv, "conv",
+                                    np.where(is_q, "quarantine",
+                                             "entities")),
+            "pred": df["pred"], "subj": df["subj"], "obj": df["obj"],
+            "forgotten": pd.Series([fget(c) for c in conv],
+                                   dtype="bool", index=df.index)}))
+
+    tri = (kg_triples_ds(sf_dir)
+           .map_batches(classify, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .materialize())
+
+    def direct_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["forgotten"] & (df["graph_class"] != "entities")]
+        g = (df.groupby(["graph_class", "pred"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g)
+
+    direct = tri.map_batches(direct_partial, batch_format="pyarrow")
+
+    def mention_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["graph_class"] == "conv") & (df["pred"] == "tr:mentions")]
+        g = (df.assign(surv=(~df["forgotten"]).astype("int64"))
+             .groupby("obj", sort=False)["surv"].sum().reset_index()
+             .rename(columns={"obj": "ent"}))
+        g["surv"] = g["surv"].astype("int64")
+        return from_pandas_clean(g)
+
+    orphans = (tri.map_batches(mention_partial, batch_format="pyarrow")
+               .groupby("ent").aggregate(Sum("surv", alias_name="surv"))
+               .filter(lambda r: r["surv"] == 0))
+
+    def ent_tag(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["graph_class"], "entities"))
+        key = sub["subj"].combine_chunks()
+        n = len(sub)
+        return pa.table({
+            "kbucket": hash_bucket(pc.cast(key, pa.string()), nb),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            "key": pc.cast(key, pa.string()),
+            "pred": pc.cast(sub["pred"], pa.string()),
+            "obj": pc.cast(sub["obj"], pa.string())})
+
+    def key_tag(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            key = pc.cast(t[col].combine_chunks(), pa.string())
+            n = len(t)
+            return pa.table({
+                "kbucket": hash_bucket(key, nb),
+                "tag": pa.array(np.ones(n, np.int8)),
+                "key": key,
+                "pred": pa.array([""] * n, pa.string()),
+                "obj": pa.array([""] * n, pa.string())})
+        return f
+
+    def cascade(df: pd.DataFrame) -> pd.DataFrame:
+        hit = set(df.loc[df["tag"] == 1, "key"])
+        rows = df[(df["tag"] == 0) & df["key"].isin(hit)]
+        g = (rows.groupby("pred", sort=False).size().reset_index(name="n"))
+        g.insert(0, "graph_class", "entities")
+        g["key"] = ""
+        facets = rows.loc[rows["obj"].str.startswith("N:"), "obj"]
+        f = pd.DataFrame({"graph_class": "_facet",
+                          "pred": "", "n": 1,
+                          "key": facets.to_numpy()})
+        out = pd.concat([g, f], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return pa.table({
+            "graph_class": pa.array(out["graph_class"].astype(str).tolist(),
+                                    pa.string()),
+            "pred": pa.array(out["pred"].astype(str).tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy("int64")),
+            "key": pa.array(out["key"].astype(str).tolist(), pa.string())})
+
+    ent_rows = tri.map_batches(ent_tag, batch_format="pyarrow")
+    step1 = (ent_rows
+             .union(orphans.map_batches(key_tag("ent"),
+                                        batch_format="pyarrow"))
+             .groupby("kbucket")
+             .map_groups(cascade, batch_format="pandas"))
+
+    # split step1: entity-retraction counts pass through; facet keys feed
+    # the second co-group against the same entity rows
+    counts1 = (step1.filter(lambda r: r["graph_class"] != "_facet")
+               .map_batches(lambda t: t.select(["graph_class", "pred", "n"]),
+                            batch_format="pyarrow"))
+    facet_keys = (step1.filter(lambda r: r["graph_class"] == "_facet")
+                  .map_batches(lambda t: t.select(["key"]),
+                               batch_format="pyarrow"))
+
+    def cascade2(df: pd.DataFrame) -> pa.Table:
+        hit = set(df.loc[df["tag"] == 1, "key"])
+        rows = df[(df["tag"] == 0) & df["key"].isin(hit)]
+        g = rows.groupby("pred", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "graph_class": pa.array(["entities"] * len(g), pa.string()),
+            "pred": pa.array(g["pred"].astype(str).tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy("int64"))})
+
+    counts2 = (ent_rows
+               .union(facet_keys.map_batches(key_tag("key"),
+                                             batch_format="pyarrow"))
+               .groupby("kbucket")
+               .map_groups(cascade2, batch_format="pandas"))
+
+    return (direct.union(counts1).union(counts2)
+            .groupby(["graph_class", "pred"])
+            .aggregate(Sum("n", alias_name="n_retract")))

@@ -2149,3 +2149,41 @@ def test_basket_triples_apriori_completeness(tmp_path):
     want_rows = sorted((a, b, c, n) for (a, b, c), n in want.items()
                        if n >= relational.BASKET_MIN_SUPPORT)
     assert got_rows == want_rows == [(1, 2, 3, 2)]
+
+
+def test_kg_forget_full_cascade_and_default():
+    """mod=1 forgets EVERY conversation: all conv/quarantine-with-turn-subj
+    triples retract, every mentioned entity orphans, and the facet hop
+    picks up its N:* nodes — totals must equal a recomputation from the
+    triple stream. At the default mod=10 the fixture's mention fan-in
+    (≥ 8 convs per entity) makes orphans impossible: zero entity rows."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import kg
+
+    tri = kg.kg_triples_ds("sf0.001").to_pandas()
+    got = kg.kg_forget_ds("sf0.001", mod=1).to_pandas()
+    g = {(r.graph_class, r.pred): int(r.n_retract) for r in got.itertuples()}
+
+    conv = tri[tri["graph"].str.startswith("G:conv")]
+    for p, n in conv.groupby("pred").size().items():
+        assert g[("conv", p)] == n
+    q = tri[(tri["graph"] == "G:quarantine")
+            & tri["subj"].str.contains("/", regex=False)]
+    for p, n in q.groupby("pred").size().items():
+        assert g[("quarantine", p)] == n
+
+    ent = tri[tri["graph"] == "G:entities"]
+    mentioned = set(conv.loc[conv["pred"] == "tr:mentions", "obj"])
+    r3 = ent[ent["subj"].isin(mentioned)]
+    facets = set(r3.loc[r3["obj"].str.startswith("N:"), "obj"])
+    r4 = ent[ent["subj"].isin(facets)]
+    want_ent = pd.concat([r3, r4]).groupby("pred").size()
+    for p, n in want_ent.items():
+        assert g[("entities", p)] == n, (p, n, g.get(("entities", p)))
+    assert len(r3) + len(r4) > 0          # the cascade actually fired
+    # entity-level quarantine (no turn subject) must never retract
+    assert ("quarantine", "q:prop_self_loop") not in g
+
+    dflt = kg.kg_forget_ds("sf0.001").to_pandas()
+    assert (dflt["graph_class"] == "entities").sum() == 0
