@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_clusters": lambda sf: docs.dedup_clusters_ds(
             sf, pair_source="edit"),
         "sample_bootstrap": docs.sample_bootstrap_ds,
+        "sample_coreset": docs.sample_coreset_ds,          # k-center greedy
         "docs_source_divergence": docs.docs_source_divergence_ds,
         "docs_k_anonymity": docs.docs_k_anonymity_ds,
         "docs_dp_counts": docs.docs_dp_counts_ds,

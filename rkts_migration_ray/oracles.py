@@ -803,6 +803,35 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       WHERE levenshtein(a.e, b.e) <= 4)"""
 
 
+def _coreset_sql(k: int = 5) -> str:
+    """Programmatically chained k-center greedy CTEs: c0 = min vec_id,
+    c_i = argmax (min dist² to c_0..c_{i-1}), ties to the lower vec_id —
+    squared distances as in-order list_sum (bit-identical to the engine's
+    sequential-dimension accumulation), min-over-centers as LEAST (exact
+    selection), so the whole greedy trajectory matches exactly."""
+    def dist(c: str) -> str:
+        return ("list_sum(list_transform(list_zip(e.emb, (SELECT emb FROM "
+                f"{c})), p -> (p[1]-p[2])*(p[1]-p[2])))")
+
+    parts = ["ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+             "FROM embeddings)",
+             "c0 AS (SELECT vec_id, emb FROM ce "
+             "WHERE vec_id = (SELECT min(vec_id) FROM ce))"]
+    for i in range(1, k):
+        dists = [dist(f"c{j}") for j in range(i)]
+        md = dists[0] if i == 1 else "LEAST(" + ", ".join(dists) + ")"
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM c{j}"
+                                  for j in range(i))
+        parts.append(f"c{i} AS (SELECT e.vec_id, e.emb, {md} AS md "
+                     f"FROM ce e WHERE e.vec_id NOT IN ({excl}) "
+                     f"ORDER BY md DESC, e.vec_id LIMIT 1)")
+    sels = ["SELECT CAST(0 AS BIGINT) AS sel_idx, vec_id, 0.0 AS dist_sq "
+            "FROM c0"]
+    sels += [f"SELECT CAST({i} AS BIGINT), vec_id, round(md, 6) FROM c{i}"
+             for i in range(1, k)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _simhash_pair_ctes() -> str:
     """_simhash_fp_ctes + the Hamming ≤ 3 pair edge list
     `p(doc_a, doc_b, hamming)` — the exact edge list of simhash_pairs_ds,
@@ -2017,6 +2046,7 @@ FROM m""",
         # quantization recall audit: exact float top-k vs int8-quantized
         # top-k; quantized dots/norms are exact integers so the float ranks
         # match the engine bit-for-bit (see embed_quantize_eval_ds)
+        "sample_coreset": _coreset_sql(),
         "embed_quantize_eval": """
 WITH qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
             FROM embeddings),

@@ -5760,3 +5760,80 @@ def knn_filtered_ds(sf_dir: str):
                          concurrency=(1, 4))
             .groupby("query_id")
             .map_groups(_final_topk, batch_format="pandas"))
+
+
+CORESET_K = 5
+
+
+def sample_coreset_ds(sf_dir: str, k: int = CORESET_K):
+    """k-center greedy coreset selection over the embedding table (Gonzalez
+    2-approximation — the diversity-sampling primitive behind active
+    learning / balanced eval-set construction): seed with the lowest
+    vec_id, then k−1 rounds of "pick the point farthest from every chosen
+    center" (max of min squared L2, ties to the lower vec_id). Output one
+    row per selection: (sel_idx, vec_id, dist_sq).
+
+    Scale shape: each round is ONE map-only pass — centers broadcast (≤ k
+    vectors), every batch emits just its local argmax candidate, and the
+    driver reduces ~n_blocks scalars; no shuffle at all, k passes total.
+    (At 10⁹+ rows you'd swap in sampled/hierarchical k-center; greedy
+    passes are the exact spec those approximate.)
+
+    Float-compare safety: distances accumulate SEQUENTIALLY over dimension
+    index (acc = acc + diff²[j]) — bit-identical to DuckDB's in-order
+    list_sum over identical inputs, verified at build time; the min over
+    centers is a selection (exact, order-free) and every argmax breaks
+    ties on vec_id, so selection order matches the SQL twin exactly."""
+    import pyarrow.parquet as pqt
+
+    d = resolve_sf_dir(sf_dir)
+    epath = os.path.join(d, "embeddings.parquet")
+
+    def emb_of(vid: int) -> np.ndarray:
+        # one-row pushed-down read (row-group pruning) — the driver never
+        # holds more than the ≤ k chosen vectors
+        t = pqt.read_table(epath, columns=["embedding"],
+                           filters=[("vec_id", "==", vid)])
+        return np.array(t["embedding"][0].as_py(), dtype=np.float64)
+
+    seed_id = int(_embeddings(sf_dir).min("vec_id"))
+    chosen_ids = [seed_id]
+    chosen_embs = [emb_of(seed_id)]
+    out_rows = [{"sel_idx": 0, "vec_id": chosen_ids[0], "dist_sq": 0.0}]
+
+    for sel in range(1, k):
+        centers = np.stack(chosen_embs)
+        excl = set(chosen_ids)
+
+        def cand(t: pa.Table, centers=centers, excl=frozenset(excl)):
+            E, ids = _emb_matrix(t)
+            keep = ~np.isin(ids, list(excl))
+            E, ids = E[keep], np.asarray(ids)[keep]
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "md": pa.array([], pa.float64())})
+            md = None
+            for c in centers:            # min over centers: exact selection
+                diff = E - c
+                acc = np.zeros(len(E))
+                for j in range(E.shape[1]):   # sequential-dim accumulation
+                    acc = acc + diff[:, j] * diff[:, j]
+                md = acc if md is None else np.minimum(md, acc)
+            best = int(np.lexsort((ids, -md))[0])
+            return pa.table({"vec_id": pa.array([int(ids[best])], pa.int64()),
+                             "md": pa.array([float(md[best])], pa.float64())})
+
+        c = (_embeddings(sf_dir)
+             .map_batches(cand, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+        c = c.sort_values(["md", "vec_id"],
+                          ascending=[False, True]).iloc[0]
+        vid = int(c["vec_id"])
+        chosen_ids.append(vid)
+        chosen_embs.append(emb_of(vid))
+        out_rows.append({"sel_idx": sel, "vec_id": vid,
+                         "dist_sq": float(c["md"])})
+
+    out = pd.DataFrame(out_rows)
+    out["dist_sq"] = round_half_away(out["dist_sq"].to_numpy(), 6)
+    return out.astype({"sel_idx": "int64", "vec_id": "int64"})

@@ -2187,3 +2187,39 @@ def test_kg_forget_full_cascade_and_default():
 
     dflt = kg.kg_forget_ds("sf0.001").to_pandas()
     assert (dflt["graph_class"] == "entities").sum() == 0
+
+
+def test_coreset_greedy_invariants():
+    """The greedy trajectory must (a) match a single-process recompute,
+    (b) have non-increasing selection distances (k-center monotonicity),
+    (c) never repeat a vector."""
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    got = docs.sample_coreset_ds("sf0.001")
+    assert got["vec_id"].nunique() == len(got) == docs.CORESET_K
+    d = got.sort_values("sel_idx")["dist_sq"].to_numpy()
+    assert (np.diff(d[1:]) <= 1e-9).all()      # farthest-first ⇒ monotone
+
+    t = pq.read_table(docs.resolve_sf_dir("sf0.001") + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"])
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    chosen = [0]
+    for _ in range(docs.CORESET_K - 1):
+        md = None
+        for ci in chosen:
+            cpos = int(np.nonzero(ids == ci)[0][0])
+            diff = E - E[cpos]
+            acc = np.zeros(len(E))
+            for j in range(E.shape[1]):
+                acc = acc + diff[:, j] * diff[:, j]
+            md = acc if md is None else np.minimum(md, acc)
+        mask = ~np.isin(ids, chosen)
+        cand = np.nonzero(mask)[0]
+        best = cand[np.lexsort((ids[cand], -md[cand]))[0]]
+        chosen.append(int(ids[best]))
+    assert got.sort_values("sel_idx")["vec_id"].tolist() == chosen
