@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["vec_id", "component"]),
                 batch_format="pyarrow"),
         "dedup_survivors": docs.dedup_survivors_ds,
+        "docs_dedup_gain": docs.docs_dedup_gain_ds,        # token-weighted
         "docs_curated": docs.docs_curated_ds,
         # drop the writer's partition column: bucket count scales with the
         # cluster, and driver results must be cluster-size independent

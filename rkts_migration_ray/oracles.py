@@ -2222,6 +2222,33 @@ SELECT d.doc_id, rkeep.rep_keep,
 FROM documents d
 JOIN rkeep ON d.doc_id = rkeep.doc_id
 LEFT JOIN chits ON d.doc_id = chits.doc_id""",
+        # token-weighted dedup impact per source (the survivors drop rule
+        # rolled up in tokens, exact integer ppm)
+        "docs_dedup_gain": _minhash_pair_ctes().replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+drp AS (SELECT node FROM comp WHERE node <> component),
+dtk AS (SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS ntok
+        FROM documents),
+dj AS (SELECT t.source, t.ntok,
+        CASE WHEN d2.node IS NULL THEN 0 ELSE 1 END AS dr
+       FROM dtk t LEFT JOIN drp d2 ON t.doc_id = d2.node)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+ CAST(sum(dr) AS BIGINT) AS n_dropped,
+ CAST(sum(ntok) AS BIGINT) AS n_tokens,
+ CAST(sum(dr * ntok) AS BIGINT) AS n_tokens_dropped,
+ CAST(FLOOR(sum(dr * ntok) * 1000000.0 / sum(ntok) + 0.5) AS BIGINT)
+   AS tokens_dropped_ppm
+FROM dj GROUP BY 1""",
         "dedup_survivors": _minhash_pair_ctes().replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1) + """,
 e AS (SELECT doc_a AS a, doc_b AS b FROM p

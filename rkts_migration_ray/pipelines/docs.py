@@ -5837,3 +5837,93 @@ def sample_coreset_ds(sf_dir: str, k: int = CORESET_K):
     out = pd.DataFrame(out_rows)
     out["dist_sq"] = round_half_away(out["dist_sq"].to_numpy(), 6)
     return out.astype({"sel_idx": "int64", "vec_id": "int64"})
+
+
+def docs_dedup_gain_ds(sf_dir: str):
+    """Dedup impact in TOKENS, per source — the number a pre-training run
+    actually budgets by (dedup_cluster_stats counts docs; compute cost and
+    contamination risk scale with tokens): for each source, total docs,
+    docs the near-dup policy drops (non-representative members of minhash
+    CC components — the dedup_survivors rule), token totals for both, and
+    the dropped-token fraction in exact integer ppm.
+
+    Scale shape: the drop set is the cluster output filtered to
+    non-representatives (near-dup-population sized, corpus-sized under an
+    adversarial corpus) — so it meets the doc stream through the SAME
+    doc-hash tagged co-group the survivors op uses, never a broadcast; the
+    doc stream carries only (doc_id, source, n_tokens) int rows; per-source
+    partials collapse in-bucket and one |sources|-bounded sum finishes.
+    ppm math is exact: integer sums < 2^53, one FLOOR(x·10⁶/total + 0.5)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutils import scale_buckets
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    drop = (dedup_clusters_ds(sf_dir)
+            .filter(lambda r: r["doc_id"] != r["component"]))
+
+    def doc_tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy("int64")
+        ntok = np.fromiter(
+            (len(T.tokens_lower(x)) for x in df["text"]),
+            dtype="int64", count=len(df))
+        return pa.table({
+            "kbucket": pa.array((ids % nb).astype(np.int32)),
+            "tag": pa.array(np.zeros(len(df), np.int8)),
+            "key": pa.array(ids),
+            "source": pa.array(df["source"].astype(str).tolist(),
+                               pa.string()),
+            "ntok": pa.array(ntok)})
+
+    def drop_tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        n = len(ids)
+        return pa.table({
+            "kbucket": pa.array((ids % nb).astype(np.int32)),
+            "tag": pa.array(np.ones(n, np.int8)),
+            "key": pa.array(ids),
+            "source": pa.array([""] * n, pa.string()),
+            "ntok": pa.array(np.zeros(n, np.int64))})
+
+    def flag_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dropped = set(df.loc[df["tag"] == 1, "key"])
+        rows = df[df["tag"] == 0].copy()
+        rows["drp"] = rows["key"].isin(dropped).astype("int64")
+        rows["td"] = rows["ntok"] * rows["drp"]
+        g = rows.groupby("source", as_index=False).agg(
+            n_docs=("key", "size"), n_dropped=("drp", "sum"),
+            n_tokens=("ntok", "sum"), n_tokens_dropped=("td", "sum"))
+        for c in ("n_docs", "n_dropped", "n_tokens", "n_tokens_dropped"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ppm = np.floor(df["n_tokens_dropped"].to_numpy("int64")
+                       * 1_000_000.0
+                       / df["n_tokens"].to_numpy("int64") + 0.5)
+        return pa.table({
+            "source": pa.array(df["source"].astype(str).tolist(),
+                               pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy("int64")),
+            "n_dropped": pa.array(df["n_dropped"].to_numpy("int64")),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy("int64")),
+            "n_tokens_dropped": pa.array(
+                df["n_tokens_dropped"].to_numpy("int64")),
+            "tokens_dropped_ppm": pa.array(ppm.astype("int64"))})
+
+    return (_docs(sf_dir, ["doc_id", "text", "source"])
+            .map_batches(doc_tag, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(drop.map_batches(drop_tag, batch_format="pyarrow"))
+            .groupby("kbucket")
+            .map_groups(flag_partial, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dropped", alias_name="n_dropped"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_tokens_dropped",
+                           alias_name="n_tokens_dropped"))
+            .map_batches(finish, batch_format="pyarrow"))

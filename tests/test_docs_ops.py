@@ -2223,3 +2223,20 @@ def test_coreset_greedy_invariants():
         best = cand[np.lexsort((ids[cand], -md[cand]))[0]]
         chosen.append(int(ids[best]))
     assert got.sort_values("sel_idx")["vec_id"].tolist() == chosen
+
+
+def test_dedup_gain_consistent_with_survivors():
+    """Per-source drop counts must reconcile with dedup_survivors: docs
+    kept + docs dropped == corpus, and the ppm column is the exact integer
+    round of dropped/total tokens."""
+    from rkts_migration_ray.pipelines import docs
+
+    gain = docs.docs_dedup_gain_ds("sf0.001").to_pandas()
+    surv = docs.dedup_survivors_ds("sf0.001").to_pandas()
+    total = docs._docs("sf0.001").count()
+    assert int(gain["n_docs"].sum()) == total
+    assert int(gain["n_docs"].sum() - gain["n_dropped"].sum()) == len(surv)
+    ppm = np.floor(gain["n_tokens_dropped"].to_numpy("int64") * 1e6
+                   / gain["n_tokens"].to_numpy("int64") + 0.5).astype("int64")
+    assert (gain["tokens_dropped_ppm"].to_numpy("int64") == ppm).all()
+    assert gain["n_dropped"].sum() > 0
