@@ -4692,11 +4692,16 @@ def kg_forget_ds(sf_dir: str, mod: int = FORGET_MOD):
             "key": pa.array(out["key"].astype(str).tolist(), pa.string())})
 
     ent_rows = tri.map_batches(ent_tag, batch_format="pyarrow")
+    # step1 feeds BOTH the count stream and the facet-key stream — without
+    # materialize the union+co-group plan would re-execute per consumer
+    # (measured 85 s → 70 s for the whole op at sf0.01/32 cpus; the rest
+    # is fixed per-stage executor overhead across the op's small shuffles)
     step1 = (ent_rows
              .union(orphans.map_batches(key_tag("ent"),
                                         batch_format="pyarrow"))
              .groupby("kbucket")
-             .map_groups(cascade, batch_format="pandas"))
+             .map_groups(cascade, batch_format="pandas")
+             .materialize())
 
     # split step1: entity-retraction counts pass through; facet keys feed
     # the second co-group against the same entity rows
