@@ -84,6 +84,11 @@ def _mm_scene_cuts(sf_dir: str) -> Any:
     return multimodal.scene_cuts_ds(path)
 
 
+def _mm_silence_segments(sf_dir: str) -> Any:
+    path = multimodal.ensure_media_fixture(MEDIA_DIR)
+    return multimodal.silence_segments_ds(path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (the reference's capability surface) ---------
@@ -295,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_phash": _mm_phash,                             # oracle (byte math)
         "mm_phash_dups": _mm_phash_dups,                   # oracle (byte math)
         "mm_scene_cuts": _mm_scene_cuts,                   # oracle (byte math)
+        "mm_silence_segments": _mm_silence_segments,       # oracle (byte math)
     }
 
 

@@ -558,6 +558,25 @@ SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
  CAST(12 + fi * 256 AS BIGINT) AS "offset",
  CAST(least(256, len - (12 + fi * 256)) AS BIGINT) AS n_bytes
 FROM f""",
+            # VAD stand-in: maximal runs of body bytes < 32, kept at ≥ 64
+            # bytes — classic gaps-and-islands (pos − row_number() groups
+            # consecutive silent positions); offsets are payload-absolute
+            "mm_silence_segments": f"""
+WITH am AS (SELECT media_id, hex(payload) AS hx,
+                   CAST(octet_length(payload) AS BIGINT) AS len
+            FROM read_parquet('{media_path}') WHERE kind = 'audio'),
+ab AS (SELECT media_id, CAST(p AS BIGINT) AS pos,
+        CASE WHEN CAST(('0x' || substr(hx, CAST(25 + 2 * p AS BIGINT), 2))
+                  AS UBIGINT) < 32 THEN 1 ELSE 0 END AS sil
+       FROM am, unnest(range(0, len - 12)) r(p)
+       WHERE len > 12),
+ai AS (SELECT media_id, pos,
+        pos - row_number() OVER (PARTITION BY media_id ORDER BY pos) AS grp
+       FROM ab WHERE sil = 1)
+SELECT media_id, CAST(min(pos) + 12 AS BIGINT) AS start_off,
+ CAST(max(pos) + 13 AS BIGINT) AS end_off,
+ CAST(count(*) AS BIGINT) AS n_bytes
+FROM ai GROUP BY media_id, grp HAVING count(*) >= 64""",
             # per-frame 63-bit hash (no MAGIC branch — frame slices carry no
             # header) → lag over frame_idx → hamming + cut flag at ≥ 16
             "mm_scene_cuts": f"""

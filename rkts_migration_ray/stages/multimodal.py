@@ -30,7 +30,7 @@ MAGIC = b"GRFT"
 KINDS = ("image", "audio", "video")
 
 
-_MEDIA_FIXTURE_VERSION = 3  # v3: scene-structured video bodies (+ v2 dups)
+_MEDIA_FIXTURE_VERSION = 4  # v4: silence-structured audio (+ v3 scenes)
 
 
 def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
@@ -45,6 +45,10 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
     sampled frames within a scene hash identically (hamming 0) and frames
     across a scene boundary differ (hamming ≈ 31 of 63), giving the
     scene-cut detector (scene_cuts_ds) true boundaries to find.
+    v4: audio bodies alternate NOISE segments (bytes 32-255) with SILENCE
+    segments (bytes 0-31) of random length 40-200 — some silence runs pass
+    the 64-byte VAD minimum and some don't, so the silence segmenter
+    (silence_segments_ds) has both true positives and sub-threshold runs.
     A version marker file triggers regeneration when the layout changes
     (the fixture lives in /tmp and may survive across engine versions)."""
     path = os.path.join(root_dir, "media.parquet")
@@ -71,6 +75,14 @@ def ensure_media_fixture(root_dir: str, n_rows: int = 200) -> str:
                 frames.extend([scene] * int(rng.integers(2, 9)))
             # partial tail frame keeps len(body) % FRAME_BYTES != 0
             body = b"".join(frames)[:-57]
+        elif kind == "audio":
+            segs: list[bytes] = []
+            for s in range(int(rng.integers(4, 10))):
+                ln = int(rng.integers(40, 201))
+                lo, hi = (0, 32) if s % 2 else (32, 256)
+                segs.append(rng.integers(lo, hi, size=ln,
+                                         dtype=np.uint8).tobytes())
+            body = b"".join(segs)
         else:
             body = rng.integers(0, 256, size=int(rng.integers(64, 2048)),
                                 dtype=np.uint8).tobytes()
@@ -496,4 +508,60 @@ def scene_cuts_ds(media_path: str, concurrency: int = 2,
 
     return (rd.read_parquet(media_path)
             .map_batches(SceneCutStub, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=(1, concurrency)))
+
+
+SILENCE_MAX_AMP = 32     # body byte < 32 counts as silence (stub amplitude)
+SILENCE_MIN_RUN = 64     # minimum run length (bytes) to report a segment
+
+
+class SilenceSegmentStub:
+    """VAD-style silence segmentation over audio payloads: maximal runs of
+    body bytes below SILENCE_MAX_AMP, reported when the run is at least
+    SILENCE_MIN_RUN bytes — run-length encoding per payload, vectorized
+    (np.diff on the threshold mask), one input row → k segment rows. Like
+    the scene-cut stage the whole computation lives inside one payload row:
+    pure flat-map, per-clip parallel, zero shuffle at any corpus size. A
+    real pipeline swaps the byte threshold for a decoded-sample energy
+    gate; the byte-math stub keeps every offset reproducible in SQL (the
+    gaps-and-islands oracle twin)."""
+
+    def __init__(self, max_amp: int = SILENCE_MAX_AMP,
+                 min_run: int = SILENCE_MIN_RUN):
+        self.max_amp = max_amp
+        self.min_run = min_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = {"media_id": [], "start_off": [], "end_off": [],
+               "n_bytes": []}
+        for mid, kind, p in zip(df["media_id"], df["kind"], df["payload"]):
+            if kind != "audio" or len(p) <= 12:
+                continue
+            body = np.frombuffer(p, dtype=np.uint8, offset=12)
+            sil = body < self.max_amp
+            # run boundaries: diff of the padded mask marks starts/ends
+            edges = np.flatnonzero(np.diff(
+                np.concatenate(([0], sil.view(np.int8), [0]))))
+            starts, ends = edges[::2], edges[1::2]
+            keep = (ends - starts) >= self.min_run
+            for s, t in zip(starts[keep], ends[keep]):
+                out["media_id"].append(int(mid))
+                out["start_off"].append(int(s) + 12)
+                out["end_off"].append(int(t) + 12)
+                out["n_bytes"].append(int(t - s))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "start_off": pa.array(out["start_off"], pa.int64()),
+            "end_off": pa.array(out["end_off"], pa.int64()),
+            "n_bytes": pa.array(out["n_bytes"], pa.int64())})
+
+
+def silence_segments_ds(media_path: str, concurrency: int = 2,
+                        batch_size: int = 32):
+    """Maximal sub-threshold runs per audio clip (start/end body offsets)."""
+    import ray.data as rd
+
+    return (rd.read_parquet(media_path)
+            .map_batches(SilenceSegmentStub, batch_format="pyarrow",
                          batch_size=batch_size, concurrency=(1, concurrency)))

@@ -194,3 +194,37 @@ def test_scene_cuts_brute_force_and_planted(media_path):
     assert cuts.sum() > 0 and (cuts == 0).sum() > 0   # both classes present
     # same-scene sampled pairs hash identically in the v3 fixture
     assert (got.loc[got["is_cut"] == 0, "hamming"] == 0).any()
+
+
+def test_silence_segments_brute_force(media_path):
+    """silence_segments_ds == per-payload brute-force RLE, with both
+    qualifying (≥ 64) and sub-threshold silence runs present in the v4
+    fixture, and offsets payload-absolute."""
+    import pyarrow.parquet as pq
+
+    got = multimodal.silence_segments_ds(media_path).to_pandas()
+    got_rows = sorted(map(tuple, got[["media_id", "start_off", "end_off",
+                                      "n_bytes"]].astype("int64").to_numpy()))
+
+    t = pq.read_table(media_path, columns=["media_id", "kind", "payload"])
+    want, short_runs = [], 0
+    for mid, kind, p in zip(t["media_id"].to_pylist(),
+                            t["kind"].to_pylist(), t["payload"].to_pylist()):
+        if kind != "audio" or len(p) <= 12:
+            continue
+        run = 0
+        for i, b in enumerate(p[12:]):
+            if b < multimodal.SILENCE_MAX_AMP:
+                run += 1
+            else:
+                if run >= multimodal.SILENCE_MIN_RUN:
+                    want.append((mid, 12 + i - run, 12 + i, run))
+                elif run > 0:
+                    short_runs += 1
+                run = 0
+        if run >= multimodal.SILENCE_MIN_RUN:
+            want.append((mid, 12 + len(p) - 12 - run, len(p), run))
+        elif run > 0:
+            short_runs += 1
+    assert got_rows == sorted(want)
+    assert len(want) > 0 and short_runs > 0   # both classes exercised
