@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_gaps": kg.conv_turn_gaps_ds,
         "conv_role_transitions": kg.conv_role_transitions_ds,
         "conv_tool_chains": kg.conv_tool_chains_ds,        # tool bigrams
+        "conv_tool_latency": kg.conv_tool_latency_ds,      # exec-gap proxy
         "conv_tool_retries": kg.conv_tool_retries_ds,
         "conv_marker_profile": kg.conv_marker_profile_ds,
         "kg_neighbors_topk": kg.kg_neighbors_topk_ds,

@@ -3086,6 +3086,23 @@ SELECT prev AS role_from, role AS role_to,
  CAST(count(*) AS BIGINT) AS n_transitions,
  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "conv_tool_latency": w + """
+, lt0 AS (SELECT conv_id, turn_idx, tool, epoch_us(ts) AS us FROM t),
+lt1 AS (SELECT conv_id, tool, us,
+         lead(us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nus
+        FROM lt0),
+lt2 AS (SELECT tool, CASE WHEN nus IS NULL THEN 0 ELSE nus - us END AS gap,
+         nus IS NOT NULL AS has_next
+        FROM lt1 WHERE tool IS NOT NULL AND tool <> '')
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+ CAST(count(*) FILTER (WHERE NOT has_next) AS BIGINT) AS n_tail,
+ CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+ CAST(coalesce(min(gap) FILTER (WHERE has_next), -1) AS BIGINT)
+   AS min_gap_us,
+ CAST(coalesce(max(gap) FILTER (WHERE has_next), -1) AS BIGINT)
+   AS max_gap_us,
+ CAST(count(*) FILTER (WHERE has_next) AS BIGINT) AS n_timed
+FROM lt2 GROUP BY 1""",
         "conv_tool_chains": w + """
 , tt AS (SELECT conv_id, turn_idx, tool FROM t
          WHERE tool IS NOT NULL AND tool <> ''),

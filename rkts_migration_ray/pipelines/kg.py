@@ -4730,3 +4730,93 @@ def kg_forget_ds(sf_dir: str, mod: int = FORGET_MOD):
     return (direct.union(counts1).union(counts2)
             .groupby(["graph_class", "pred"])
             .aggregate(Sum("n", alias_name="n_retract")))
+
+
+def conv_tool_latency_ds(sf_dir: str):
+    """Per-tool execution-latency proxy: for every tool turn, the gap to
+    the conversation's NEXT turn (of any role — the earliest moment the
+    transcript proves the call had returned), aggregated per tool as call
+    count, total/min/max gap in exact epoch micros — the agent-telemetry
+    table an operator reads next to conv_tool_retries before deciding
+    which tools need timeouts. Tool turns that end their conversation have
+    no successor and are counted separately (n_tail) rather than silently
+    dropped.
+
+    Scale shape: one conv-hash bucket shuffle of the pruned (conv, turn,
+    tool, ts) stream (successor lookup is conv-local); in-bucket
+    vectorized sort + shift; per-tool partials collapse in-bucket so the
+    final sum ships one row per (bucket, tool) — tool-vocabulary bounded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.arrowutils import (from_pandas_clean, hash_bucket,
+                                        scale_buckets)
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        tool = pc.fill_null(pc.cast(t["tool"].combine_chunks(),
+                                    pa.string()), "")
+        return pa.table({"cb": hash_bucket(conv, nb), "conv_id": conv,
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "tool": tool,
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        nxt = np.roll(ts, -1)
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[-1] = False
+            same[:-1] = conv[1:] == conv[:-1]
+        rows = pd.DataFrame({"tool": df["tool"].to_numpy(),
+                             "gap": np.where(same, nxt - ts, 0),
+                             "has_next": same})
+        rows = rows[rows["tool"] != ""]
+        g = rows.groupby("tool", as_index=False).agg(
+            n_calls=("gap", "size"),
+            n_tail=("has_next", lambda s: int((~s).sum())),
+            sum_gap_us=("gap", "sum"))
+        mg = rows[rows["has_next"]].groupby("tool", as_index=False).agg(
+            min_gap_us=("gap", "min"), max_gap_us=("gap", "max"))
+        g = g.merge(mg, on="tool", how="left")
+        big = np.int64(np.iinfo(np.int64).max)
+        g["min_gap_us"] = g["min_gap_us"].fillna(big).astype("int64")
+        g["max_gap_us"] = g["max_gap_us"].fillna(-1).astype("int64")
+        for c in ("n_calls", "n_tail", "sum_gap_us"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        big = np.iinfo(np.int64).max
+        n_timed = (df["n_calls"] - df["n_tail"]).astype("int64")
+        mn = df["min_gap_us"].to_numpy("int64")
+        mx = df["max_gap_us"].to_numpy("int64")
+        return pa.table({
+            "tool": pa.array(df["tool"].astype(str).tolist(), pa.string()),
+            "n_calls": pa.array(df["n_calls"].to_numpy("int64")),
+            "n_tail": pa.array(df["n_tail"].to_numpy("int64")),
+            "sum_gap_us": pa.array(df["sum_gap_us"].to_numpy("int64")),
+            "min_gap_us": pa.array(np.where(mn == big, -1, mn)
+                                   .astype("int64")),
+            "max_gap_us": pa.array(mx.astype("int64")),
+            "n_timed": pa.array(n_timed.to_numpy())})
+
+    return (readers.read_transcripts(
+                sf_dir, columns=["conv_id", "turn_idx", "tool", "ts"])
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cb")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("tool")
+            .aggregate(Sum("n_calls", alias_name="n_calls"),
+                       Sum("n_tail", alias_name="n_tail"),
+                       Sum("sum_gap_us", alias_name="sum_gap_us"),
+                       Min("min_gap_us", alias_name="min_gap_us"),
+                       Max("max_gap_us", alias_name="max_gap_us"))
+            .map_batches(finish, batch_format="pyarrow"))

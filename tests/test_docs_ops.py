@@ -2240,3 +2240,42 @@ def test_dedup_gain_consistent_with_survivors():
                    / gain["n_tokens"].to_numpy("int64") + 0.5).astype("int64")
     assert (gain["tokens_dropped_ppm"].to_numpy("int64") == ppm).all()
     assert gain["n_dropped"].sum() > 0
+
+
+def test_conv_tool_latency_recompute():
+    """Per-tool gap stats must match a single-process recomputation, and
+    conversation-final tool turns must be counted (n_tail), not dropped."""
+    import collections
+
+    from rkts_migration_ray.pipelines import kg
+    from rkts_migration_ray.sources import readers
+
+    got = kg.conv_tool_latency_ds("sf0.001").to_pandas()
+    t = readers.read_transcripts(
+        "sf0.001", columns=["conv_id", "turn_idx", "tool", "ts"]).to_pandas()
+    t = t.sort_values(["conv_id", "turn_idx"])
+    t["us"] = t["ts"].astype("int64")   # timestamp[us] kept
+    stats = collections.defaultdict(lambda: [0, 0, 0, None, None])
+    for _, g in t.groupby("conv_id", sort=False):
+        us = g["us"].tolist()
+        tools = g["tool"].tolist()
+        for i, tl in enumerate(tools):
+            if not isinstance(tl, str) or tl == "":
+                continue
+            s = stats[tl]
+            s[0] += 1
+            if i + 1 < len(us):
+                gap = us[i + 1] - us[i]
+                s[2] += gap
+                s[3] = gap if s[3] is None else min(s[3], gap)
+                s[4] = gap if s[4] is None else max(s[4], gap)
+            else:
+                s[1] += 1
+    for r in got.itertuples():
+        s = stats[r.tool]
+        assert (int(r.n_calls), int(r.n_tail), int(r.sum_gap_us)) == \
+            (s[0], s[1], s[2])
+        assert int(r.min_gap_us) == (s[3] if s[3] is not None else -1)
+        assert int(r.max_gap_us) == (s[4] if s[4] is not None else -1)
+        assert int(r.n_timed) == s[0] - s[1]
+    assert set(got["tool"]) == set(stats)
