@@ -1491,13 +1491,16 @@ FROM events GROUP BY 1, 2""",
         # running max(ts) over arrival order − 10 min; an event is late when
         # its 1-hour window closed before it arrived
         "rel_events_late": """
-WITH le0 AS (SELECT event_id, epoch_us(ts) AS us,
+WITH leh AS (SELECT *,
+        CAST(((CAST(event_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296) AS BIGINT) AS hv
+       FROM events),
+le0 AS (SELECT event_id, epoch_us(ts) AS us,
         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val_c,
         CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT)
           AS wdw,
-        event_id + CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
-              1, 8)) AS UBIGINT) % 16 AS BIGINT) AS arr
-       FROM events),
+        event_id + (xor(hv, hv >> 16) % 16) AS arr
+       FROM leh),
 le1 AS (SELECT *, max(us) OVER (ORDER BY arr, event_id) AS wm_us FROM le0),
 le2 AS (SELECT *, CASE WHEN (wdw + 1) * 3600000000 <= wm_us - 600000000
                        THEN 1 ELSE 0 END AS late FROM le1)
@@ -2265,8 +2268,10 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
  CAST(sum(dr) AS BIGINT) AS n_dropped,
  CAST(sum(ntok) AS BIGINT) AS n_tokens,
  CAST(sum(dr * ntok) AS BIGINT) AS n_tokens_dropped,
- CAST(FLOOR(sum(dr * ntok) * 1000000.0 / sum(ntok) + 0.5) AS BIGINT)
-   AS tokens_dropped_ppm
+ CASE WHEN sum(ntok) > 0
+      THEN CAST(FLOOR(sum(dr * ntok) * 1000000.0 / sum(ntok) + 0.5)
+                AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS tokens_dropped_ppm
 FROM dj GROUP BY 1""",
         "dedup_survivors": _minhash_pair_ctes().replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1) + """,

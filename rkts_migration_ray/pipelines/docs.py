@@ -5357,6 +5357,7 @@ def embed_centroid_sim_ds(sf_dir: str) -> pd.DataFrame:
 
 EDIT_D = 4           # token-edit-distance threshold (planted dups ≤ 2, bg ≥ 9)
 EDIT_SMALL_N = 2 * EDIT_D    # docs this short take the all-pairs side bucket
+_EDIT_XPROD_CAP = 1 << 22    # max index×probe cells per slice (~32 MB int64)
 
 
 def _edit_chunks(n: int, k: int) -> list[tuple[int, int]]:
@@ -5502,17 +5503,26 @@ def dedup_edit_pairs_ds(sf_dir: str, d: int = EDIT_D):
             prb = g[sides == 1].drop_duplicates("doc_id")
             if not len(idx) or not len(prb):
                 continue
-            ii, pi = np.meshgrid(np.arange(len(idx)), np.arange(len(prb)),
-                                 indexing="ij")
-            ii, pi = ii.ravel(), pi.ravel()
-            n_i = idx["n"].to_numpy("int64")[ii]
-            n_p = prb["n"].to_numpy("int64")[pi]
-            d_i = idx["doc_id"].to_numpy("int64")[ii]
-            d_p = prb["doc_id"].to_numpy("int64")[pi]
-            keep = (d_i != d_p) & (n_p - n_i >= 0) & (n_p - n_i <= d)
-            lo = np.minimum(d_i[keep], d_p[keep])
-            hi = np.maximum(d_i[keep], d_p[keep])
-            outs_a.append(lo); outs_b.append(hi)
+            n_i = idx["n"].to_numpy("int64")
+            d_i = idx["doc_id"].to_numpy("int64")
+            n_pa = prb["n"].to_numpy("int64")
+            d_pa = prb["doc_id"].to_numpy("int64")
+            # a corpus-wide verbatim span >= n/(d+1) tokens can pile every
+            # doc on one chunk key; slice the probe side so a hot key costs
+            # streaming time, never a single len(idx)*len(prb) allocation
+            step = max(1, _EDIT_XPROD_CAP // len(n_i))
+            for s in range(0, len(n_pa), step):
+                n_p = n_pa[s:s + step]
+                d_p = d_pa[s:s + step]
+                diff = n_p[None, :] - n_i[:, None]
+                keep = ((diff >= 0) & (diff <= d)
+                        & (d_i[:, None] != d_p[None, :]))
+                ai, bi = np.nonzero(keep)
+                if not len(ai):
+                    continue
+                lo = np.minimum(d_i[ai], d_p[bi])
+                hi = np.maximum(d_i[ai], d_p[bi])
+                outs_a.append(lo); outs_b.append(hi)
         a = np.concatenate(outs_a) if outs_a else np.array([], np.int64)
         b = np.concatenate(outs_b) if outs_b else np.array([], np.int64)
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
@@ -5901,9 +5911,14 @@ def docs_dedup_gain_ds(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        ppm = np.floor(df["n_tokens_dropped"].to_numpy("int64")
-                       * 1_000_000.0
-                       / df["n_tokens"].to_numpy("int64") + 0.5)
+        ntok = df["n_tokens"].to_numpy("int64")
+        # a source whose docs have no [a-z] tokens contributes 0 ppm, not
+        # a divide-by-zero (oracle twin carries the same CASE guard)
+        ppm = np.where(
+            ntok > 0,
+            np.floor(df["n_tokens_dropped"].to_numpy("int64")
+                     * 1_000_000.0 / np.maximum(ntok, 1) + 0.5),
+            0.0)
         return pa.table({
             "source": pa.array(df["source"].astype(str).tolist(),
                                pa.string()),

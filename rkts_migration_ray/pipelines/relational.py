@@ -1796,10 +1796,12 @@ def events_late_ds(sf_dir: str, n_buckets: int | None = None):
 
     Arrival order: the fixture's events are perfectly ts-sorted (zero
     inversions — lateness would be untestable), so arrival is simulated
-    with a DETERMINISTIC bounded displacement: arr = event_id +
-    md5(event_id) % LATE_JITTER, ties by event_id — the bounded
-    out-of-orderness a multi-source ingest produces, reproduced exactly in
-    the SQL twin. At sf0.01 ≈ 18% of events arrive late.
+    with a DETERMINISTIC bounded displacement: arr = event_id + jit where
+    jit = mix32(event_id) % LATE_JITTER and mix32 is the Knuth
+    multiplicative hash h = (id * 2654435761) mod 2^32, h ^= h >> 16 —
+    fully vectorized uint64 numpy on the Ray side (no per-row Python in
+    the hot map stage) and exact HUGEINT/xor arithmetic in the SQL twin.
+    Ties by event_id. At sf0.01 ≈ 18% of events arrive late.
 
     Scale shape — the watermark is a DISTRIBUTED PREFIX MAX, not a driver
     scan and not a global sort: (1) one map_batches pass derives (arr, us,
@@ -1811,8 +1813,6 @@ def events_late_ds(sf_dir: str, n_buckets: int | None = None):
     partials (windows straddle buckets). No all-to-all on event rows except
     the one rbucket exchange; the final shuffle carries one row per
     (bucket, window)."""
-    import hashlib
-
     from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.arrowutils import scale_buckets
@@ -1826,9 +1826,10 @@ def events_late_ds(sf_dir: str, n_buckets: int | None = None):
 
     def prep(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["event_id"], dtype=np.int64)
-        jit = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-             % LATE_JITTER for i in ids), dtype=np.int64, count=len(ids))
+        h = ((ids.astype(np.uint64) % np.uint64(1 << 32))
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h ^= h >> np.uint64(16)
+        jit = (h % np.uint64(LATE_JITTER)).astype(np.int64)
         arr = ids + jit
         us = pc.cast(t["ts"], pa.int64()).to_numpy()
         wdw = np.floor(us.astype(np.float64)

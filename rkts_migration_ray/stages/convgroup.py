@@ -49,7 +49,7 @@ from ..config import (
     TRIPLE_COLUMNS,
 )
 from ..functions.arrowutils import from_pandas_clean, hash_bucket, scale_buckets
-from ..functions.minting import mint_hash6
+from ..functions.minting import mint_node_array
 
 CONV_GROUP_COLUMNS = [
     "conv_id", "turn_idx", "sec", "loc_valid", "loc_body", "loc_bvolname",
@@ -70,8 +70,14 @@ def add_conv_bucket(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
 
 
 def _mint_series(facet: str, local: pd.Series, content: pd.Series) -> pd.Series:
-    vals = [f"N:{facet}{mint_hash6(lo, co)}_{lo}" for lo, co in zip(local, content)]
-    return pd.Series(vals, index=local.index, dtype=object)
+    # Arrow-kernel concat + batched sha (mint_node_array); only the sha256
+    # itself is a C-loop — identical output to the scalar mint_node
+    arr = mint_node_array(
+        facet,
+        pa.array(local.to_numpy(dtype=object), pa.string()),
+        pa.array(content.to_numpy(dtype=object), pa.string()))
+    return pd.Series(arr.to_numpy(zero_copy_only=False),
+                     index=local.index, dtype=object)
 
 
 def conv_bucket_triples(df: pd.DataFrame, one_title_per_lang: bool = False,

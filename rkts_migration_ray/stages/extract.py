@@ -459,5 +459,8 @@ def explode_mentions(feats: pa.Table) -> pa.Table:
     })
     if len(t) == 0:
         return t
-    df = t.to_pandas().drop_duplicates()
-    return from_pandas_clean(df, schema=t.schema)
+    # in-batch distinct without leaving Arrow: group_by on all columns with
+    # no aggregates yields the unique key rows
+    uniq = t.group_by(["conv_id", "turn_idx", "alias"],
+                      use_threads=False).aggregate([])
+    return uniq.select(t.column_names).cast(t.schema)
