@@ -288,6 +288,8 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": docs.knn_graph_ds,
         "embed_outliers": docs.embed_outliers_ds,
         "embed_label_prop": docs.embed_label_prop_ds,
+        "knn_graph_ivf": lambda sf: docs.knn_graph_ds(     # rows-only (approx)
+            sf, n_probe=docs.KNN_GRAPH_N_PROBE),
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
         # --- relational surface ---------------------------------------------

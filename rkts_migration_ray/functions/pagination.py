@@ -148,3 +148,76 @@ class PaginationCache:
             self._name = name
             self.misses += 1
         return self._value
+
+
+# ---------------------------------------------------------------------------
+# remote image-list fetch seam (migrate-bvm.py:369-387 dl_image_list /
+# get_img_list): md5-bucketed remote key + gz side-file cache. The sandbox
+# has no network, so the transport is an INJECTED callable — same contract
+# pattern as the multimodal codec seam (stages/multimodal.py) — and the
+# default store is local-cache-only.
+# ---------------------------------------------------------------------------
+
+
+def image_list_key(iilname: str, iglocalname: str) -> str:
+    """Remote object key for a volume's image list (migrate-bvm.py:369-377):
+    'Works/<md5(iilname)[:2]>/<iilname>/images/<iilname>-<suffix>/
+    dimensions.json' where suffix drops the 'I' prefix of a purely-numeric
+    4-digit local name and is the local name verbatim otherwise."""
+    import hashlib
+
+    hashbucket = hashlib.md5(iilname.encode("utf8")).hexdigest()[:2]
+    pre, rest = iglocalname[0], iglocalname[1:]
+    suffix = rest if (pre == "I" and rest.isdigit() and len(rest) == 4) \
+        else iglocalname
+    return (f"Works/{hashbucket}/{iilname}/images/"
+            f"{iilname}-{suffix}/dimensions.json")
+
+
+class ImageListStore:
+    """Image-list side files with the reference's cache discipline
+    (migrate-bvm.py:380-387 get_img_list): look for
+    ``<cache_dir>/<iglocalname>.json.gz``; on a miss, fetch the remote key
+    via the injected ``fetch: Callable[[str], bytes]`` (bytes of the .json.gz
+    object) and persist it; parse with gzip+json. With no fetcher (the
+    default) a cache miss raises — the engine never silently invents an
+    image list. A PaginationCache memo on top gives the per-actor LRU-1
+    behavior for consecutive volumes."""
+
+    def __init__(self, cache_dir: str,
+                 fetch: Callable[[str], bytes] | None = None):
+        self.cache_dir = cache_dir
+        self.fetch = fetch
+        self.fetch_calls = 0
+        self._memo = PaginationCache(self._load)
+
+    def _path(self, iglocalname: str) -> str:
+        import os
+
+        return os.path.join(self.cache_dir, f"{iglocalname}.json.gz")
+
+    def _load(self, key: str):
+        import gzip
+        import json
+        import os
+
+        iilname, iglocalname = key.split("|", 1)
+        fname = self._path(iglocalname)
+        if not os.path.exists(fname):
+            if self.fetch is None:
+                raise FileNotFoundError(
+                    f"image list {iglocalname} not in cache {self.cache_dir} "
+                    f"and no fetcher injected")
+            os.makedirs(self.cache_dir, exist_ok=True)
+            payload = self.fetch(image_list_key(iilname, iglocalname))
+            self.fetch_calls += 1
+            tmp = f"{fname}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, fname)  # atomic: concurrent actors never see a
+            # half-written side file
+        with gzip.open(fname, "r") as f:
+            return json.load(f)
+
+    def get(self, iilname: str, iglocalname: str):
+        return self._memo.get(f"{iilname}|{iglocalname}")

@@ -82,3 +82,42 @@ def test_cli_query_subcommand(sf_tag, tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["query"] == "text_vocab" and res["rows"] > 0
+
+
+def test_image_list_store_fetch_seam(tmp_path):
+    """Remote-fetch seam (round-3 verdict fix #6; migrate-bvm.py:369-387):
+    a cache miss calls the INJECTED fetcher with the md5-bucketed remote
+    key, persists the gz side file atomically, and later gets hit the
+    local cache; no fetcher => loud failure, never an invented list."""
+    import gzip
+    import json
+
+    # key grammar, both suffix branches (migrate-bvm.py:371-375)
+    k = pg.image_list_key("W22084", "I0886")
+    assert k == "Works/60/W22084/images/W22084-0886/dimensions.json"
+    assert pg.image_list_key("W22084", "X123").endswith("W22084-X123/dimensions.json")
+
+    calls = []
+
+    def fake_fetch(key: str) -> bytes:
+        calls.append(key)
+        return gzip.compress(json.dumps(
+            [{"filename": f"{key.split('/')[2]}-0001.jpg"}]).encode())
+
+    store = pg.ImageListStore(str(tmp_path / "il"), fetch=fake_fetch)
+    got = store.get("W22084", "I0886")
+    assert got[0]["filename"] == "W22084-0001.jpg"
+    assert calls == ["Works/60/W22084/images/W22084-0886/dimensions.json"]
+
+    # LRU-1 memo: same volume again → no fetch, no re-read
+    store.get("W22084", "I0886")
+    assert store.fetch_calls == 1
+
+    # a FRESH store over the same cache dir hits the side file, not the net
+    store2 = pg.ImageListStore(str(tmp_path / "il"), fetch=None)
+    assert store2.get("W22084", "I0886") == got
+
+    # default local-cache-only store fails loudly on a missing volume
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no fetcher"):
+        store2.get("W99999", "I9999")

