@@ -89,35 +89,42 @@ def _mm_silence_segments(sf_dir: str) -> Any:
     return multimodal.silence_segments_ds(path)
 
 
-# The driver's correctness gate samples the FIRST 50 entries of queries()
-# dict order. Rounds 1-3 covered 88 of the 194 queries; this list front-loads
-# 50 never-driver-checked, exact-oracle entries for round 4. Round 5 should
-# rotate the remaining never-checked tail (everything from "docs_curriculum
-# _order" through "mm_silence_segments" plus the two rows-only entries) to
-# the front the same way.
-_ROUND4_FRONT = [
-    "kg_pair_formation", "conv_summary", "conv_tool_stats", "conv_turn_gaps",
-    "conv_role_transitions", "conv_tool_chains", "conv_tool_latency",
-    "conv_tool_retries", "conv_marker_profile", "kg_neighbors_topk",
-    "kg_neighbor_jaccard", "kg_pred_cardinality", "kg_inverse_preds",
-    "kg_dangling_refs", "kg_pred_stats", "kg_reproductions",
-    "dedup_source_matrix", "dedup_prefix_pairs", "dedup_minhash_eval",
-    "dedup_cluster_stats", "dedup_simhash_pairs", "text_repetition",
-    "text_gopher_quality", "docs_mixture_weights", "text_collocations",
-    "text_winnowing", "text_winnow_pairs", "dedup_containment_pairs",
-    "dedup_edit_pairs", "dedup_edit_clusters", "sample_bootstrap",
-    "sample_coreset", "docs_source_divergence", "docs_k_anonymity",
-    "docs_dp_counts", "text_unigram_logprob", "text_dup_spans",
-    "text_contamination", "text_bloom_contamination", "text_entropy",
-    "text_bigram_lm", "text_bigram_score", "sample_weighted", "split_assign",
-    "split_leakage", "text_langid_eval", "text_gram_novelty",
-    "sample_group_topk", "pack_sequences", "text_quality_bins",
-]
+def _driver_checked_queries() -> set[str]:
+    """Names that already have a green/red row in any committed
+    CORRECTNESS_r*.json — i.e. the driver has sampled them at least once."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen |= set(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return seen
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """The driver's correctness gate samples the FIRST 50 entries in dict
+    order, so the order IS the gate coverage policy: never-driver-checked
+    queries come first (exact-oracle ones before rows-only ones), already
+    checked ones after — each round automatically rotates fresh queries
+    into the gate until every entry has a driver row. Within each tier the
+    stable _base_queries() order is kept, so the rotation is deterministic
+    and the driver's sample is reproducible from the committed
+    CORRECTNESS_r*.json files alone."""
     base = _base_queries()
-    out = {k: base[k] for k in _ROUND4_FRONT}
+    checked = _driver_checked_queries()
+    sqls = oracle_sql()
+    fresh_oracle = {k: v for k, v in base.items()
+                    if k not in checked and k in sqls}
+    fresh_rows_only = {k: v for k, v in base.items()
+                       if k not in checked and k not in sqls}
+    out = dict(fresh_oracle)
+    out.update(fresh_rows_only)
     out.update(base)  # existing keys keep their position; the rest append
     return out
 
