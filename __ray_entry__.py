@@ -208,6 +208,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_pairs": docs.ngram_pairs_ds,
         "dedup_embed_pairs": docs.embed_pairs_ds,
         "dedup_minhash_pairs": docs.minhash_pairs_ds,      # oracle (md5 MinHash)
+        "dedup_incremental": docs.dedup_incremental_ds,    # O(delta) ingest
         "dedup_source_matrix": docs.dedup_source_matrix_ds,
         "dedup_prefix_pairs": docs.prefix_pairs_ds,
         "dedup_minhash_eval": docs.dedup_minhash_eval_ds,  # recall audit

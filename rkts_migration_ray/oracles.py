@@ -1007,6 +1007,18 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
              JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2""",
+        # incremental ingest dedup: the minhash pair stream RESTRICTED to
+        # cross (base, delta) pairs — delta = doc_id % 10 == 0 — oriented
+        # as (delta_id, base_id). Same banding + verify math; only the
+        # candidate generation is incremental on the engine side.
+        "dedup_incremental": _minhash_pair_ctes() + """
+SELECT CASE WHEN i.doc_a % 10 = 0 THEN i.doc_a ELSE i.doc_b END AS delta_id,
+ CASE WHEN i.doc_a % 10 = 0 THEN i.doc_b ELSE i.doc_a END AS base_id,
+ round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+             JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) >= 0.2
+  AND ((i.doc_a % 10 = 0) != (i.doc_b % 10 = 0))""",
         # exact set-similarity self-join: ALL pairs with shingle Jaccard
         # ≥ 0.8, no candidate restriction — the token-join formulation is
         # itself the scalable SQL shape (prefix_pairs_ds's twin)

@@ -553,6 +553,155 @@ def minhash_pairs_ds(sf_dir: str, threshold: float = 0.2,
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs a persisted band index of the base corpus
+# ---------------------------------------------------------------------------
+
+BAND_INDEX_ROOT = "/tmp/graft_band_index"
+INCR_DELTA_MOD = 10   # doc_id % 10 == 0 plays the "newly arrived batch" role
+BAND_HB_PARTS = 64    # band-hash-prefix partitions of the persisted index
+
+
+def _band_rows_df(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → one row per non-empty doc per band:
+    (band, band_hash, hb, doc_id) — the exact banding of
+    minhash_candidates_ds, plus the hash-prefix partition key."""
+    a, b = T.minhash_params(N_HASHES)
+    rows_per_band = N_HASHES // N_BANDS
+    out = {"band": [], "band_hash": [], "doc_id": []}
+    for x, did in zip(df["text"], df["doc_id"]):
+        sh = T.shingle_hashes(T.tokens_lower(x))
+        if len(sh) == 0:
+            continue
+        sig = T.minhash_signature(sh, a, b)
+        for bi in range(N_BANDS):
+            band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+            bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+            out["band"].append(bi)
+            out["band_hash"].append(bh)
+            out["doc_id"].append(did)
+    r = pd.DataFrame({"band": pd.Series(out["band"], dtype="int64"),
+                      "band_hash": pd.Series(out["band_hash"], dtype="object"),
+                      "doc_id": pd.Series(out["doc_id"], dtype="int64")})
+    r["hb"] = pd.Series(
+        [int(h[:4], 16) % BAND_HB_PARTS for h in r["band_hash"]],
+        dtype="int64")
+    return r
+
+
+def ensure_band_index(sf_dir: str, delta_mod: int = INCR_DELTA_MOD) -> str:
+    """Build (once, cached) the BASE corpus's persisted MinHash band index:
+    ``<root>/<tag>-m<mod>/hb=<prefix>/*.parquet`` — the structure an
+    incremental ingest probes. Mirrors the kg_incremental LSM idea: the
+    expensive full-corpus pass happens once; each arriving batch afterwards
+    costs O(delta) signature work + partition-local bucket joins."""
+    d = resolve_sf_dir(sf_dir)
+    out = os.path.join(BAND_INDEX_ROOT,
+                       f"{os.path.basename(os.path.normpath(d))}-m{delta_mod}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    def base_bands(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["doc_id"] % delta_mod != 0]
+        return from_pandas_clean(_band_rows_df(df))
+
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(os.path.join(d, "documents.parquet"),
+                     columns=["doc_id", "text"])
+     .map_batches(base_bands, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["hb"]))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(done):  # lost the build race: fine
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return out
+
+
+def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
+                         delta_mod: int = INCR_DELTA_MOD):
+    """Incremental near-dup detection: which docs of a NEWLY ARRIVED batch
+    (delta = doc_id % delta_mod == 0) near-duplicate a doc already in the
+    base corpus — the decision an always-on curation pipeline makes per
+    ingest, without re-deduping the world.
+
+    Scale shape (the O(delta) ingest analog of kg_incremental): the base
+    corpus's band index is built ONCE and persisted, partitioned by band-
+    hash prefix (ensure_band_index). Per batch: only the delta's band rows
+    (16/doc) are computed and shuffled by the same prefix; each (hb) group
+    joins its delta rows against ITS index partition read locally by the
+    task — base band rows never cross a shuffle again. Candidates are
+    strictly cross (base, delta) pairs; exact shingle-Jaccard verification
+    reuses the tagged co-group (no driver materialization). Output:
+    (delta_id, base_id, jaccard) for every verified near-dup.
+
+    Parity invariant (tested): this equals minhash_pairs_ds restricted to
+    cross pairs — banding and verification are the same math, only the
+    candidate generation is incremental."""
+    import ray.data as rd
+
+    idx = ensure_band_index(sf_dir, delta_mod)
+
+    def delta_bands(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["doc_id"] % delta_mod == 0]
+        return from_pandas_clean(_band_rows_df(df))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        part_dir = os.path.join(idx, f"hb={int(df['hb'].iloc[0])}")
+        if not os.path.isdir(part_dir):
+            return empty
+        base = pq.read_table(part_dir,
+                             columns=["band", "band_hash", "doc_id"]
+                             ).to_pandas()
+        m = df.merge(base, on=["band", "band_hash"],
+                     suffixes=("_d", "_b"))
+        if not len(m):
+            return empty
+        a = m["doc_id_d"].to_numpy("int64")
+        b = m["doc_id_b"].to_numpy("int64")
+        return (pd.DataFrame({"doc_a": np.minimum(a, b),
+                              "doc_b": np.maximum(a, b)})
+                .drop_duplicates().reset_index(drop=True))
+
+    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    cand = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(delta_bands, batch_format="pyarrow")
+            .groupby("hb")
+            .map_groups(probe, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(first_pair, batch_format="pandas"))
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"], dtype=np.int64)
+        b = np.asarray(t["doc_b"], dtype=np.int64)
+        jac = np.asarray(t["jaccard"], dtype=np.float64)
+        a_delta = a % delta_mod == 0
+        return pa.table({
+            "delta_id": pa.array(np.where(a_delta, a, b)),
+            "base_id": pa.array(np.where(a_delta, b, a)),
+            "jaccard": pa.array(jac)})
+
+    return (_minhash_verify_cogroup(sf_dir, cand, threshold)
+            .map_batches(orient, batch_format="pyarrow"))
+
+
 PREFIX_PAIR_THRESHOLD = 0.8   # near-dup bar for the exact self-join
 PREFIX_HEAD_K = 4096          # estimated-df head set (skew mitigation)
 PREFIX_HEAD_SAMPLE_MOD = 50   # doc_id % MOD == 0 → ~2% df-estimation sample

@@ -2348,3 +2348,27 @@ def test_knn_graph_brute_refuses_oversized_corpus(sf_tag, monkeypatch):
         docs.knn_graph_ds(sf_tag, index="brute")
     with pytest.raises(RuntimeError, match="KNN_BROADCAST_MAX"):
         docs.embed_pairs_ds(sf_tag, index="brute")
+
+
+def test_dedup_incremental_matches_cross_pairs(sf_tag):
+    """The incremental ingest path (persisted base band index + O(delta)
+    probe) returns exactly the minhash pair stream restricted to cross
+    (base, delta) pairs — same banding and verify math, incremental
+    candidate generation."""
+    import pandas as pd
+
+    from rkts_migration_ray.pipelines import docs
+
+    inc = docs.dedup_incremental_ds(sf_tag).to_pandas()
+    mp = docs.minhash_pairs_ds(sf_tag)
+    mp = mp if isinstance(mp, pd.DataFrame) else mp.to_pandas()
+    m = docs.INCR_DELTA_MOD
+    want = set()
+    for a, b, j in mp[["doc_a", "doc_b", "jaccard"]].itertuples(index=False):
+        a, b = int(a), int(b)
+        if (a % m == 0) != (b % m == 0):
+            d, base = (a, b) if a % m == 0 else (b, a)
+            want.add((d, base, round(float(j), 6)))
+    got = set((int(d), int(b), round(float(j), 6)) for d, b, j in
+              inc[["delta_id", "base_id", "jaccard"]].itertuples(index=False))
+    assert got == want and len(got) > 0
