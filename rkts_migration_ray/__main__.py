@@ -2,7 +2,7 @@
 
     python -m rkts_migration_ray run      --sf sf0.001 --out /tmp/graph [--buckets 64] [--no-resume]
     python -m rkts_migration_ray validate --sf sf0.001
-    python -m rkts_migration_ray query    --name text_tfidf --sf sf0.01 [--out /tmp/x] [--list]
+    python -m rkts_migration_ray query    --name text_tfidf --sf sf0.01 [--out /tmp/x] [--csv] [--list]
     python -m rkts_migration_ray bench    --sf sf0.01
 
 Owns its Ray session (the only places allowed to: CLI, bench.py, tests).
@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     qry.add_argument("--sf", default="sf0.001")
     qry.add_argument("--out", default=None,
                      help="Parquet output path (omit = print row count only)")
+    qry.add_argument("--csv", action="store_true",
+                     help="write --out as CSV instead of Parquet — the "
+                          "extractList.php:47-85 / exportlocations.php:12-79 "
+                          "standalone-export analog (e.g. --name "
+                          "kg_role_pivot or kg_locations)")
     qry.add_argument("--list", action="store_true", dest="list_only",
                      help="ignore --name and list available query names")
     qry.add_argument("--num-cpus", type=int, default=None)
@@ -119,19 +124,27 @@ def main(argv: list[str] | None = None) -> int:
 
             if isinstance(res, rd.Dataset):
                 if args.out:
-                    # materialize once: write_parquet would otherwise run the
+                    # materialize once: the write would otherwise run the
                     # lineage and the following count() would run it again
                     res = res.materialize()
-                    res.write_parquet(args.out)
+                    if args.csv:
+                        res.write_csv(args.out)
+                    else:
+                        res.write_parquet(args.out)
                 n = res.count()
             else:
                 tbl = (pa_.Table.from_pandas(res, preserve_index=False)
                        if isinstance(res, pd.DataFrame) else res)
                 n = tbl.num_rows
                 if args.out:
-                    import pyarrow.parquet as pq_
+                    if args.csv:
+                        import pyarrow.csv as pcsv_
 
-                    pq_.write_table(tbl, args.out)
+                        pcsv_.write_csv(tbl, args.out)
+                    else:
+                        import pyarrow.parquet as pq_
+
+                        pq_.write_table(tbl, args.out)
             print(json.dumps({"query": args.name, "rows": int(n),
                               "out": args.out}))
         elif args.cmd == "validate":

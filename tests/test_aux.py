@@ -121,3 +121,27 @@ def test_image_list_store_fetch_seam(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="no fetcher"):
         store2.get("W99999", "I9999")
+
+
+def test_cli_query_csv_export(sf_tag, tmp_path):
+    """`query --csv` is the standalone CSV-export path (extractList.php /
+    exportlocations.php analog): writes a readable CSV with the query's
+    rows."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    out_dir = str(tmp_path / "pivot_csv")
+    out = subprocess.run(
+        [sys.executable, "-m", "rkts_migration_ray", "query", "--name",
+         "kg_role_pivot", "--sf", sf_tag, "--num-cpus", "2",
+         "--out", out_dir, "--csv"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    import glob as _glob
+    files = _glob.glob(out_dir + "/*.csv") or _glob.glob(out_dir + "/*")
+    got = pd.concat([pd.read_csv(f) for f in files], ignore_index=True)
+    assert len(got) == res["rows"] > 0
