@@ -156,6 +156,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg.kg_degrees_ds,
         "kg_degree_histogram": kg.kg_degree_histogram_ds,
         "kg_pagerank": kg.kg_pagerank_ds,
+        "kg_kcore": kg.kg_kcore_ds,
         "kg_hits": kg.kg_hits_ds,
         "kg_neighbor_sample": kg.kg_neighbor_sample_ds,
         "kg_pred_paths": kg.kg_pred_paths_ds,

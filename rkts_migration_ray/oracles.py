@@ -2506,6 +2506,39 @@ FULL OUTER JOIN (SELECT obj AS node, count(*) AS in_deg FROM (
 ON o.node = i.node"""
 
 
+def _kcore_select(full_union: str, k: int = 4, rounds: int = 24) -> str:
+    """kg_kcore oracle: k-core decomposition by unrolled peel rounds (same
+    unrolling rationale as _pagerank_select — peel-until-fixpoint is not a
+    single-self-reference recursive CTE). Round r recomputes every node's
+    degree restricted to round r-1's survivors and keeps deg >= k; the
+    engine RAISES if it needs more than ``rounds`` iterations, so a
+    converged engine result always equals kd<rounds> here (fixture peel
+    depth is 7; 24 is margin)."""
+    from .functions.ntriples import OBJ_URI_PREDS
+
+    preds = ", ".join("'" + p + "'" for p in sorted(OBJ_URI_PREDS))
+    sql = f""", tr AS MATERIALIZED (
+{full_union}
+),
+kce0 AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b FROM tr
+  WHERE pred IN ({preds}) AND subj <> obj),
+kce AS MATERIALIZED (SELECT DISTINCT a, b FROM
+  (SELECT a, b FROM kce0 UNION ALL SELECT b, a FROM kce0)),
+kc0 AS (SELECT DISTINCT a AS node FROM kce)"""
+    prev = "kc0"
+    # every round CTE is MATERIALIZED: kd{r} references kc{r-1} twice, so
+    # inlining would re-evaluate the whole chain per reference (2^rounds)
+    for r in range(1, rounds + 1):
+        sql += f""",
+kd{r} AS MATERIALIZED (SELECT e.a AS node, CAST(count(*) AS BIGINT) AS d
+  FROM kce e JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+  GROUP BY 1),
+kc{r} AS MATERIALIZED (SELECT node FROM kd{r} WHERE d >= {k})"""
+        prev = f"kc{r}"
+    return sql + f"""
+SELECT node, d AS deg_in_core FROM kd{rounds} WHERE d >= {k}"""
+
+
 def _pagerank_select(full_union: str, iters: int = 5) -> str:
     """kg_pagerank oracle: fixed-iteration PageRank in integer micro-units
     (×10^12) — r0 = SCALE // N, contribution (r*85) // (100*outdeg), next
@@ -3040,6 +3073,7 @@ def kg_oracle_sql(sf_dir_or_tag: str) -> dict[str, str]:
                                + _degrees_select(full_union) + """)
 SELECT out_deg + in_deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM dg GROUP BY 1""",
+        "kg_kcore": w + _kcore_select(full_union),
         "kg_pagerank": w + _pagerank_select(full_union),
         "kg_hits": w + _hits_select(full_union),
         "kg_neighbor_sample": w + _neighbor_sample_select(full_union),

@@ -1026,6 +1026,168 @@ def kg_degree_histogram_ds(sf_dir: str,
             .aggregate(Sum("n_nodes", alias_name="n_nodes")))
 
 
+KCORE_K = 4
+KCORE_MAX_ITERS = 24   # must not exceed the oracle's unrolled peel rounds
+
+
+def kg_kcore_ds(sf_dir: str, k: int = KCORE_K,
+                max_iters: int = KCORE_MAX_ITERS,
+                cfg: PipelineConfig = DEFAULT_CONFIG, concurrency: int = 8):
+    """k-core decomposition of the undirected resource graph (distinct
+    subj—obj URI edges): iteratively peel nodes with fewer than ``k``
+    living neighbors until a fixpoint; output every core member with its
+    degree INSIDE the core — the densest-substructure filter used to
+    separate structurally-embedded entities from peripheral ones (and the
+    classic iterative-peeling workload beyond one-shot aggregates).
+
+    Scale shape: DISTINCT undirected edges are derived once (in-batch
+    lo/hi canonicalization → salted exact distinct) and materialized with
+    a hash bucket per endpoint. Each peel round is TWO tagged co-groups:
+    (1) edges meet the alive set on the SOURCE bucket — every edge whose
+    source still lives forwards one vote to its target; (2) votes meet
+    the alive set on the TARGET bucket — an in-bucket count per living
+    target yields its degree among living neighbors — then deg >= k
+    filters the next alive set. Payload per round: one row per live edge
+    + one per node; the alive vector is materialized per round (bounded
+    lineage). Convergence is a driver-side SCALAR — peeling is monotone
+    (alive only shrinks), so an unchanged COUNT is an unchanged SET.
+    Exhausting max_iters RAISES (the SQL twin unrolls exactly
+    KCORE_MAX_ITERS peels, so a silently-unconverged result could
+    diverge from it; fixture peel depth is 7)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.arrowutils import hash_bucket, scale_buckets
+    from ..functions.ntriples import OBJ_URI_PREDS
+
+    nb = scale_buckets(floor=16, per_cpu=2)
+    uri_preds = pa.array(sorted(OBJ_URI_PREDS), pa.string())
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(t["pred"].combine_chunks(),
+                                value_set=uri_preds),
+                       pc.not_equal(t["subj"], t["obj"]))
+        t = t.filter(keep)
+        s = np.asarray(t["subj"], dtype=object).astype(str)
+        o = np.asarray(t["obj"], dtype=object).astype(str)
+        fwd = s < o
+        df = pd.DataFrame({"lo": np.where(fwd, s, o),
+                           "hi": np.where(fwd, o, s)})
+        df = df.drop_duplicates()
+        return pa.table({"lo": pa.array(df["lo"], pa.string()),
+                         "hi": pa.array(df["hi"], pa.string())})
+
+    from ray.data.aggregate import Count
+
+    # exact distinct pairs via the vectorized sort-aggregate (a per-key
+    # map_groups here would loop Python once per distinct edge)
+    import os as _os
+
+    ckpt = _session_ckpt_root()
+    pairs = (kg_triples_ds(sf_dir, cfg, concurrency)
+             .map_batches(pair_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["lo", "hi"]).aggregate(Count())
+             .select_columns(["lo", "hi"]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t["lo"].combine_chunks(), pa.string())
+        hi = pc.cast(t["hi"].combine_chunks(), pa.string())
+        src = pa.concat_arrays([lo, hi])
+        dst = pa.concat_arrays([hi, lo])
+        return pa.table({"kb": hash_bucket(src, nb), "src": src, "dst": dst})
+
+    # parquet checkpoint (not .materialize()): each round's plan references
+    # edges AND the previous alive vector — with in-memory materialize the
+    # embedded logical plans nest and grow exponentially across rounds
+    # (observed as 4× wall growth per round then a driver stack overflow);
+    # a write-and-re-read boundary makes every round's plan flat
+    edges = _checkpoint(pairs.map_batches(sym, batch_format="pyarrow"),
+                        _os.path.join(ckpt, "kcore_edges"))
+
+    def e_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"kb": t["kb"], "tag": pa.array(np.zeros(n, np.int8)),
+                         "key": t["src"], "dst": t["dst"]})
+
+    def a_tag_src(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        n = t.num_rows
+        return pa.table({"kb": hash_bucket(node, nb),
+                         "tag": pa.array(np.ones(n, np.int8)),
+                         "key": node, "dst": pa.nulls(n, pa.string())})
+
+    def fwd_votes(df: pd.DataFrame) -> pa.Table:
+        living = set(df.loc[df["tag"] == 1, "key"])
+        e = df.loc[df["tag"] == 0]
+        m = e[e["key"].isin(living)]
+        dst = pa.array(m["dst"].to_numpy(dtype=object), pa.string())
+        return pa.table({"kb": hash_bucket(dst, nb),
+                         "tag": pa.array(np.zeros(len(m), np.int8)),
+                         "key": dst})
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        living = set(df.loc[df["tag"] == 1, "key"])
+        v = df.loc[df["tag"] == 0, "key"]
+        c = v[v.isin(living)].value_counts()
+        return pd.DataFrame({"node": c.index.astype(str),
+                             "deg_in_core": pd.Series(c.to_numpy(),
+                                                      dtype="int64")})
+
+    def all_dst_votes(t: pa.Table) -> pa.Table:
+        dst = t["dst"].combine_chunks()
+        return pa.table({"kb": hash_bucket(dst, nb),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "key": dst})
+
+    def all_nodes_tag(t: pa.Table) -> pa.Table:
+        node = t["src"].combine_chunks()
+        return pa.table({"kb": t["kb"],
+                         "tag": pa.array(np.ones(t.num_rows, np.int8)),
+                         "key": node})
+
+    alive = None   # None = every node (round 1)
+    n_alive = -1
+    converged = False
+    for _it in range(max_iters):
+        if alive is None:
+            votes = edges.map_batches(all_dst_votes, batch_format="pyarrow")
+            # every node is alive: its own src rows put it in the alive set
+            tags = edges.map_batches(all_nodes_tag, batch_format="pyarrow")
+        else:
+            votes = (edges.map_batches(e_tag, batch_format="pyarrow")
+                     .union(alive.map_batches(a_tag_src,
+                                              batch_format="pyarrow"))
+                     .groupby("kb")
+                     .map_groups(fwd_votes, batch_format="pandas"))
+            tags = alive.map_batches(a_tag_src, batch_format="pyarrow") \
+                        .map_batches(lambda t: t.select(["kb", "tag", "key"]),
+                                     batch_format="pyarrow")
+        deg = (votes.union(tags)
+               .groupby("kb")
+               .map_groups(count_bucket, batch_format="pandas"))
+        nxt = _checkpoint(
+            deg.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["deg_in_core"], k)),
+                batch_format="pyarrow"),
+            _os.path.join(ckpt, f"kcore_alive_{_it}"))
+        cur = nxt.count()
+        if cur == n_alive:
+            converged = True
+            alive = nxt
+            break
+        n_alive = cur
+        alive = nxt.map_batches(
+            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow")
+    if not converged:
+        raise RuntimeError(
+            f"kg_kcore: peeling did not reach a fixpoint within "
+            f"max_iters={max_iters} rounds (the SQL twin unrolls exactly "
+            f"that many peels); raise max_iters")
+    return alive
+
+
 PR_SCALE = 10 ** 12   # ranks as integer micro-units: exact, order-independent
 PR_ITERS = 5
 

@@ -2372,3 +2372,34 @@ def test_dedup_incremental_matches_cross_pairs(sf_tag):
     got = set((int(d), int(b), round(float(j), 6)) for d, b, j in
               inc[["delta_id", "base_id", "jaccard"]].itertuples(index=False))
     assert got == want and len(got) > 0
+
+
+def test_kg_kcore_is_exact_core(sf_tag):
+    """kg_kcore returns the maximal set where every member keeps >= k
+    distinct neighbors inside the set, with its in-core degree. Recompute
+    the degrees in pandas from the triple set and verify both the
+    invariant and the reported numbers; maximality is covered by the
+    DuckDB unrolled-peel oracle (exact-hash parity)."""
+    import pandas as pd
+
+    from rkts_migration_ray.functions.ntriples import OBJ_URI_PREDS
+    from rkts_migration_ray.pipelines import kg
+
+    core = kg.kg_kcore_ds(sf_tag).to_pandas()
+    k = kg.KCORE_K
+    assert (core["deg_in_core"] >= k).all() and len(core) > 0
+
+    tri = kg.kg_triples_ds(sf_tag).to_pandas()
+    tri = tri[tri["pred"].isin(OBJ_URI_PREDS) & (tri["subj"] != tri["obj"])]
+    lo = tri[["subj", "obj"]].min(axis=1)
+    hi = tri[["subj", "obj"]].max(axis=1)
+    pairs = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+    sym = pd.DataFrame({
+        "a": pd.concat([pairs["lo"], pairs["hi"]], ignore_index=True),
+        "b": pd.concat([pairs["hi"], pairs["lo"]], ignore_index=True)})
+    cs = set(core["node"])
+    m = sym[sym["a"].isin(cs) & sym["b"].isin(cs)]
+    deg = m.groupby("a").size()
+    got = core.set_index("node")["deg_in_core"]
+    assert (deg.sort_index() == got.sort_index()).all()
+    assert int(deg.min()) >= k
