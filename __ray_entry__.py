@@ -173,6 +173,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
         "conv_speaker_stats": kg.conv_speaker_stats_ds,
         "conv_topic_shift": kg.conv_topic_shift_ds,
         "conv_context_budget": kg.conv_context_budget_ds,
+        "conv_dialog_acts": kg.conv_dialog_acts_ds,
         "conv_pii_spans": kg.conv_pii_spans_ds,
         "conv_pii_redact": kg.conv_pii_redact_ds,
         "kg_khop": kg.kg_khop_ds,

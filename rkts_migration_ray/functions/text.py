@@ -127,3 +127,12 @@ def rolling_fingerprints(toks: list[str], k: int = 5, n_keep: int = 8) -> list[i
         return []
     vals = np.sort(sh & np.uint64(0x7FFFFFFFFFFFFFFF))  # int64-safe
     return [int(v) for v in vals[:n_keep]]
+
+
+# dialog-act lexicons (conv_dialog_acts; shared verbatim with the SQL twin)
+DIALOG_Q_WORDS = frozenset(
+    "how what why when where who which is are do does did can could would "
+    "should".split())
+DIALOG_C_WORDS = frozenset(
+    "run show list add remove update create delete set make check find "
+    "write open".split())

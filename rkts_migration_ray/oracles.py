@@ -2506,6 +2506,37 @@ FULL OUTER JOIN (SELECT obj AS node, count(*) AS in_deg FROM (
 ON o.node = i.node"""
 
 
+def _dialog_acts_select() -> str:
+    """conv_dialog_acts oracle: per-turn act classification (trailing '?'
+    or interrogative first word → question; imperative first word →
+    command; else statement) rolled up per conversation. Lexicons inlined
+    from functions.text so both sides share one source of truth."""
+    from .functions.text import DIALOG_C_WORDS, DIALOG_Q_WORDS
+
+    qw = ", ".join(f"'{x}'" for x in sorted(DIALOG_Q_WORDS))
+    cw = ", ".join(f"'{x}'" for x in sorted(DIALOG_C_WORDS))
+    return f"""
+, da AS (SELECT conv_id,
+  CASE WHEN regexp_matches(COALESCE(text, ''), '\\?\\s*$')
+         OR lower(COALESCE(regexp_extract(COALESCE(text, ''),
+                                          '[A-Za-z]+'), ''))
+            IN ({qw}) THEN 'question'
+       WHEN lower(COALESCE(regexp_extract(COALESCE(text, ''),
+                                          '[A-Za-z]+'), ''))
+            IN ({cw}) THEN 'command'
+       ELSE 'statement' END AS act
+  FROM t)
+SELECT conv_id,
+ CAST(sum(CASE WHEN act = 'question' THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_question,
+ CAST(sum(CASE WHEN act = 'command' THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_command,
+ CAST(sum(CASE WHEN act = 'statement' THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_statement,
+ CAST(count(*) AS BIGINT) AS n_turns
+FROM da GROUP BY 1"""
+
+
 def _kcore_select(full_union: str, k: int = 4, rounds: int = 24) -> str:
     """kg_kcore oracle: k-core decomposition by unrolled peel rounds (same
     unrolling rationale as _pagerank_select — peel-until-fixpoint is not a
@@ -3379,6 +3410,7 @@ SELECT COALESCE(role, '') AS role,
  CAST(sum(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')))
       * 1000000 // greatest(count(*), 1) AS BIGINT) AS mean_tokens_ppm
 FROM t GROUP BY 1""",
+        "conv_dialog_acts": w + _dialog_acts_select(),
         "conv_pii_spans": w + _pii_spans_select(),
         "conv_pii_redact": w + _pii_redact_select(),
         # exact neighborhood-Jaccard over the co-occurrence graph (the

@@ -4111,6 +4111,57 @@ def conv_speaker_stats_ds(sf_dir: str):
             .map_groups(finalize, batch_format="pandas"))
 
 
+def conv_dialog_acts_ds(sf_dir: str):
+    """Per-conversation dialog-act profile: how many turns are questions
+    (trailing '?' or an interrogative first word), commands (imperative
+    first word) or statements — the structure signal an SFT-data triage
+    uses to balance instruction-following vs declarative conversations.
+    Lexicons live in functions.text (DIALOG_Q_WORDS / DIALOG_C_WORDS) and
+    are inlined verbatim into the SQL twin.
+
+    Scale shape: pure per-batch partial counts keyed by conv_id (a conv's
+    turns may span blocks) → one conv-keyed groupby Sum; shuffle rows are
+    bounded by convs × blocks, 40 bytes each — the text never moves."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import DIALOG_C_WORDS, DIALOG_Q_WORDS
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"].combine_chunks(),
+                                    pa.string()), "")
+        s = text.to_pandas()
+        isq = s.str.contains(r"\?\s*$", regex=True, na=False)
+        first = (s.str.extract(r"([A-Za-z]+)", expand=False)
+                 .fillna("").str.lower())
+        q = (isq | first.isin(DIALOG_Q_WORDS)).to_numpy()
+        c = (~q) & first.isin(DIALOG_C_WORDS).to_numpy()
+        df = pd.DataFrame({"conv_id": t["conv_id"].to_pandas(),
+                           "n_question": q.astype("int64"),
+                           "n_command": c.astype("int64")})
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_question=("n_question", "sum"), n_command=("n_command", "sum"),
+            n_turns=("n_question", "size"))
+        g["n_statement"] = g["n_turns"] - g["n_question"] - g["n_command"]
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "n_question": pa.array(g["n_question"].to_numpy("int64")),
+            "n_command": pa.array(g["n_command"].to_numpy("int64")),
+            "n_statement": pa.array(g["n_statement"].to_numpy("int64")),
+            "n_turns": pa.array(g["n_turns"].to_numpy("int64"))})
+
+    return (readers.read_transcripts(sf_dir, columns=["conv_id", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("conv_id")
+            .aggregate(Sum("n_question", alias_name="n_question"),
+                       Sum("n_command", alias_name="n_command"),
+                       Sum("n_statement", alias_name="n_statement"),
+                       Sum("n_turns", alias_name="n_turns")))
+
+
 DPO_BUCKETS = 64   # fixed (the SQL twin inlines it): rejected-sampling
                    # rotation group — NOT a scale knob, pairs stay exact
                    # at any cluster size

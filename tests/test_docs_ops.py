@@ -2403,3 +2403,43 @@ def test_kg_kcore_is_exact_core(sf_tag):
     got = core.set_index("node")["deg_in_core"]
     assert (deg.sort_index() == got.sort_index()).all()
     assert int(deg.min()) >= k
+
+
+def test_conv_dialog_acts_matches_python_reference(sf_tag):
+    """Dialog-act rollup equals a per-row pure-Python classification of the
+    same transcripts (trailing-'?' / interrogative-first / imperative-first
+    precedence)."""
+    import re
+
+    import pandas as pd
+
+    from rkts_migration_ray.functions.text import (DIALOG_C_WORDS,
+                                                   DIALOG_Q_WORDS)
+    from rkts_migration_ray.pipelines import kg
+    from rkts_migration_ray.sources import readers
+
+    got = (kg.conv_dialog_acts_ds(sf_tag).to_pandas()
+           .set_index("conv_id").sort_index())
+    t = readers.read_transcripts(sf_tag, columns=["conv_id", "text"]).to_pandas()
+    rows = []
+    for conv, txt in zip(t["conv_id"], t["text"]):
+        s = txt if isinstance(txt, str) else ""
+        m = re.search(r"[A-Za-z]+", s)
+        first = m.group(0).lower() if m else ""
+        if re.search(r"\?\s*$", s) or first in DIALOG_Q_WORDS:
+            act = "question"
+        elif first in DIALOG_C_WORDS:
+            act = "command"
+        else:
+            act = "statement"
+        rows.append((conv, act))
+    ref = pd.DataFrame(rows, columns=["conv_id", "act"])
+    want = (ref.pivot_table(index="conv_id", columns="act", aggfunc="size",
+                            fill_value=0)
+            .reindex(columns=["question", "command", "statement"],
+                     fill_value=0).sort_index())
+    assert (got["n_question"].to_numpy() == want["question"].to_numpy()).all()
+    assert (got["n_command"].to_numpy() == want["command"].to_numpy()).all()
+    assert (got["n_statement"].to_numpy() == want["statement"].to_numpy()).all()
+    assert (got[["n_question", "n_command", "n_statement"]].sum(axis=1)
+            == got["n_turns"]).all()
