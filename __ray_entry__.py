@@ -89,44 +89,87 @@ def _mm_silence_segments(sf_dir: str) -> Any:
     return multimodal.silence_segments_ds(path)
 
 
-def _driver_checked_queries() -> set[str]:
-    """Names that already have a green/red row in any committed
-    CORRECTNESS_r*.json — i.e. the driver has sampled them at least once."""
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per-query driver-gate history from the committed CORRECTNESS_r*.json
+    files: name -> (last round with a driver row, whether ANY of those rows
+    was a real oracle compare rather than the rows-only 'no_oracle' check)."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    hist: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-    return seen
+        for name, row in rows.items():
+            last, ever = hist.get(name, (0, False))
+            compared = isinstance(row, dict) and row.get("err") != "no_oracle"
+            hist[name] = (max(last, rnd), ever or compared)
+    return hist
+
+
+def oracle_names() -> frozenset[str]:
+    """Names that have an exact DuckDB twin. PURE string assembly — unlike
+    oracle_sql() this never generates the media fixture (round-4 advice:
+    enumerating queries() must be side-effect-free and must not be able to
+    fail on fixture IO), so the mm_* twins are keyed on the path the
+    fixture WILL have, not on its existence."""
+    import os
+
+    names = set(oracles.kg_oracle_sql("sf0.01"))
+    names |= set(oracles.bvm_oracle_sql("sf0.01"))
+    names |= set(oracles.doc_rel_oracle_sql())
+    names |= set(oracles.mm_oracle_sql(
+        os.path.join(MEDIA_DIR, "media.parquet")))
+    return frozenset(names)
+
+
+def _gate_order(base_names: list[str],
+                hist: dict[str, tuple[int, bool]],
+                with_oracle: frozenset[str]) -> list[str]:
+    """Deterministic gate ordering (the driver samples the FIRST 50):
+
+    1. fresh-oracle   — never driver-sampled, exact twin exists
+    2. oracle-upgraded — sampled before its twin existed (every driver row
+       so far says 'no_oracle') but an exact twin exists NOW: re-enters
+       ahead of base order so it finally earns a hash-match row (r4 ask)
+    3. fresh-rows-only — never sampled, no twin (rows-only check)
+    4. checked        — least-recently-checked first, so once the fresh
+       tiers drain (r6) the gate automatically starts REFRESHING stale
+       rows oldest-first and every green row stays ≲4 rounds old (r4 ask)
+
+    Ties everywhere keep the stable _base_queries() order, so the sample
+    is reproducible from the committed CORRECTNESS files alone."""
+    fresh_oracle = [n for n in base_names
+                    if n not in hist and n in with_oracle]
+    upgraded = [n for n in base_names
+                if n in hist and not hist[n][1] and n in with_oracle]
+    fresh_rows = [n for n in base_names
+                  if n not in hist and n not in with_oracle]
+    checked = [n for n in base_names
+               if n in hist and (hist[n][1] or n not in with_oracle)]
+    checked.sort(key=lambda n: hist[n][0])  # stable → ties keep base order
+    return fresh_oracle + upgraded + fresh_rows + checked
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """The driver's correctness gate samples the FIRST 50 entries in dict
-    order, so the order IS the gate coverage policy: never-driver-checked
-    queries come first (exact-oracle ones before rows-only ones), already
-    checked ones after — each round automatically rotates fresh queries
-    into the gate until every entry has a driver row. Within each tier the
-    stable _base_queries() order is kept, so the rotation is deterministic
-    and the driver's sample is reproducible from the committed
-    CORRECTNESS_r*.json files alone."""
+    order, so the order IS the gate coverage policy — see _gate_order for
+    the tier rules. Rotation arithmetic at 198 entries / 50 per round:
+    rounds 1-3 hand-picked 138 distinct samples, round 4+ auto-rotates; the
+    round-5 sample is the last 50 never-checked exact-oracle entries, round
+    6 drains the remaining fresh + oracle-upgraded + rows-only tail, and
+    from round 7 on the gate re-samples the least-recently-checked rows."""
     base = _base_queries()
-    checked = _driver_checked_queries()
-    sqls = oracle_sql()
-    fresh_oracle = {k: v for k, v in base.items()
-                    if k not in checked and k in sqls}
-    fresh_rows_only = {k: v for k, v in base.items()
-                       if k not in checked and k not in sqls}
-    out = dict(fresh_oracle)
-    out.update(fresh_rows_only)
-    out.update(base)  # existing keys keep their position; the rest append
-    return out
+    order = _gate_order(list(base), _driver_history(), oracle_names())
+    return {name: base[name] for name in order}
 
 
 def _base_queries() -> dict[str, Callable[[str], Any]]:

@@ -166,6 +166,11 @@ def image_list_key(iilname: str, iglocalname: str) -> str:
     4-digit local name and is the local name verbatim otherwise."""
     import hashlib
 
+    if not iglocalname:
+        # the reference would IndexError here (migrate-bvm.py:373); fail
+        # with the volume named so a malformed row is diagnosable
+        raise ValueError(
+            f"empty image-group local name for image list {iilname!r}")
     hashbucket = hashlib.md5(iilname.encode("utf8")).hexdigest()[:2]
     pre, rest = iglocalname[0], iglocalname[1:]
     suffix = rest if (pre == "I" and rest.isdigit() and len(rest) == 4) \

@@ -2517,7 +2517,7 @@ def _dialog_acts_select() -> str:
     cw = ", ".join(f"'{x}'" for x in sorted(DIALOG_C_WORDS))
     return f"""
 , da AS (SELECT conv_id,
-  CASE WHEN regexp_matches(COALESCE(text, ''), '\\?\\s*$')
+  CASE WHEN regexp_matches(COALESCE(text, ''), '\\?[ \\t\\r\\n]*$')
          OR lower(COALESCE(regexp_extract(COALESCE(text, ''),
                                           '[A-Za-z]+'), ''))
             IN ({qw}) THEN 'question'

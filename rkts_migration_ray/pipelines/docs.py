@@ -328,6 +328,19 @@ def minhash_signatures_ds(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
 
 
+def _distinct_pairs(cand):
+    """Distinct (doc_a, doc_b) rows via the vectorized sort-aggregate
+    (round-4 verdict fix #2): ``groupby(pair).map_groups(head(1))`` costs
+    one Python call per DISTINCT candidate pair — at production LSH
+    volumes (millions of pairs) that made this the chain's hottest shuffle
+    stage. Same rationale as kg_kcore's distinct-edge aggregate
+    (pipelines/kg.py)."""
+    from ray.data.aggregate import Count
+
+    return (cand.groupby(["doc_a", "doc_b"]).aggregate(Count())
+            .select_columns(["doc_a", "doc_b"]))
+
+
 def minhash_candidates_ds(sf_dir: str):
     """LSH candidate pairs, deduplicated — the banding stage alone.
 
@@ -361,15 +374,11 @@ def minhash_candidates_ds(sf_dir: str):
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
 
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(bands, batch_format="pyarrow")
-            .groupby(["band", "band_hash"])
-            .map_groups(pairs_in_bucket, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .map_groups(first_pair, batch_format="pandas"))
+    return _distinct_pairs(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs_in_bucket, batch_format="pandas"))
 
 
 # Above this many LSH candidate pairs the broadcast verify (driver collect +
@@ -562,6 +571,17 @@ INCR_DELTA_MOD = 10   # doc_id % 10 == 0 plays the "newly arrived batch" role
 BAND_HB_PARTS = 64    # band-hash-prefix partitions of the persisted index
 
 
+def _source_fingerprint(path: str) -> str:
+    """Content fingerprint (mtime_ns + size) baked into every persisted
+    index's cache key: a fixture parquet regenerated IN PLACE under the
+    same directory name gets a new fingerprint, so the band/LSH/IVF caches
+    can never silently serve an index built from the old bytes (round-4
+    advice). Footer-hash would also work but costs a read; mtime+size is
+    free and atomic-rename fixture generation always bumps mtime."""
+    st = os.stat(path)
+    return f"{st.st_mtime_ns:x}.{st.st_size:x}"
+
+
 def _band_rows_df(df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → one row per non-empty doc per band:
     (band, band_hash, hb, doc_id) — the exact banding of
@@ -596,8 +616,10 @@ def ensure_band_index(sf_dir: str, delta_mod: int = INCR_DELTA_MOD) -> str:
     expensive full-corpus pass happens once; each arriving batch afterwards
     costs O(delta) signature work + partition-local bucket joins."""
     d = resolve_sf_dir(sf_dir)
-    out = os.path.join(BAND_INDEX_ROOT,
-                       f"{os.path.basename(os.path.normpath(d))}-m{delta_mod}")
+    fp = _source_fingerprint(os.path.join(d, "documents.parquet"))
+    out = os.path.join(
+        BAND_INDEX_ROOT,
+        f"{os.path.basename(os.path.normpath(d))}-m{delta_mod}-{fp}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -678,15 +700,11 @@ def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
                               "doc_b": np.maximum(a, b)})
                 .drop_duplicates().reset_index(drop=True))
 
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    cand = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(delta_bands, batch_format="pyarrow")
-            .groupby("hb")
-            .map_groups(probe, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .map_groups(first_pair, batch_format="pandas"))
+    cand = _distinct_pairs(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(delta_bands, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(probe, batch_format="pandas"))
 
     def orient(t: pa.Table) -> pa.Table:
         a = np.asarray(t["doc_a"], dtype=np.int64)
@@ -809,18 +827,14 @@ def prefix_pairs_ds(sf_dir: str, threshold: float = PREFIX_PAIR_THRESHOLD):
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
 
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    cand = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(PrefixEmit, batch_format="pyarrow",
-                         fn_constructor_kwargs={"ref": head_ref,
-                                                "threshold": threshold},
-                         concurrency=(1, 4))
-            .groupby("tok").map_groups(pairs_in_group,
-                                       batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).map_groups(first_pair,
-                                                    batch_format="pandas"))
+    cand = _distinct_pairs(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(PrefixEmit, batch_format="pyarrow",
+                     fn_constructor_kwargs={"ref": head_ref,
+                                            "threshold": threshold},
+                     concurrency=(1, 4))
+        .groupby("tok").map_groups(pairs_in_group,
+                                   batch_format="pandas"))
     return _minhash_verify_cogroup(sf_dir, cand, threshold)
 
 
@@ -3767,8 +3781,10 @@ def ensure_lsh_index(sf_dir: str, n_planes: int = LSH_N_PLANES) -> str:
     prune at the READ by touching only their probe partitions — no full
     scan, no per-batch filtering of the whole corpus."""
     d = resolve_sf_dir(sf_dir)
-    out = os.path.join(LSH_INDEX_ROOT,
-                       f"{os.path.basename(os.path.normpath(d))}-p{n_planes}")
+    fp = _source_fingerprint(os.path.join(d, "embeddings.parquet"))
+    out = os.path.join(
+        LSH_INDEX_ROOT,
+        f"{os.path.basename(os.path.normpath(d))}-p{n_planes}-{fp}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -3891,8 +3907,10 @@ def ensure_ivf_index(sf_dir: str, n_list: int = IVF_N_LIST) -> str:
     is read per query; the near-uniform fixture is the adversarial case
     (defaults tuned for recall ≥ 0.9 there, asserted in tests)."""
     d = resolve_sf_dir(sf_dir)
-    out = os.path.join(IVF_INDEX_ROOT,
-                       f"{os.path.basename(os.path.normpath(d))}-c{n_list}")
+    fp = _source_fingerprint(os.path.join(d, "embeddings.parquet"))
+    out = os.path.join(
+        IVF_INDEX_ROOT,
+        f"{os.path.basename(os.path.normpath(d))}-c{n_list}-{fp}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

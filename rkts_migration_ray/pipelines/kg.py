@@ -4133,7 +4133,10 @@ def conv_dialog_acts_ds(sf_dir: str):
         text = pc.fill_null(pc.cast(t["text"].combine_chunks(),
                                     pa.string()), "")
         s = text.to_pandas()
-        isq = s.str.contains(r"\?\s*$", regex=True, na=False)
+        # [ \t\r\n] not \s: Python \s is Unicode-aware while the DuckDB
+        # twin's RE2 \s is ASCII-only — a turn ending '?' + NBSP would
+        # classify differently. Both sides pin the same ASCII class.
+        isq = s.str.contains(r"\?[ \t\r\n]*$", regex=True, na=False)
         first = (s.str.extract(r"([A-Za-z]+)", expand=False)
                  .fillna("").str.lower())
         q = (isq | first.isin(DIALOG_Q_WORDS)).to_numpy()

@@ -97,6 +97,11 @@ def test_image_list_store_fetch_seam(tmp_path):
     assert k == "Works/60/W22084/images/W22084-0886/dimensions.json"
     assert pg.image_list_key("W22084", "X123").endswith("W22084-X123/dimensions.json")
 
+    # malformed volume row: explicit error naming the list, not IndexError
+    import pytest as _pt
+    with _pt.raises(ValueError, match="W22084"):
+        pg.image_list_key("W22084", "")
+
     calls = []
 
     def fake_fetch(key: str) -> bytes:
