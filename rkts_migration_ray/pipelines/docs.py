@@ -609,44 +609,71 @@ def _band_rows_df(df: pd.DataFrame) -> pd.DataFrame:
     return r
 
 
-def ensure_band_index(sf_dir: str, delta_mod: int = INCR_DELTA_MOD) -> str:
-    """Build (once, cached) the BASE corpus's persisted MinHash band index:
-    ``<root>/<tag>-m<mod>/hb=<prefix>/*.parquet`` — the structure an
-    incremental ingest probes. Mirrors the kg_incremental LSM idea: the
-    expensive full-corpus pass happens once; each arriving batch afterwards
-    costs O(delta) signature work + partition-local bucket joins."""
-    d = resolve_sf_dir(sf_dir)
-    fp = _source_fingerprint(os.path.join(d, "documents.parquet"))
-    out = os.path.join(
-        BAND_INDEX_ROOT,
-        f"{os.path.basename(os.path.normpath(d))}-m{delta_mod}-{fp}")
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
+def append_band_generation(idx: str, sf_dir: str, mask, name: str) -> str:
+    """Write one GENERATION of the band index — ``<idx>/gen-<name>/hb=*/``
+    holding the band rows of every doc where ``mask(doc_id_array)`` is true
+    — atomically (tmp + rename, per-generation ``_DONE``) and idempotently.
+    This is the index UPDATE path (round-4 verdict ask #8): after an ingest
+    batch is probed, its band rows fold in as a new generation so the NEXT
+    batch's probe sees them — the LSM-generation shape kg_incremental uses,
+    and the same reason base band rows never cross a shuffle twice."""
     import shutil
 
     import ray.data as rd
 
-    def base_bands(t: pa.Table) -> pa.Table:
+    d = resolve_sf_dir(sf_dir)
+    gen = os.path.join(idx, f"gen-{name}")
+    done = os.path.join(gen, "_DONE")
+    if os.path.exists(done):
+        return gen
+
+    def member_bands(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df[df["doc_id"] % delta_mod != 0]
+        df = df[np.asarray(mask(df["doc_id"].to_numpy(np.int64)))]
         return from_pandas_clean(_band_rows_df(df))
 
-    tmp = out + f".tmp.{os.getpid()}"
+    os.makedirs(idx, exist_ok=True)
+    tmp = gen + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     (rd.read_parquet(os.path.join(d, "documents.parquet"),
                      columns=["doc_id", "text"])
-     .map_batches(base_bands, batch_format="pyarrow")
+     .map_batches(member_bands, batch_format="pyarrow")
      .write_parquet(tmp, partition_cols=["hb"]))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
     try:
-        os.rename(tmp, out)
+        os.rename(tmp, gen)
     except OSError:
         if os.path.exists(done):  # lost the build race: fine
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             raise
+    return gen
+
+
+def _band_generations(idx: str) -> list[str]:
+    """Completed generations of a band index, oldest-first (lexicographic —
+    callers pick sortable names); incomplete tmp dirs are invisible."""
+    import glob as _glob
+
+    return sorted(g for g in _glob.glob(os.path.join(idx, "gen-*"))
+                  if os.path.exists(os.path.join(g, "_DONE")))
+
+
+def ensure_band_index(sf_dir: str, delta_mod: int = INCR_DELTA_MOD) -> str:
+    """Build (once, cached) the BASE corpus's persisted MinHash band index:
+    ``<root>/<tag>-m<mod>-<fp>/gen-base/hb=<prefix>/*.parquet`` — the
+    structure an incremental ingest probes. Mirrors the kg_incremental LSM
+    idea: the expensive full-corpus pass happens once; each arriving batch
+    afterwards costs O(delta) signature work + partition-local bucket
+    joins, and folds in as a further generation (append_band_generation)."""
+    d = resolve_sf_dir(sf_dir)
+    fp = _source_fingerprint(os.path.join(d, "documents.parquet"))
+    out = os.path.join(
+        BAND_INDEX_ROOT,
+        f"{os.path.basename(os.path.normpath(d))}-m{delta_mod}-{fp}")
+    append_band_generation(out, sf_dir,
+                           lambda ids: ids % delta_mod != 0, "base")
     return out
 
 
@@ -670,13 +697,22 @@ def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
     Parity invariant (tested): this equals minhash_pairs_ds restricted to
     cross pairs — banding and verification are the same math, only the
     candidate generation is incremental."""
-    import ray.data as rd
-
     idx = ensure_band_index(sf_dir, delta_mod)
+    return _dedup_probe(sf_dir, idx,
+                        lambda ids: ids % delta_mod == 0, threshold)
+
+
+def _dedup_probe(sf_dir: str, idx: str, delta_mask, threshold: float):
+    """Probe the docs selected by ``delta_mask(doc_id_array)`` against a
+    persisted band index (all completed generations), verify candidates by
+    exact shingle Jaccard, return (delta_id, base_id, jaccard). The index
+    is read lazily inside the probe tasks, so a generation appended before
+    execution IS visible — dedup_ingest sequences probe-then-append
+    explicitly to keep 'match against the index as of this ingest'."""
 
     def delta_bands(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df[df["doc_id"] % delta_mod == 0]
+        df = df[np.asarray(delta_mask(df["doc_id"].to_numpy(np.int64)))]
         return from_pandas_clean(_band_rows_df(df))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
@@ -684,14 +720,18 @@ def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
 
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                               "doc_b": pd.Series(dtype="int64")})
-        part_dir = os.path.join(idx, f"hb={int(df['hb'].iloc[0])}")
-        if not os.path.isdir(part_dir):
+        hb = int(df["hb"].iloc[0])
+        parts = [p for g in _band_generations(idx)
+                 if os.path.isdir(p := os.path.join(g, f"hb={hb}"))]
+        if not parts:
             return empty
-        base = pq.read_table(part_dir,
-                             columns=["band", "band_hash", "doc_id"]
-                             ).to_pandas()
+        base = pd.concat(
+            [pq.read_table(p, columns=["band", "band_hash", "doc_id"]
+                           ).to_pandas() for p in parts],
+            ignore_index=True)
         m = df.merge(base, on=["band", "band_hash"],
                      suffixes=("_d", "_b"))
+        m = m[m["doc_id_d"] != m["doc_id_b"]]
         if not len(m):
             return empty
         a = m["doc_id_d"].to_numpy("int64")
@@ -710,7 +750,7 @@ def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
         a = np.asarray(t["doc_a"], dtype=np.int64)
         b = np.asarray(t["doc_b"], dtype=np.int64)
         jac = np.asarray(t["jaccard"], dtype=np.float64)
-        a_delta = a % delta_mod == 0
+        a_delta = np.asarray(delta_mask(a))
         return pa.table({
             "delta_id": pa.array(np.where(a_delta, a, b)),
             "base_id": pa.array(np.where(a_delta, b, a)),
@@ -718,6 +758,22 @@ def dedup_incremental_ds(sf_dir: str, threshold: float = 0.2,
 
     return (_minhash_verify_cogroup(sf_dir, cand, threshold)
             .map_batches(orient, batch_format="pyarrow"))
+
+
+def dedup_ingest(sf_dir: str, idx: str, delta_mask, gen_name: str,
+                 threshold: float = 0.2) -> pd.DataFrame:
+    """One full ingest step of the always-on dedup service: (1) probe the
+    arriving batch against the index AS OF NOW (every persisted
+    generation), (2) fold the batch's band rows in as generation
+    ``gen-<gen_name>`` so the NEXT ingest sees them. Returns the verified
+    (delta_id, base_id, jaccard) pairs — output-sized, safe to collect.
+    Matches WITHIN one arriving batch are by-design not reported (the
+    batch isn't in the index while it probes); the two-generation
+    equivalence to the from-scratch pair set is pinned in
+    tests/test_docs_ops.py."""
+    out = _dedup_probe(sf_dir, idx, delta_mask, threshold).to_pandas()
+    append_band_generation(idx, sf_dir, delta_mask, gen_name)
+    return out
 
 
 PREFIX_PAIR_THRESHOLD = 0.8   # near-dup bar for the exact self-join
