@@ -315,15 +315,19 @@ def minhash_signatures_ds(sf_dir: str):
 
     def sig(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        sigs, nsh = [], []
-        for x in df["text"]:
-            sh = T.shingle_hashes(T.tokens_lower(x))
-            nsh.append(len(sh))
-            sigs.append("".join(f"{int(v):08x}"
-                                for v in T.minhash_signature(sh, a, b)))
+        sh_list = T.batch_shingle_hashes(list(df["text"]))
+        sigs = T.batch_minhash_signatures(sh_list, a, b)
+        # %08x of every value at once: each minimum < 2^31 fits uint32, so
+        # the big-endian uint32 buffer's hex IS the concatenated %08x run
+        hx = sigs.astype(">u4").tobytes().hex()
+        w = 8 * N_HASHES
         return from_pandas_clean(pd.DataFrame({
-            "doc_id": df["doc_id"], "n_shingles": pd.Series(nsh, dtype="int64"),
-            "sig_hex": pd.Series(sigs, dtype="object")}))
+            "doc_id": df["doc_id"],
+            "n_shingles": pd.Series([len(s) for s in sh_list],
+                                    dtype="int64"),
+            "sig_hex": pd.Series([hx[i * w:(i + 1) * w]
+                                  for i in range(len(sigs))],
+                                 dtype="object")}))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(sig, batch_format="pyarrow")
 
@@ -347,24 +351,11 @@ def minhash_candidates_ds(sf_dir: str):
     Round-1 verdict fix #5: the band explode ships (doc_id, band, band_hash)
     ONLY — no shingle payload rides the ×16-band shuffle — and candidate
     pairs are deduplicated on the pair key before any verification."""
-    a, b = T.minhash_params(N_HASHES)
-    rows_per_band = N_HASHES // N_BANDS
-
     def bands(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = {"band": [], "band_hash": [], "doc_id": []}
-        for x, did in zip(df["text"], df["doc_id"]):
-            sh = T.shingle_hashes(T.tokens_lower(x))
-            if len(sh) == 0:
-                continue
-            sig = T.minhash_signature(sh, a, b)
-            for bi in range(N_BANDS):
-                band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                out["band"].append(bi)
-                out["band_hash"].append(bh)
-                out["doc_id"].append(did)
-        return from_pandas_clean(pd.DataFrame(out))
+        # one batched banding kernel shared with the persisted index
+        # (_band_rows_df); only the hb partition key is dropped here
+        r = _band_rows_df(t.to_pandas())
+        return from_pandas_clean(r[["band", "band_hash", "doc_id"]])
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df["doc_id"].unique())
@@ -516,12 +507,14 @@ def minhash_pairs_ds(sf_dir: str, threshold: float = 0.2,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             df = t.to_pandas()
+            # shingle only candidate docs, all in one batched md5 pass
+            memb_rows = [(x, did, m) for x, did in
+                         zip(df["text"], df["doc_id"])
+                         if (m := self.index.get(int(did)))]
+            sh_all = T.batch_shingle_hashes([x for x, _, _ in memb_rows])
             out = {"pair_id": [], "side": [], "shingles": []}
-            for x, did in zip(df["text"], df["doc_id"]):
-                memb = self.index.get(int(did))
-                if not memb:
-                    continue
-                sh = np.sort(T.shingle_hashes(T.tokens_lower(x))).astype("int64")
+            for sh_u, (_, did, memb) in zip(sh_all, memb_rows):
+                sh = np.sort(sh_u).astype("int64")
                 for pid, side in memb:
                     out["pair_id"].append(pid)
                     out["side"].append(side)
@@ -585,28 +578,39 @@ def _source_fingerprint(path: str) -> str:
 def _band_rows_df(df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) → one row per non-empty doc per band:
     (band, band_hash, hb, doc_id) — the exact banding of
-    minhash_candidates_ds, plus the hash-prefix partition key."""
+    minhash_candidates_ds, plus the hash-prefix partition key.
+
+    Batched (round-4 verdict fix #3): shingling + md5 run once per BATCH
+    (vectorized DuckDB md5, T.batch_shingle_hashes) and the 64 permutation
+    minima come from one reduceat pass (T.batch_minhash_signatures); only
+    the 16 tiny blake2b band digests per doc remain Python calls, sliced
+    straight out of the row-major signature buffer (identical bytes to the
+    old per-doc ``sig[band].tobytes()``)."""
     a, b = T.minhash_params(N_HASHES)
     rows_per_band = N_HASHES // N_BANDS
-    out = {"band": [], "band_hash": [], "doc_id": []}
-    for x, did in zip(df["text"], df["doc_id"]):
-        sh = T.shingle_hashes(T.tokens_lower(x))
-        if len(sh) == 0:
-            continue
-        sig = T.minhash_signature(sh, a, b)
-        for bi in range(N_BANDS):
-            band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-            bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-            out["band"].append(bi)
-            out["band_hash"].append(bh)
-            out["doc_id"].append(did)
-    r = pd.DataFrame({"band": pd.Series(out["band"], dtype="int64"),
-                      "band_hash": pd.Series(out["band_hash"], dtype="object"),
-                      "doc_id": pd.Series(out["doc_id"], dtype="int64")})
-    r["hb"] = pd.Series(
-        [int(h[:4], 16) % BAND_HB_PARTS for h in r["band_hash"]],
-        dtype="int64")
-    return r
+    step = 8 * rows_per_band  # bytes per band in the signature buffer
+
+    sh_list = T.batch_shingle_hashes(list(df["text"]))
+    keep = np.fromiter((len(s) > 0 for s in sh_list), dtype=bool,
+                       count=len(sh_list))
+    ids = df["doc_id"].to_numpy(np.int64)[keep]
+    if len(ids) == 0:
+        return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                             "band_hash": pd.Series(dtype="object"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "hb": pd.Series(dtype="int64")})
+    sigs = T.batch_minhash_signatures(
+        [s for s, k2 in zip(sh_list, keep) if k2], a, b)
+    buf = sigs.tobytes()  # row-major: doc0 band0..15, doc1 band0..15, ...
+    bh = [hashlib.blake2b(buf[o:o + step], digest_size=8).hexdigest()
+          for o in range(0, len(buf), step)]
+    return pd.DataFrame({
+        "band": pd.Series(np.tile(np.arange(N_BANDS, dtype=np.int64),
+                                  len(ids))),
+        "band_hash": pd.Series(bh, dtype="object"),
+        "doc_id": pd.Series(np.repeat(ids, N_BANDS)),
+        "hb": pd.Series([int(h[:4], 16) % BAND_HB_PARTS for h in bh],
+                        dtype="int64")})
 
 
 def append_band_generation(idx: str, sf_dir: str, mask, name: str) -> str:
@@ -795,17 +799,19 @@ def _shingle_head_ranks(sf_dir: str, head_k: int = PREFIX_HEAD_K,
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        cnt: dict[int, int] = {}
-        for did, x in zip(df["doc_id"], df["text"]):
-            if int(did) % sample_mod:
-                continue
-            # int64 bit-view of the uint64 hash (bijective): uint64 columns
-            # overflow Ray's pandas block conversions in the groupby path
-            for h in T.shingle_hashes(T.tokens_lower(x)).view(np.int64):
-                h = int(h)
-                cnt[h] = cnt.get(h, 0) + 1
-        return pa.table({"tok": pa.array(list(cnt.keys()), pa.int64()),
-                         "n": pa.array(list(cnt.values()), pa.int64())})
+        df = df[(df["doc_id"].to_numpy(np.int64) % sample_mod) == 0]
+        sh_list = T.batch_shingle_hashes(list(df["text"]))
+        if not sh_list:
+            return pa.table({"tok": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # int64 bit-view of the uint64 hash (bijective): uint64 columns
+        # overflow Ray's pandas block conversions in the groupby path
+        flat = (np.concatenate(sh_list).view(np.int64)
+                if any(len(s) for s in sh_list)
+                else np.empty(0, np.int64))
+        tok, n = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(tok, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
 
     head = (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(partial, batch_format="pyarrow")
@@ -852,8 +858,9 @@ def prefix_pairs_ds(sf_dir: str, threshold: float = PREFIX_PAIR_THRESHOLD):
         def __call__(self, t: pa.Table) -> pa.Table:
             df = t.to_pandas()
             toks, dids = [], []
-            for did, x in zip(df["doc_id"], df["text"]):
-                sh = T.shingle_hashes(T.tokens_lower(x)).view(np.int64)
+            sh_all = T.batch_shingle_hashes(list(df["text"]))
+            for did, sh_u in zip(df["doc_id"], sh_all):
+                sh = sh_u.view(np.int64)
                 m = len(sh)
                 if m == 0:
                     continue
