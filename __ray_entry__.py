@@ -43,18 +43,22 @@ def entry() -> Any:
 def _mm_decode(sf_dir: str) -> Any:
     path = multimodal.ensure_media_fixture(MEDIA_DIR)
     # sha column stays in the stage (unit-tested); the query surface drops it
-    # because this DuckDB build has no BLOB sha256 for the oracle twin
-    return multimodal.decode_media_ds(path).drop_columns(["payload_sha"])
+    # because this DuckDB build has no BLOB sha256 for the oracle twin.
+    # use_real_codec=False: the fixture payloads are stub-encoded (GRFT
+    # header), so the auto-bound PIL path must never engage here
+    return (multimodal.decode_media_ds(path, use_real_codec=False)
+            .drop_columns(["payload_sha"]))
 
 
 def _mm_stats(sf_dir: str) -> Any:
     path = multimodal.ensure_media_fixture(MEDIA_DIR)
-    return multimodal.media_stats_ds(path)
+    return multimodal.media_stats_ds(path, use_real_codec=False)
 
 
 def _mm_resize(sf_dir: str) -> Any:
     path = multimodal.ensure_media_fixture(MEDIA_DIR)
-    return multimodal.resize_media_ds(path).drop_columns(["payload"])
+    return (multimodal.resize_media_ds(path, use_real_codec=False)
+            .drop_columns(["payload"]))
 
 
 def _mm_frames(sf_dir: str) -> Any:
