@@ -349,6 +349,7 @@ def _base_queries() -> dict[str, Callable[[str], Any]]:
             sf, n_probe=docs.KNN_GRAPH_N_PROBE),
         "knn_lsh": docs.knn_lsh_ds,                        # rows-only (approx)
         "knn_ivf": docs.knn_ivf_ds,                        # rows-only (approx)
+        "embed_ingest": docs.embed_ingest_ds,              # oracle (exact brute)
         # --- relational surface ---------------------------------------------
         "rel_pricing_summary": relational.pricing_summary_ds,
         "rel_top_customers": relational.top_customers_ds,

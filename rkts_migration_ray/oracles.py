@@ -1476,6 +1476,20 @@ r AS (SELECT query_id, neighbor_id, s,
       FROM sims)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(s, 6) AS cos_sim
 FROM r WHERE rank <= 10""",
+        # incremental vector-index ingest: the arriving batch's (vec_id %
+        # 10 = 0) exact top-k among the indexed base — the engine's
+        # full-probe generational IVF equals brute force over the base set
+        "embed_ingest": """
+WITH sims AS (
+ SELECT q.vec_id AS delta_id, e.vec_id AS base_id,
+  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS s
+ FROM embeddings q, embeddings e
+ WHERE q.vec_id % 10 = 0 AND e.vec_id % 10 <> 0),
+r AS (SELECT delta_id, base_id, s,
+       row_number() OVER (PARTITION BY delta_id ORDER BY s DESC, base_id) AS rank
+      FROM sims)
+SELECT delta_id, base_id, CAST(rank AS BIGINT) AS rank, round(s, 6) AS cos_sim
+FROM r WHERE rank <= 10""",
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
  CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -3936,16 +3936,22 @@ def knn_lsh_ds(sf_dir: str, n_planes: int = LSH_N_PLANES, probe_radius: int = 2)
 # ANN: IVF (coarse-quantizer partitioned index — the clustered-data scale path)
 # ---------------------------------------------------------------------------
 
-def _ivf_train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
+def _ivf_train_centroids(sf_dir: str, n_list: int,
+                         keep=None) -> np.ndarray:
     """Spherical k-means on a BOUNDED training sample (vec_id pushed down
     into the parquet read — never the whole table on the driver; FAISS-style
     IVF trains on a sample too). Deterministic: seeded init, fixed Lloyd
-    iteration count, assignment by max cosine."""
+    iteration count, assignment by max cosine. ``keep(vec_id_array)``
+    restricts training to a subset (the generational ingest index trains on
+    the BASE only so centroids stay frozen across ingests)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(resolve_sf_dir(sf_dir), "embeddings.parquet"),
-                      columns=["embedding"],
+                      columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", IVF_TRAIN_SAMPLE)])
+    if keep is not None:
+        mask = np.asarray(keep(np.asarray(t["vec_id"], dtype=np.int64)))
+        t = t.filter(pa.array(mask))
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(13)
@@ -4039,6 +4045,200 @@ def knn_ivf_ds(sf_dir: str, n_list: int = IVF_N_LIST, n_probe: int = IVF_N_PROBE
                          concurrency=(1, 4))
             .groupby("query_id")
             .map_groups(_final_topk, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# incremental vector-index ingest: new embeddings vs a persisted IVF index
+# (the FAISS-style 'add' path — the embedding analog of dedup_ingest)
+# ---------------------------------------------------------------------------
+
+IVF_INGEST_ROOT = "/tmp/graft_ivf_ingest"
+EMBED_INGEST_MOD = 10   # vec_id % 10 == 0 plays the "newly arrived batch"
+
+
+def _ivf_generations(idx: str) -> list[str]:
+    """Completed generations of a generational IVF index, oldest-first."""
+    import glob as _glob
+
+    return sorted(g for g in _glob.glob(os.path.join(idx, "gen-*"))
+                  if os.path.exists(os.path.join(g, "_DONE")))
+
+
+def append_ivf_generation(idx: str, sf_dir: str, mask, name: str) -> str:
+    """Fold the vectors selected by ``mask(vec_id_array)`` into the index as
+    generation ``gen-<name>/list_id=*/`` — assignment uses the index's
+    FROZEN centroids (centroids.npy trained once on the base corpus, the
+    IVF 'add' discipline: arriving data never retrains, so assignment is
+    deterministic forever). Atomic and idempotent like
+    append_band_generation."""
+    import shutil
+
+    import ray.data as rd
+
+    d = resolve_sf_dir(sf_dir)
+    gen = os.path.join(idx, f"gen-{name}")
+    done = os.path.join(gen, "_DONE")
+    if os.path.exists(done):
+        return gen
+    C = np.load(os.path.join(idx, "centroids.npy"))
+
+    def member_lists(t: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(t)
+        keep = np.asarray(mask(np.asarray(ids, dtype=np.int64)))
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return t.append_column("list_id", pa.array([], pa.int64()))
+        En = E[keep] / np.linalg.norm(E[keep], axis=1, keepdims=True)
+        lists = (En @ C.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists))
+
+    tmp = gen + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(os.path.join(d, "embeddings.parquet"),
+                     columns=["vec_id", "embedding"])
+     .map_batches(member_lists, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["list_id"]))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, gen)
+    except OSError:
+        if os.path.exists(done):  # lost the build race: fine
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return gen
+
+
+def ensure_ivf_base_index(sf_dir: str, n_list: int = IVF_N_LIST,
+                          delta_mod: int = EMBED_INGEST_MOD) -> str:
+    """Build (once, cached) the generational IVF index of the BASE vectors
+    (vec_id % delta_mod != 0): centroids train on the base ONLY and are
+    frozen; each arriving batch probes, then folds in via
+    append_ivf_generation. Cache key carries the source fingerprint."""
+    d = resolve_sf_dir(sf_dir)
+    fp = _source_fingerprint(os.path.join(d, "embeddings.parquet"))
+    out = os.path.join(
+        IVF_INGEST_ROOT,
+        f"{os.path.basename(os.path.normpath(d))}-c{n_list}-m{delta_mod}-{fp}")
+    if not os.path.exists(os.path.join(out, "centroids.npy")):
+        os.makedirs(out, exist_ok=True)
+        C = _ivf_train_centroids(sf_dir, n_list,
+                                 keep=lambda ids: ids % delta_mod != 0)
+        tmpc = os.path.join(out, f"centroids.tmp.{os.getpid()}.npy")
+        np.save(tmpc, C)  # np.save appends .npy unless the path has it
+        os.replace(tmpc, os.path.join(out, "centroids.npy"))
+    append_ivf_generation(out, sf_dir,
+                          lambda ids: ids % delta_mod != 0, "base")
+    return out
+
+
+def _ivf_probe_topk(sf_dir: str, idx: str, delta_mask, k: int = KNN_K,
+                    n_probe: int | None = None):
+    """Top-k cosine neighbors of every delta vector among the vectors
+    ALREADY IN THE INDEX (all completed generations). Distributed IVF-join
+    shape (same as the knn_graph_ivf default): delta rows explode to their
+    ``n_probe`` probe lists and shuffle BY LIST; each list group reads ITS
+    index partitions locally (across generations) and matmuls; a per-delta
+    groupby merges list-local top-k. ``n_probe=None`` probes every list —
+    the top-k is then EXACT (bit-equal to brute force over the indexed
+    set; the oracle twin relies on this). Production uses n_probe ≪
+    n_list, making work scale with the probed fraction."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    n_list = len(C)
+    probes = n_list if n_probe is None else min(n_probe, n_list)
+    gens = _ivf_generations(idx)
+
+    def route(t: pa.Table) -> pa.Table:
+        E, ids = _emb_matrix(t)
+        keep = np.asarray(delta_mask(np.asarray(ids, dtype=np.int64)))
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"list_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float64()))})
+        En = E[keep] / np.linalg.norm(E[keep], axis=1, keepdims=True)
+        order = np.argsort(-(En @ C.T), axis=1)[:, :probes]
+        n = t.num_rows
+        take = np.repeat(np.arange(n), probes)
+        return pa.table({
+            "list_id": pa.array(order.reshape(-1).astype(np.int64)),
+            "vec_id": t["vec_id"].take(pa.array(take)),
+            "embedding": pc.cast(t["embedding"].take(pa.array(take)),
+                                 pa.list_(pa.float64()))})
+
+    def probe_list(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        j = int(df["list_id"].iloc[0])
+        files = [f for g in gens for f in sorted(
+            _glob.glob(os.path.join(g, f"list_id={j}", "*.parquet")))]
+        if not files:
+            return empty
+        base = pq.read_table(files, columns=["vec_id", "embedding"])
+        B, bids = _emb_matrix(base)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        Q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Qn @ Bn.T
+        out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        qids = df["vec_id"].to_numpy("int64")
+        for qi, qid in enumerate(qids):
+            s = sims[qi]
+            top = np.argsort(-s, kind="stable")[:k]
+            out["query_id"].extend([int(qid)] * len(top))
+            out["neighbor_id"].extend(bids[top])
+            out["cos_sim"].extend(s[top])
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+            "cos_sim": pd.Series(out["cos_sim"], dtype="float64")})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["delta_id", "base_id", "rank", "cos_sim"])
+
+    d = resolve_sf_dir(sf_dir)
+    return (rd.read_parquet(os.path.join(d, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+            .map_batches(route, batch_format="pyarrow")
+            .groupby("list_id")
+            .map_groups(probe_list, batch_format="pandas")
+            .groupby("query_id")
+            .map_groups(lambda df: _final_topk(df, k),
+                        batch_format="pandas")
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def embed_ingest_ds(sf_dir: str, k: int = KNN_K,
+                    delta_mod: int = EMBED_INGEST_MOD):
+    """Query surface: the arriving batch's exact top-k against the base
+    index (full probe — exact, so the DuckDB brute-force twin matches
+    hash-for-hash). Output (delta_id, base_id, rank, cos_sim)."""
+    idx = ensure_ivf_base_index(sf_dir, delta_mod=delta_mod)
+    return _ivf_probe_topk(sf_dir, idx,
+                           lambda ids: ids % delta_mod == 0, k)
+
+
+def embed_ingest(sf_dir: str, idx: str, delta_mask, gen_name: str,
+                 k: int = KNN_K, n_probe: int | None = None) -> pd.DataFrame:
+    """One full ingest step of the always-on vector-index service: (1)
+    top-k of the arriving batch against the index AS OF NOW, (2) fold the
+    batch in as generation ``gen-<gen_name>`` so the next batch sees it.
+    Returns the (delta-sized) neighbor frame — safe to collect. The
+    two-generation equivalence to from-scratch brute force is pinned in
+    tests/test_docs_ops.py."""
+    out = _ivf_probe_topk(sf_dir, idx, delta_mask, k, n_probe).to_pandas()
+    append_ivf_generation(idx, sf_dir, delta_mask, gen_name)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -2512,3 +2512,55 @@ def test_band_index_cache_invalidates_on_source_change(sf_tag, tmp_path):
     idx2 = docs.ensure_band_index(str(copy))
     assert idx1 != idx2  # regenerated source ⇒ fresh index build
     assert os.path.exists(os.path.join(idx2, "gen-base", "_DONE"))
+
+
+def test_embed_ingest_two_generations_match_from_scratch(sf_tag, tmp_path):
+    """The vector-index ingest analog of the band-index test: ingest batch
+    A against the base IVF index, PERSIST A as a generation (frozen
+    centroids), ingest batch B against the updated index, and check both
+    top-k result sets against from-scratch numpy brute force under
+    sequential visibility (A probes base; B probes base ∪ A). Full probe
+    ⇒ exact, so equality is id-for-id."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rkts_migration_ray.pipelines import docs
+
+    def base_mask(ids):
+        return (ids % 10 != 0) & (ids % 10 != 5)
+
+    idx = str(tmp_path / "ivf_idx")
+    os.makedirs(idx)
+    C = docs._ivf_train_centroids(sf_tag, docs.IVF_N_LIST, keep=base_mask)
+    np.save(os.path.join(idx, "centroids.npy"), C)
+    docs.append_ivf_generation(idx, sf_tag, base_mask, "base")
+
+    got_a = docs.embed_ingest(sf_tag, idx, lambda i: i % 10 == 0, "ingest-a")
+    assert len(docs._ivf_generations(idx)) == 2
+    got_b = docs.embed_ingest(sf_tag, idx, lambda i: i % 10 == 5, "ingest-b")
+    assert len(docs._ivf_generations(idx)) == 3
+
+    t = pq.read_table(os.path.join(docs.resolve_sf_dir(sf_tag),
+                                   "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    def brute(delta_sel, index_sel, k=10):
+        S = En[delta_sel] @ En[index_sel].T
+        bids, dids = ids[index_sel], ids[delta_sel]
+        return {int(d): list(bids[np.lexsort((bids, -S[i]))[:k]])
+                for i, d in enumerate(dids)}
+
+    def got_map(df):
+        return {int(d): list(g.sort_values("rank")["base_id"])
+                for d, g in df.groupby("delta_id")}
+
+    want_a = brute(ids % 10 == 0, base_mask(ids))
+    want_b = brute(ids % 10 == 5, base_mask(ids) | (ids % 10 == 0))
+    assert got_map(got_a) == want_a
+    assert got_map(got_b) == want_b
+    assert len(want_a) > 0 and len(want_b) > 0
