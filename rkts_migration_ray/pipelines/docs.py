@@ -664,6 +664,43 @@ def _band_generations(idx: str) -> list[str]:
                   if os.path.exists(os.path.join(g, "_DONE")))
 
 
+def compact_generations(idx: str) -> str:
+    """LSM compaction for a generational index (band OR ivf — any
+    ``gen-*/<part>=<v>/`` layout): fold every completed generation into one,
+    partition by partition, then drop the old generations. Probe results
+    are unchanged (pure union semantics; pinned in tests). OFFLINE
+    maintenance like any LSM compactor — don't run concurrently with
+    probes of the same index. Each partition folds independently (read k
+    small files, write one), so a production run maps this loop over Ray
+    tasks; at index scale the driver loop is already I/O-bound."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    gens = _band_generations(idx)
+    if len(gens) <= 1:
+        return gens[0] if gens else ""
+    name = f"compact{len(_glob.glob(os.path.join(idx, 'gen-*'))):03d}"
+    out = os.path.join(idx, f"gen-{name}")
+    parts = sorted({os.path.basename(p) for g in gens
+                    for p in _glob.glob(os.path.join(g, "*=*"))})
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for part in parts:
+        tables = [pq.read_table(os.path.join(g, part)) for g in gens
+                  if os.path.isdir(os.path.join(g, part))]
+        os.makedirs(os.path.join(tmp, part), exist_ok=True)
+        pq.write_table(pa.concat_tables(tables),
+                       os.path.join(tmp, part, "part-0.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    os.rename(tmp, out)
+    for g in gens:
+        shutil.rmtree(g, ignore_errors=True)
+    return out
+
+
 def ensure_band_index(sf_dir: str, delta_mod: int = INCR_DELTA_MOD) -> str:
     """Build (once, cached) the BASE corpus's persisted MinHash band index:
     ``<root>/<tag>-m<mod>-<fp>/gen-base/hb=<prefix>/*.parquet`` — the

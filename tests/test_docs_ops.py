@@ -2564,3 +2564,44 @@ def test_embed_ingest_two_generations_match_from_scratch(sf_tag, tmp_path):
     assert got_map(got_a) == want_a
     assert got_map(got_b) == want_b
     assert len(want_a) > 0 and len(want_b) > 0
+
+
+def test_compact_generations_preserves_probe_results(sf_tag, tmp_path):
+    """LSM compaction folds all generations into one without changing any
+    probe result — band pairs and IVF top-k are identical before/after,
+    and the generation count drops to 1."""
+    import os
+
+    import numpy as np
+
+    from rkts_migration_ray.pipelines import docs
+
+    def base_mask(ids):
+        return (ids % 10 != 0) & (ids % 10 != 5)
+
+    # band index: base + one ingested generation
+    bidx = str(tmp_path / "band")
+    docs.append_band_generation(bidx, sf_tag, base_mask, "base")
+    docs.append_band_generation(bidx, sf_tag, lambda i: i % 10 == 0, "a")
+    probe_b = lambda: docs._dedup_probe(  # noqa: E731
+        sf_tag, bidx, lambda i: i % 10 == 5, 0.2).to_pandas()
+    before = probe_b().sort_values(["delta_id", "base_id"]).reset_index(drop=True)
+    docs.compact_generations(bidx)
+    assert len(docs._band_generations(bidx)) == 1
+    after = probe_b().sort_values(["delta_id", "base_id"]).reset_index(drop=True)
+    assert before.equals(after) and len(before) > 0
+
+    # ivf index: same discipline
+    vidx = str(tmp_path / "ivf")
+    os.makedirs(vidx)
+    C = docs._ivf_train_centroids(sf_tag, docs.IVF_N_LIST, keep=base_mask)
+    np.save(os.path.join(vidx, "centroids.npy"), C)
+    docs.append_ivf_generation(vidx, sf_tag, base_mask, "base")
+    docs.append_ivf_generation(vidx, sf_tag, lambda i: i % 10 == 0, "a")
+    probe_v = lambda: docs._ivf_probe_topk(  # noqa: E731
+        sf_tag, vidx, lambda i: i % 10 == 5, 10).to_pandas()
+    vb = probe_v().sort_values(["delta_id", "rank"]).reset_index(drop=True)
+    docs.compact_generations(vidx)
+    assert len(docs._ivf_generations(vidx)) == 1
+    va = probe_v().sort_values(["delta_id", "rank"]).reset_index(drop=True)
+    assert vb.equals(va) and len(vb) > 0

@@ -134,3 +134,39 @@ def test_loc_parsers_total_on_arbitrary_bodies(body):
     arr = pa.array([body, None], pa.string())
     for parsed in (parse_loc_full(arr), parse_loc_simple(arr)):
         assert len(parsed["valid"]) == 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=120), max_size=12))
+def test_batch_shingle_hashes_equals_scalar(texts):
+    """The batched DuckDB-md5 shingle kernel (round-5) is bit-identical to
+    the per-doc hashlib path for arbitrary (incl. non-ASCII) text."""
+    import numpy as np
+
+    from rkts_migration_ray.functions import text as T
+
+    batched = T.batch_shingle_hashes(texts)
+    assert len(batched) == len(texts)
+    for got, x in zip(batched, texts):
+        want = T.shingle_hashes(T.tokens_lower(x))
+        assert got.dtype == np.uint64
+        assert set(map(int, got)) == set(map(int, want))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                         max_size=30), max_size=8))
+def test_batch_minhash_signatures_equals_scalar(sh_lists):
+    """batch_minhash_signatures row i == minhash_signature(sh_list[i]) for
+    arbitrary uint64 shingle sets, empty docs included (M31 fill)."""
+    import numpy as np
+
+    from rkts_migration_ray.functions import text as T
+
+    a, b = T.minhash_params(16)
+    arrs = [np.array(s, dtype=np.uint64) for s in sh_lists]
+    got = T.batch_minhash_signatures(arrs, a, b)
+    for i, s in enumerate(arrs):
+        assert np.array_equal(got[i], T.minhash_signature(s, a, b))
