@@ -112,7 +112,15 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
                 rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        for name, row in rows.items():
+        # tolerate a legacy/partial file shape (a bare list of sampled
+        # names): a malformed CORRECTNESS file must degrade the rotation,
+        # never make queries() unenumerable
+        items = (rows.items() if isinstance(rows, dict)
+                 else [(n, None) for n in rows] if isinstance(rows, list)
+                 else [])
+        for name, row in items:
+            if not isinstance(name, str):
+                continue
             last, ever = hist.get(name, (0, False))
             compared = isinstance(row, dict) and row.get("err") != "no_oracle"
             hist[name] = (max(last, rnd), ever or compared)

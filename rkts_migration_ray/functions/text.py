@@ -120,10 +120,11 @@ _SIG_CHUNK_SHINGLES = 2_000  # k × chunk × 8 B ≈ 1 MB: keeps the permuted
 
 def batch_minhash_signatures(sh_list, a: np.ndarray,
                              b: np.ndarray) -> np.ndarray:
-    """Signatures for a whole batch at once — one (k × Σ|shingles|)
-    vectorized pass per ~200k-shingle chunk + np.minimum.reduceat over the
-    per-doc segments. Identical arithmetic to minhash_signature (empty
-    docs get the M31 fill), row i = signature of sh_list[i]."""
+    """Signatures for a whole batch at once — one (k × chunk) vectorized
+    pass per cache-resident chunk (_SIG_CHUNK_SHINGLES, ~2k shingles ≈
+    1 MB) + np.minimum.reduceat over the per-doc segments. Identical
+    arithmetic to minhash_signature (empty docs get the M31 fill), row
+    i = signature of sh_list[i]."""
     k = len(a)
     n = len(sh_list)
     out = np.full((n, k), _MERSENNE31, dtype=np.uint64)

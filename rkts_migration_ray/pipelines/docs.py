@@ -621,15 +621,9 @@ def append_band_generation(idx: str, sf_dir: str, mask, name: str) -> str:
     batch is probed, its band rows fold in as a new generation so the NEXT
     batch's probe sees them — the LSM-generation shape kg_incremental uses,
     and the same reason base band rows never cross a shuffle twice."""
-    import shutil
-
     import ray.data as rd
 
     d = resolve_sf_dir(sf_dir)
-    gen = os.path.join(idx, f"gen-{name}")
-    done = os.path.join(gen, "_DONE")
-    if os.path.exists(done):
-        return gen
 
     def member_bands(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -637,12 +631,41 @@ def append_band_generation(idx: str, sf_dir: str, mask, name: str) -> str:
         return from_pandas_clean(_band_rows_df(df))
 
     os.makedirs(idx, exist_ok=True)
+    return _write_generation_atomic(
+        os.path.join(idx, f"gen-{name}"),
+        lambda tmp: (rd.read_parquet(os.path.join(d, "documents.parquet"),
+                                     columns=["doc_id", "text"])
+                     .map_batches(member_bands, batch_format="pyarrow")
+                     .write_parquet(tmp, partition_cols=["hb"])))
+
+
+def _band_generations(idx: str) -> list[str]:
+    """Completed generations of a generational index (band or IVF),
+    oldest-first (lexicographic — callers pick sortable names). In-flight
+    or crash-orphaned ``*.tmp.<pid>`` build dirs are invisible EVEN IF they
+    already contain a _DONE marker (a kill between the marker write and the
+    rename must not leave a phantom generation that double-counts rows —
+    found by round-5 review)."""
+    import glob as _glob
+
+    return sorted(g for g in _glob.glob(os.path.join(idx, "gen-*"))
+                  if ".tmp." not in os.path.basename(g)
+                  and os.path.exists(os.path.join(g, "_DONE")))
+
+
+def _write_generation_atomic(gen: str, build) -> str:
+    """Shared atomic-generation writer: idempotent on a completed ``gen``,
+    builds into ``gen.tmp.<pid>`` via ``build(tmp_dir)``, marks _DONE,
+    renames into place; losing a concurrent build race is fine."""
+    import shutil
+
+    done = os.path.join(gen, "_DONE")
+    if os.path.exists(done):
+        return gen
     tmp = gen + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    (rd.read_parquet(os.path.join(d, "documents.parquet"),
-                     columns=["doc_id", "text"])
-     .map_batches(member_bands, batch_format="pyarrow")
-     .write_parquet(tmp, partition_cols=["hb"]))
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
     try:
@@ -653,15 +676,6 @@ def append_band_generation(idx: str, sf_dir: str, mask, name: str) -> str:
         else:
             raise
     return gen
-
-
-def _band_generations(idx: str) -> list[str]:
-    """Completed generations of a band index, oldest-first (lexicographic —
-    callers pick sortable names); incomplete tmp dirs are invisible."""
-    import glob as _glob
-
-    return sorted(g for g in _glob.glob(os.path.join(idx, "gen-*"))
-                  if os.path.exists(os.path.join(g, "_DONE")))
 
 
 def compact_generations(idx: str) -> str:
@@ -681,21 +695,26 @@ def compact_generations(idx: str) -> str:
     gens = _band_generations(idx)
     if len(gens) <= 1:
         return gens[0] if gens else ""
-    name = f"compact{len(_glob.glob(os.path.join(idx, 'gen-*'))):03d}"
-    out = os.path.join(idx, f"gen-{name}")
+    # collision-free output name: first compactNNN slot with no existing
+    # dir (round-5 review: deriving it from the gen count reused a live
+    # generation's name on the SECOND compaction — rename crash + the
+    # rmtree below would have deleted the fresh output)
+    n = 0
+    while os.path.exists(os.path.join(idx, f"gen-compact{n:03d}")):
+        n += 1
+    out = os.path.join(idx, f"gen-compact{n:03d}")
     parts = sorted({os.path.basename(p) for g in gens
                     for p in _glob.glob(os.path.join(g, "*=*"))})
-    tmp = out + f".tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    for part in parts:
-        tables = [pq.read_table(os.path.join(g, part)) for g in gens
-                  if os.path.isdir(os.path.join(g, part))]
-        os.makedirs(os.path.join(tmp, part), exist_ok=True)
-        pq.write_table(pa.concat_tables(tables),
-                       os.path.join(tmp, part, "part-0.parquet"))
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
-    os.rename(tmp, out)
+
+    def build(tmp: str) -> None:
+        for part in parts:
+            tables = [pq.read_table(os.path.join(g, part)) for g in gens
+                      if os.path.isdir(os.path.join(g, part))]
+            os.makedirs(os.path.join(tmp, part), exist_ok=True)
+            pq.write_table(pa.concat_tables(tables),
+                           os.path.join(tmp, part, "part-0.parquet"))
+
+    _write_generation_atomic(out, build)
     for g in gens:
         shutil.rmtree(g, ignore_errors=True)
     return out
@@ -4093,12 +4112,7 @@ IVF_INGEST_ROOT = "/tmp/graft_ivf_ingest"
 EMBED_INGEST_MOD = 10   # vec_id % 10 == 0 plays the "newly arrived batch"
 
 
-def _ivf_generations(idx: str) -> list[str]:
-    """Completed generations of a generational IVF index, oldest-first."""
-    import glob as _glob
-
-    return sorted(g for g in _glob.glob(os.path.join(idx, "gen-*"))
-                  if os.path.exists(os.path.join(g, "_DONE")))
+_ivf_generations = _band_generations  # same layout, same tmp-dir filter
 
 
 def append_ivf_generation(idx: str, sf_dir: str, mask, name: str) -> str:
@@ -4108,15 +4122,9 @@ def append_ivf_generation(idx: str, sf_dir: str, mask, name: str) -> str:
     IVF 'add' discipline: arriving data never retrains, so assignment is
     deterministic forever). Atomic and idempotent like
     append_band_generation."""
-    import shutil
-
     import ray.data as rd
 
     d = resolve_sf_dir(sf_dir)
-    gen = os.path.join(idx, f"gen-{name}")
-    done = os.path.join(gen, "_DONE")
-    if os.path.exists(done):
-        return gen
     C = np.load(os.path.join(idx, "centroids.npy"))
 
     def member_lists(t: pa.Table) -> pa.Table:
@@ -4129,22 +4137,12 @@ def append_ivf_generation(idx: str, sf_dir: str, mask, name: str) -> str:
         lists = (En @ C.T).argmax(axis=1).astype(np.int64)
         return t.append_column("list_id", pa.array(lists))
 
-    tmp = gen + f".tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (rd.read_parquet(os.path.join(d, "embeddings.parquet"),
-                     columns=["vec_id", "embedding"])
-     .map_batches(member_lists, batch_format="pyarrow")
-     .write_parquet(tmp, partition_cols=["list_id"]))
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, gen)
-    except OSError:
-        if os.path.exists(done):  # lost the build race: fine
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            raise
-    return gen
+    return _write_generation_atomic(
+        os.path.join(idx, f"gen-{name}"),
+        lambda tmp: (rd.read_parquet(os.path.join(d, "embeddings.parquet"),
+                                     columns=["vec_id", "embedding"])
+                     .map_batches(member_lists, batch_format="pyarrow")
+                     .write_parquet(tmp, partition_cols=["list_id"])))
 
 
 def ensure_ivf_base_index(sf_dir: str, n_list: int = IVF_N_LIST,

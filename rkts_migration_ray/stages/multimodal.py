@@ -128,21 +128,38 @@ def pil_codec(payload: bytes) -> tuple[int, int]:
         return im.size
 
 
+def auto_codec(payload: bytes) -> tuple[int, int]:
+    """The codec 'auto' binds when Pillow is importable: GRFT-magic
+    payloads are OUR synthetic stub format (no real codec can ever read
+    them; the header IS their ground truth), so they header-parse; anything
+    else goes to Pillow. This keeps every fixture-facing pipeline and test
+    correct on a Pillow-present machine while real media still decodes for
+    real (round-5 review: a bare PIL bind would have crashed every default
+    caller on stub payloads the day Pillow appeared)."""
+    if payload[:4] == MAGIC:
+        if len(payload) < 12:
+            return -1, -1
+        w, h = struct.unpack(">II", payload[4:12])
+        return int(w), int(h)
+    return pil_codec(payload)
+
+
 def resolve_codec(use_real_codec="auto", codec=None):
     """Resolve the codec seam's (use_real, codec) pair. ``"auto"`` — the
-    stage DEFAULT (round-4 verdict ask #4) — binds pil_codec when Pillow
-    is importable and falls back to the header-parse stub otherwise, so
-    the production path becomes the default the day the dependency exists.
-    Explicit True/False and injected codecs pass through unchanged;
-    synthetic-fixture pipelines pin use_real_codec=False because their
-    payloads are stub-encoded (GRFT header), which no real codec reads."""
+    stage DEFAULT (round-4 verdict ask #4) — binds auto_codec (Pillow for
+    real media, header parse for GRFT stub payloads) when Pillow is
+    importable and falls back to the header-parse stub otherwise, so the
+    production path becomes the default the day the dependency exists.
+    Explicit True/False and injected codecs pass through unchanged; the
+    oracle-facing queries additionally pin use_real_codec=False so the
+    byte-math twins always compare against the header parse."""
     if use_real_codec == "auto":
         if codec is not None:
             return True, codec
         import importlib.util
 
         if importlib.util.find_spec("PIL") is not None:
-            return True, pil_codec
+            return True, auto_codec
         return False, None
     return bool(use_real_codec), codec
 

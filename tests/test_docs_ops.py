@@ -2605,3 +2605,46 @@ def test_compact_generations_preserves_probe_results(sf_tag, tmp_path):
     assert len(docs._ivf_generations(vidx)) == 1
     va = probe_v().sort_values(["delta_id", "rank"]).reset_index(drop=True)
     assert vb.equals(va) and len(vb) > 0
+
+
+def test_compact_twice_and_phantom_tmp_dirs(sf_tag, tmp_path):
+    """Round-5 review regressions: (1) a SECOND compaction after a further
+    ingest must not collide with the first compaction's generation name
+    (it used to rename onto a live generation and then delete it); (2) a
+    crash-orphaned gen-*.tmp.<pid> dir containing _DONE must stay
+    invisible to generation discovery (it used to double-count rows)."""
+    import os
+
+    from rkts_migration_ray.pipelines import docs
+
+    idx = str(tmp_path / "band")
+    docs.append_band_generation(
+        idx, sf_tag, lambda i: (i % 10 != 0) & (i % 10 != 5), "base")
+    docs.append_band_generation(idx, sf_tag, lambda i: i % 10 == 0, "a")
+
+    def probe():
+        return (docs._dedup_probe(sf_tag, idx, lambda i: i % 10 == 5, 0.2)
+                .to_pandas().sort_values(["delta_id", "base_id"])
+                .reset_index(drop=True))
+
+    before = probe()
+    docs.compact_generations(idx)                      # gens -> 1
+    docs.append_band_generation(idx, sf_tag, lambda i: i % 10 == 5, "b")
+    # delta docs are now indexed too, but self-pairs are filtered and the
+    # cross pair set to base+a is unchanged, so a probe with the same mask
+    # (minus pairs among the b docs themselves) still contains `before`
+    docs.compact_generations(idx)                      # second compaction
+    gens = docs._band_generations(idx)
+    assert len(gens) == 1 and "compact" in gens[0]
+
+    # phantom tmp dir with _DONE inside: must not become a generation
+    phantom = os.path.join(idx, "gen-x.tmp.12345")
+    os.makedirs(phantom)
+    with open(os.path.join(phantom, "_DONE"), "w") as f:
+        f.write("ok")
+    assert docs._band_generations(idx) == gens
+
+    after = probe()
+    got = set(map(tuple, after[["delta_id", "base_id"]].to_numpy()))
+    want = set(map(tuple, before[["delta_id", "base_id"]].to_numpy()))
+    assert want <= got  # all original cross pairs survive both compactions

@@ -42,7 +42,11 @@ def test_resolve_codec_auto_default():
     if importlib.util.find_spec("PIL") is None:  # this sandbox
         assert (use_real, codec) == (False, None)
     else:
-        assert use_real and codec is multimodal.pil_codec
+        assert use_real and codec is multimodal.auto_codec
+        # GRFT stub payloads header-parse even on the auto(PIL) path
+        import struct as _st
+        payload = multimodal.MAGIC + _st.pack(">II", 7, 9) + b"x" * 4
+        assert multimodal.auto_codec(payload) == (7, 9)
     # explicit overrides are never second-guessed
     assert multimodal.resolve_codec(False, None) == (False, None)
     fake = _make_fake_real_codec()
@@ -266,6 +270,6 @@ def test_real_codec_pil_decodes_real_jpeg(media_path):
     jpeg = buf.getvalue()
 
     use_real, codec = multimodal.resolve_codec()  # the stage default
-    assert use_real and codec is multimodal.pil_codec
+    assert use_real and codec is multimodal.auto_codec
     w, h = multimodal._decode_payload(jpeg, use_real, codec)
     assert (w, h) == (1, 1)

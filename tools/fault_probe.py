@@ -17,7 +17,6 @@ Prints one JSON line with wall, kill log, and the manifest fingerprint.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import shutil
@@ -102,16 +101,12 @@ def main() -> None:
     stop.set()
     ray.shutdown()
 
-    rows = []
-    for f in sorted(os.listdir(out_dir)):
-        if f.endswith(".manifest.json"):
-            with open(os.path.join(out_dir, f)) as fh:
-                meta = json.load(fh)
-            rows.append((f, int(meta["rows"]), meta["checksum"]))
-    fp = hashlib.sha256(json.dumps(sorted(rows)).encode()).hexdigest()[:16]
+    from probe_common import manifest_fingerprint
+
+    n_buckets, fp = manifest_fingerprint(out_dir)
     print(json.dumps({
         "sf": args.sf, "num_cpus": args.cpus, "wall_sec": round(wall, 2),
-        "n_triples": int(manifest["rows"].sum()), "buckets": len(rows),
+        "n_triples": int(manifest["rows"].sum()), "buckets": n_buckets,
         "kills": kill_log, "manifest_fingerprint": fp}))
 
 

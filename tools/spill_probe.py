@@ -20,7 +20,6 @@ Results are recorded in BASELINE.md.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import re
@@ -94,20 +93,15 @@ def main() -> None:
     counters = _spill_counters(session_dir)
     ray.shutdown()
 
-    # parity fingerprint straight from the committed lineage manifests
-    rows = []
-    for f in sorted(os.listdir(out_dir)):
-        if f.endswith(".manifest.json"):
-            with open(os.path.join(out_dir, f)) as fh:
-                meta = json.load(fh)
-            rows.append((f, int(meta["rows"]), meta["checksum"]))
-    fp = hashlib.sha256(json.dumps(sorted(rows)).encode()).hexdigest()[:16]
+    from probe_common import manifest_fingerprint
+
+    n_buckets, fp = manifest_fingerprint(out_dir)
 
     print(json.dumps({
         "obj_store_gb": args.obj_store_gb, "sf": args.sf,
         "num_cpus": args.cpus, "wall_sec": round(wall, 2),
         "n_triples": int(manifest["rows"].sum()),
-        "buckets": len(rows), "manifest_fingerprint": fp, **counters}))
+        "buckets": n_buckets, "manifest_fingerprint": fp, **counters}))
 
 
 if __name__ == "__main__":
