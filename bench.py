@@ -98,6 +98,16 @@ def run_bench(num_cpus: int) -> dict:
         timed("kg_mentions", lambda: kg.mention_triples_ds(tag, concurrency=conc).count())
         timed("kg_entities", lambda: kg.entity_triples_ds(tag, concurrency=conc).count())
 
+        # the dedup chain's end-to-end wall (banding → LSH → exact verify)
+        # is tracked per round since the round-5 kernel batching
+        from rkts_migration_ray.pipelines import docs as docs_pl
+
+        def _mh():
+            r = docs_pl.minhash_pairs_ds(tag)
+            return len(r) if hasattr(r, "__len__") else r.count()
+
+        timed("dedup_minhash_pairs", _mh)
+
     # checkpoint_linked trades one extra execution + write barrier for not
     # recomputing explode+link in the mentions and entities branches; the
     # branches run as separate executions in the stream writer anyway (no
