@@ -33,8 +33,9 @@ def test_real_codec_is_gated():
 
 
 def test_resolve_codec_auto_default():
-    """Round-4 verdict ask #4: 'auto' (the stage default) binds pil_codec
-    when Pillow is importable, else the stub — and explicit settings pass
+    """Round-4 verdict ask #4: 'auto' (the stage default) binds auto_codec
+    (Pillow for real media, header parse for GRFT stub payloads) when
+    Pillow is importable, else the stub — and explicit settings pass
     through untouched."""
     import importlib.util
 
