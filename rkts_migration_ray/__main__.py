@@ -3,6 +3,7 @@
     python -m rkts_migration_ray run      --sf sf0.001 --out /tmp/graph [--buckets 64] [--no-resume]
     python -m rkts_migration_ray validate --sf sf0.001
     python -m rkts_migration_ray query    --name text_tfidf --sf sf0.01 [--out /tmp/x] [--csv] [--list]
+    python -m rkts_migration_ray ingest   --kind dedup|embed --sf sf0.001 --index /tmp/idx --gen batch1 [--out x.parquet] [--compact]
     python -m rkts_migration_ray bench    --sf sf0.01
 
 Owns its Ray session (the only places allowed to: CLI, bench.py, tests).
@@ -40,6 +41,25 @@ def main(argv: list[str] | None = None) -> int:
     val = sub.add_parser("validate", help="transcript invariant validation")
     val.add_argument("--sf", default="sf0.001")
     val.add_argument("--num-cpus", type=int, default=None)
+
+    ing = sub.add_parser(
+        "ingest", help="one generational ingest step: probe the arriving "
+                       "batch (doc/vec id %% mod == rem) against the "
+                       "persisted index, report matches, fold the batch in")
+    ing.add_argument("--kind", choices=["dedup", "embed"], required=True)
+    ing.add_argument("--sf", default="sf0.001")
+    ing.add_argument("--index", required=True,
+                     help="index root dir; an empty one is initialized with "
+                          "a gen-base of the NON-delta rows")
+    ing.add_argument("--delta-mod", type=int, default=10)
+    ing.add_argument("--delta-rem", type=int, default=0)
+    ing.add_argument("--gen", required=True,
+                     help="generation name for this batch (sortable, unique)")
+    ing.add_argument("--out", default=None,
+                     help="Parquet path for the match frame (omit = count)")
+    ing.add_argument("--compact", action="store_true",
+                     help="run LSM compaction after the ingest")
+    ing.add_argument("--num-cpus", type=int, default=None)
 
     qry = sub.add_parser("query", help="run any driver query "
                                        "(__ray_entry__.queries()) by name")
@@ -96,6 +116,33 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.out, partition_cols=["part"],
                              mode="overwrite")
             print(json.dumps({"rows": int(ds.count()), "out": args.out}))
+        elif args.cmd == "ingest":
+            from .pipelines import docs
+
+            m, r = args.delta_mod, args.delta_rem % args.delta_mod
+
+            def delta(ids):
+                return ids % m == r
+
+            def base(ids):
+                return ids % m != r
+
+            if args.kind == "dedup":
+                if not docs._band_generations(args.index):
+                    docs.append_band_generation(args.index, args.sf, base,
+                                                "base")
+                res = docs.dedup_ingest(args.sf, args.index, delta, args.gen)
+            else:
+                docs.ensure_ivf_index_at(args.index, args.sf, base)
+                res = docs.embed_ingest(args.sf, args.index, delta, args.gen)
+            if args.compact:
+                docs.compact_generations(args.index)
+            if args.out:
+                res.to_parquet(args.out, index=False)
+            print(json.dumps({
+                "kind": args.kind, "matches": int(len(res)),
+                "generations": len(docs._band_generations(args.index)),
+                "out": args.out}))
         elif args.cmd == "query":
             # the query registry lives in the repo-root driver contract file;
             # load it by path so the CLI needs no sys.path assumptions

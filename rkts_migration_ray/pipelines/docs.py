@@ -4145,6 +4145,24 @@ def append_ivf_generation(idx: str, sf_dir: str, mask, name: str) -> str:
                      .write_parquet(tmp, partition_cols=["list_id"])))
 
 
+def ensure_ivf_index_at(idx: str, sf_dir: str, base_mask,
+                        n_list: int = IVF_N_LIST) -> str:
+    """Generational IVF index at an EXPLICIT location: frozen centroids
+    trained on the ``base_mask`` vectors (written atomically, once) plus
+    ``gen-base`` holding those vectors. The building block both
+    ensure_ivf_base_index (fingerprinted cache path) and the CLI ingest
+    surface use."""
+    cpath = os.path.join(idx, "centroids.npy")
+    if not os.path.exists(cpath):
+        os.makedirs(idx, exist_ok=True)
+        C = _ivf_train_centroids(sf_dir, n_list, keep=base_mask)
+        tmpc = os.path.join(idx, f"centroids.tmp.{os.getpid()}.npy")
+        np.save(tmpc, C)  # np.save appends .npy unless the path has it
+        os.replace(tmpc, cpath)
+    append_ivf_generation(idx, sf_dir, base_mask, "base")
+    return idx
+
+
 def ensure_ivf_base_index(sf_dir: str, n_list: int = IVF_N_LIST,
                           delta_mod: int = EMBED_INGEST_MOD) -> str:
     """Build (once, cached) the generational IVF index of the BASE vectors
@@ -4156,16 +4174,8 @@ def ensure_ivf_base_index(sf_dir: str, n_list: int = IVF_N_LIST,
     out = os.path.join(
         IVF_INGEST_ROOT,
         f"{os.path.basename(os.path.normpath(d))}-c{n_list}-m{delta_mod}-{fp}")
-    if not os.path.exists(os.path.join(out, "centroids.npy")):
-        os.makedirs(out, exist_ok=True)
-        C = _ivf_train_centroids(sf_dir, n_list,
-                                 keep=lambda ids: ids % delta_mod != 0)
-        tmpc = os.path.join(out, f"centroids.tmp.{os.getpid()}.npy")
-        np.save(tmpc, C)  # np.save appends .npy unless the path has it
-        os.replace(tmpc, os.path.join(out, "centroids.npy"))
-    append_ivf_generation(out, sf_dir,
-                          lambda ids: ids % delta_mod != 0, "base")
-    return out
+    return ensure_ivf_index_at(out, sf_dir,
+                               lambda ids: ids % delta_mod != 0, n_list)
 
 
 def _ivf_probe_topk(sf_dir: str, idx: str, delta_mask, k: int = KNN_K,

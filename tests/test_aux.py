@@ -150,3 +150,38 @@ def test_cli_query_csv_export(sf_tag, tmp_path):
     files = _glob.glob(out_dir + "/*.csv") or _glob.glob(out_dir + "/*")
     got = pd.concat([pd.read_csv(f) for f in files], ignore_index=True)
     assert len(got) == res["rows"] > 0
+
+
+def test_cli_ingest_subcommand(sf_tag, tmp_path):
+    """The generational ingest services from the CLI surface: dedup ingest
+    (band index) then embed ingest (IVF), each initializing its own index,
+    probing a batch and folding it in; --compact folds generations to 1."""
+    import json
+
+    from rkts_migration_ray.__main__ import main
+
+    bidx = str(tmp_path / "bandidx")
+    out = str(tmp_path / "matches.parquet")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["ingest", "--kind", "dedup", "--sf", sf_tag,
+                   "--index", bidx, "--gen", "batch1", "--out", out])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["generations"] == 2 and rep["matches"] > 0
+    import pandas as pd
+    got = pd.read_parquet(out)
+    assert list(got.columns) == ["delta_id", "base_id", "jaccard"]
+    assert len(got) == rep["matches"]
+
+    vidx = str(tmp_path / "ivfidx")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["ingest", "--kind", "embed", "--sf", sf_tag,
+                   "--index", vidx, "--gen", "batch1", "--compact"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["matches"] > 0 and rep["generations"] == 1  # compacted
