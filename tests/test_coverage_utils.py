@@ -38,3 +38,26 @@ def test_role_pivot_parity(sf_tag):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (a["n_total"] == a[["n_user", "n_assistant", "n_tool", "n_system"]]
             .sum(axis=1)).all()
+
+
+def test_dialog_act_question_regex_cross_engine():
+    """Round-4 advice: the trailing-'?' question test must classify
+    identically in pandas (Python re, Unicode-aware \\s) and DuckDB (RE2,
+    ASCII \\s) — both sides now pin the ASCII class [ \\t\\r\\n]. NBSP and
+    other Unicode spaces after '?' are the cases that used to diverge."""
+    import duckdb
+    import pandas as pd
+
+    cases = ["a?", "a? ", "a?\t", "a?\r\n", "a?  \t ", "a?x", "x a? b",
+             "a? ", "a? ", "a?" + chr(0x1680), "", "?",
+             "tail space then q?  "]
+    py = (pd.Series(cases)
+          .str.contains(r"\?[ \t\r\n]*$", regex=True, na=False).tolist())
+    con = duckdb.connect()
+    sql = con.execute(
+        "SELECT regexp_matches(s, '\\?[ \t\r\n]*$') "
+        "FROM (SELECT unnest(?::VARCHAR[]) AS s)", [cases]).fetchall()
+    duck = [bool(r[0]) for r in sql]
+    assert py == duck
+    # and the NBSP case specifically is NOT a question on either side
+    assert py[cases.index("a? ")] is False
