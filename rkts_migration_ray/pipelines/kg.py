@@ -5002,7 +5002,14 @@ def conv_tool_latency_ds(sf_dir: str):
             min_gap_us=("gap", "min"), max_gap_us=("gap", "max"))
         g = g.merge(mg, on="tool", how="left")
         big = np.int64(np.iinfo(np.int64).max)
-        g["min_gap_us"] = g["min_gap_us"].fillna(big).astype("int64")
+        # sentinel assignment must NOT round-trip through float64:
+        # fillna(int64max) on a float column rounds to 2^63 and the int64
+        # cast overflows to int64 MIN — which then WINS the global Min
+        # merge whenever any bucket has a tail-only tool (fired at
+        # fan-out ≥ 64; found by the round-5 full-suite run)
+        no_timed = g["min_gap_us"].isna()
+        g["min_gap_us"] = g["min_gap_us"].fillna(0).astype("int64")
+        g.loc[no_timed, "min_gap_us"] = big
         g["max_gap_us"] = g["max_gap_us"].fillna(-1).astype("int64")
         for c in ("n_calls", "n_tail", "sum_gap_us"):
             g[c] = g[c].astype("int64")
@@ -5014,13 +5021,18 @@ def conv_tool_latency_ds(sf_dir: str):
         n_timed = (df["n_calls"] - df["n_tail"]).astype("int64")
         mn = df["min_gap_us"].to_numpy("int64")
         mx = df["max_gap_us"].to_numpy("int64")
+        # -1 for "no timed call": big is the partial sentinel; int64 MIN is
+        # the float64-coerced image of that sentinel (or of a null injected
+        # by a mixed/empty-schema block upstream) — normalize both so the
+        # sentinel can never masquerade as a real minimum
+        neg = np.iinfo(np.int64).min
         return pa.table({
             "tool": pa.array(df["tool"].astype(str).tolist(), pa.string()),
             "n_calls": pa.array(df["n_calls"].to_numpy("int64")),
             "n_tail": pa.array(df["n_tail"].to_numpy("int64")),
             "sum_gap_us": pa.array(df["sum_gap_us"].to_numpy("int64")),
-            "min_gap_us": pa.array(np.where(mn == big, -1, mn)
-                                   .astype("int64")),
+            "min_gap_us": pa.array(np.where((mn == big) | (mn == neg),
+                                            -1, mn).astype("int64")),
             "max_gap_us": pa.array(mx.astype("int64")),
             "n_timed": pa.array(n_timed.to_numpy())})
 

@@ -155,33 +155,37 @@ def test_cli_query_csv_export(sf_tag, tmp_path):
 def test_cli_ingest_subcommand(sf_tag, tmp_path):
     """The generational ingest services from the CLI surface: dedup ingest
     (band index) then embed ingest (IVF), each initializing its own index,
-    probing a batch and folding it in; --compact folds generations to 1."""
+    probing a batch and folding it in; --compact folds generations to 1.
+    SUBPROCESS like the other CLI tests — main() owns a Ray session and
+    calls ray.shutdown() on exit, so driving it in-process would kill the
+    pytest session cluster and every later test would auto-init a 32-CPU
+    one (this exact mistake exposed the fan-out-64 latency sentinel bug)."""
     import json
+    import subprocess
+    import sys
 
-    from rkts_migration_ray.__main__ import main
+    import pandas as pd
 
     bidx = str(tmp_path / "bandidx")
     out = str(tmp_path / "matches.parquet")
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(["ingest", "--kind", "dedup", "--sf", sf_tag,
-                   "--index", bidx, "--gen", "batch1", "--out", out])
-    assert rc == 0
-    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    r1 = subprocess.run(
+        [sys.executable, "-m", "rkts_migration_ray", "ingest", "--kind",
+         "dedup", "--sf", sf_tag, "--index", bidx, "--gen", "batch1",
+         "--out", out, "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-500:]
+    rep = json.loads(r1.stdout.strip().splitlines()[-1])
     assert rep["generations"] == 2 and rep["matches"] > 0
-    import pandas as pd
     got = pd.read_parquet(out)
     assert list(got.columns) == ["delta_id", "base_id", "jaccard"]
     assert len(got) == rep["matches"]
 
     vidx = str(tmp_path / "ivfidx")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(["ingest", "--kind", "embed", "--sf", sf_tag,
-                   "--index", vidx, "--gen", "batch1", "--compact"])
-    assert rc == 0
-    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rkts_migration_ray", "ingest", "--kind",
+         "embed", "--sf", sf_tag, "--index", vidx, "--gen", "batch1",
+         "--compact", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep["matches"] > 0 and rep["generations"] == 1  # compacted

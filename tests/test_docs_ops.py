@@ -2648,3 +2648,46 @@ def test_compact_twice_and_phantom_tmp_dirs(sf_tag, tmp_path):
     got = set(map(tuple, after[["delta_id", "base_id"]].to_numpy()))
     want = set(map(tuple, before[["delta_id", "base_id"]].to_numpy()))
     assert want <= got  # all original cross pairs survive both compactions
+
+
+def test_conv_tool_latency_sentinel_at_high_fanout(monkeypatch):
+    """Round-5 regression: at fan-out >= 64 the sf0.001 fixture has buckets
+    whose only calls of a tool are conversation-final. The partial min
+    sentinel used to round-trip through float64 (fillna(int64max) ->
+    2^63 -> int64 cast -> int64 MIN) and then WIN the global Min merge.
+    Force the big fan-out and check against the single-process recompute."""
+    import collections
+
+    from rkts_migration_ray.functions import arrowutils
+    from rkts_migration_ray.pipelines import kg
+    from rkts_migration_ray.sources import readers
+
+    monkeypatch.setattr(arrowutils, "scale_buckets",
+                        lambda floor, per_cpu: 64)
+    got = kg.conv_tool_latency_ds("sf0.001").to_pandas()
+    assert (got["min_gap_us"] >= -1).all()  # no int64-MIN sentinel leak
+
+    t = readers.read_transcripts(
+        "sf0.001", columns=["conv_id", "turn_idx", "tool", "ts"]).to_pandas()
+    t = t.sort_values(["conv_id", "turn_idx"])
+    t["us"] = t["ts"].astype("int64")
+    stats = collections.defaultdict(lambda: [0, 0, 0, None, None])
+    for _, g in t.groupby("conv_id", sort=False):
+        us = g["us"].tolist()
+        tools = g["tool"].tolist()
+        for i, tl in enumerate(tools):
+            if not isinstance(tl, str) or tl == "":
+                continue
+            s = stats[tl]
+            s[0] += 1
+            if i + 1 < len(us):
+                gap = us[i + 1] - us[i]
+                s[2] += gap
+                s[3] = gap if s[3] is None else min(s[3], gap)
+                s[4] = gap if s[4] is None else max(s[4], gap)
+            else:
+                s[1] += 1
+    for r in got.itertuples():
+        s = stats[r.tool]
+        assert int(r.min_gap_us) == (s[3] if s[3] is not None else -1)
+        assert int(r.max_gap_us) == (s[4] if s[4] is not None else -1)
